@@ -1,0 +1,61 @@
+"""Round-trip tests for the canonical event h5 schema."""
+
+import numpy as np
+
+from bde2vid_tpu.events import H5EventReader, H5EventWriter
+from tests.conftest import make_events
+
+SENSOR = (64, 96)
+
+
+def _write_file(tmp_path, rng, n=5000, num_frames=5):
+    xs, ys, ts, ps = make_events(rng, n=n, sensor_size=SENSOR, t1=1.0)
+    ts = ts.astype(np.float64) + 100.0  # nonzero t0 to exercise shifting
+    path = str(tmp_path / "seq.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        half = n // 2
+        w.append_events(xs[:half], ys[:half], ts[:half], ps[:half] > 0)
+        w.append_events(xs[half:], ys[half:], ts[half:], ps[half:] > 0)
+        for i in range(num_frames):
+            t = 100.0 + (i + 0.5) / num_frames
+            img = (rng.uniform(0, 255, SENSOR)).astype(np.uint8)
+            w.add_image(img, t)
+    return path, (xs, ys, ts, ps)
+
+
+def test_roundtrip_events(tmp_path, rng):
+    path, (xs, ys, ts, ps) = _write_file(tmp_path, rng)
+    with H5EventReader(path) as r:
+        assert r.num_events == len(xs)
+        assert r.sensor_size == SENSOR
+        sl = r.events(0, r.num_events)
+        np.testing.assert_array_equal(sl.xs, xs)
+        np.testing.assert_array_equal(sl.ys, ys)
+        np.testing.assert_allclose(sl.ts, ts - ts[0], atol=1e-5)
+        np.testing.assert_array_equal(sl.ps, np.where(ps > 0, 1.0, -1.0))
+
+
+def test_frames_and_event_indices(tmp_path, rng):
+    path, (xs, ys, ts, ps) = _write_file(tmp_path, rng, num_frames=4)
+    with H5EventReader(path) as r:
+        assert r.num_frames == 4
+        fts = r.frame_timestamps
+        assert (np.diff(fts) > 0).all()
+        eidx = r.frame_event_indices
+        # each frame's event_idx points at/before the frame timestamp
+        shifted = ts - ts[0]
+        for i, k in enumerate(eidx):
+            assert shifted[k] <= fts[i] + 1e-9
+        img = r.frame(0)
+        assert img.shape == SENSOR and img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_binary_search_time(tmp_path, rng):
+    path, (xs, ys, ts, ps) = _write_file(tmp_path, rng)
+    shifted = ts - ts[0]
+    with H5EventReader(path) as r:
+        for q in [0.0, 0.25, 0.5, 0.99, 2.0]:
+            got = r.search_time(q)
+            want = int(np.searchsorted(shifted, q))
+            assert got == want

@@ -1,0 +1,156 @@
+"""Voxelizer unit tests: fused TPU formulation vs independent NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from bde2vid_tpu.events import (
+    events_to_image,
+    events_to_image_bilinear,
+    events_to_neg_pos_voxel,
+    events_to_timestamp_image,
+    events_to_voxel,
+    hot_event_mask,
+    pad_events,
+)
+from bde2vid_tpu.events.voxel_np import (
+    events_to_image_bilinear_np,
+    events_to_image_np,
+    events_to_neg_pos_voxel_np,
+    events_to_voxel_np,
+)
+from tests.conftest import make_events
+
+SENSOR = (64, 96)
+
+
+def test_events_to_image_matches_oracle(rng):
+    xs, ys, ts, ps = make_events(rng, n=4000, sensor_size=SENSOR)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    got = np.asarray(events_to_image(px, py, pp, n, sensor_size=SENSOR))
+    want = events_to_image_np(xs, ys, ps, SENSOR)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_events_to_image_duplicate_coords_accumulate():
+    xs = np.array([3, 3, 3], np.int32)
+    ys = np.array([5, 5, 5], np.int32)
+    ps = np.array([1.0, 1.0, -1.0], np.float32)
+    px, py, pt, pp, n = pad_events(xs, ys, np.zeros(3, np.float32), ps)
+    img = np.asarray(events_to_image(px, py, pp, n, sensor_size=SENSOR))
+    assert img[5, 3] == pytest.approx(1.0)
+    assert np.count_nonzero(img) == 1
+
+
+def test_events_to_image_out_of_range_dropped(rng):
+    xs = np.array([-1, 500, 10], np.int32)
+    ys = np.array([2, 2, 500], np.int32)
+    ps = np.ones(3, np.float32)
+    px, py, pt, pp, n = pad_events(xs, ys, np.zeros(3, np.float32), ps)
+    img = np.asarray(events_to_image(px, py, pp, n, sensor_size=SENSOR))
+    assert img.sum() == pytest.approx(0.0)
+
+
+def test_bilinear_image_matches_oracle(rng):
+    n = 3000
+    h, w = SENSOR
+    xs = rng.uniform(0, w - 1, n).astype(np.float32)
+    ys = rng.uniform(0, h - 1, n).astype(np.float32)
+    ps = rng.choice(np.array([-1.0, 1.0], np.float32), size=n)
+    px, py, pt, pp, nv = pad_events(xs, ys, np.zeros(n, np.float32), ps)
+    got = np.asarray(
+        events_to_image_bilinear(
+            px.astype(np.float32), py.astype(np.float32), pp, nv, sensor_size=SENSOR
+        )
+    )
+    want = events_to_image_bilinear_np(xs, ys, ps, SENSOR)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    # mass conservation: bilinear weights of each in-range event sum to 1
+    np.testing.assert_allclose(got.sum(), ps.sum(), atol=1e-2)
+
+
+@pytest.mark.parametrize("num_bins", [1, 2, 5])
+def test_voxel_matches_oracle(rng, num_bins):
+    xs, ys, ts, ps = make_events(rng, n=6000, sensor_size=SENSOR)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    got = np.asarray(
+        events_to_voxel(px, py, pt, pp, n, num_bins=num_bins, sensor_size=SENSOR)
+    )
+    want = events_to_voxel_np(xs, ys, ts, ps, num_bins, SENSOR)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_voxel_padding_is_inert(rng):
+    """The same events at two different buffer capacities give the same voxel."""
+    xs, ys, ts, ps = make_events(rng, n=1000, sensor_size=SENSOR)
+    a = events_to_voxel(*pad_events(xs, ys, ts, ps, capacity=1024), sensor_size=SENSOR)
+    b = events_to_voxel(*pad_events(xs, ys, ts, ps, capacity=4096), sensor_size=SENSOR)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_voxel_temporal_mass(rng):
+    """Sum over bins+pixels == sum of polarities (bilinear bin weights sum to 1
+    for interior timestamps; endpoints land exactly on a bin)."""
+    xs, ys, ts, ps = make_events(rng, n=2000, sensor_size=SENSOR)
+    v = np.asarray(
+        events_to_voxel(*pad_events(xs, ys, ts, ps), num_bins=5, sensor_size=SENSOR)
+    )
+    np.testing.assert_allclose(v.sum(), ps.sum(), atol=1e-2)
+
+
+def test_voxel_degenerate_dt():
+    """All-equal timestamps: everything falls into bin 0, no NaNs."""
+    xs = np.array([1, 2, 3], np.int32)
+    ys = np.array([1, 2, 3], np.int32)
+    ts = np.zeros(3, np.float32)
+    ps = np.ones(3, np.float32)
+    v = np.asarray(
+        events_to_voxel(*pad_events(xs, ys, ts, ps), num_bins=5, sensor_size=SENSOR)
+    )
+    assert np.isfinite(v).all()
+    assert v[0].sum() == pytest.approx(3.0)
+    assert v[1:].sum() == pytest.approx(0.0)
+
+
+def test_neg_pos_voxel_matches_oracle(rng):
+    xs, ys, ts, ps = make_events(rng, n=3000, sensor_size=SENSOR)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    gp, gn = events_to_neg_pos_voxel(px, py, pt, pp, n, num_bins=5, sensor_size=SENSOR)
+    wp, wn = events_to_neg_pos_voxel_np(xs, ys, ts, ps, 5, SENSOR)
+    np.testing.assert_allclose(np.asarray(gp), wp, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gn), wn, atol=1e-3)
+
+
+def test_timestamp_image_shapes_and_polarity(rng):
+    xs, ys, ts, ps = make_events(rng, n=2000, sensor_size=SENSOR)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    ip, ineg = events_to_timestamp_image(
+        px.astype(np.float32), py.astype(np.float32), pt, pp, n, sensor_size=SENSOR
+    )
+    assert ip.shape == (SENSOR[0] + 1, SENSOR[1] + 1)
+    assert np.isfinite(np.asarray(ip)).all() and np.isfinite(np.asarray(ineg)).all()
+    assert np.asarray(ip).min() >= 0.0  # normalized timestamps are nonneg
+
+
+def test_hot_event_mask(rng):
+    xs, ys, ts, ps = make_events(rng, n=500, sensor_size=SENSOR)
+    # make pixel (10, 10) very hot
+    xs = np.concatenate([xs, np.full(1000, 10, np.int32)])
+    ys = np.concatenate([ys, np.full(1000, 10, np.int32)])
+    ps = np.concatenate([ps, np.ones(1000, np.float32)])
+    mask = hot_event_mask(xs, ys, np.abs(ps), SENSOR, num_hot=3)
+    assert mask.shape == SENSOR
+    assert mask[10, 10] == 0.0
+    assert mask.sum() == SENSOR[0] * SENSOR[1] - 3
+
+
+def test_pad_events_bucketing():
+    xs = np.arange(5, dtype=np.int32)
+    px, py, pt, pp, n = pad_events(xs, xs, xs.astype(np.float32), xs.astype(np.float32))
+    assert len(px) == 1024 and n == 5
+    px2, *_ = pad_events(
+        np.arange(3000, dtype=np.int32),
+        np.arange(3000, dtype=np.int32),
+        np.arange(3000, dtype=np.float32),
+        np.ones(3000, np.float32),
+    )
+    assert len(px2) == 4096
