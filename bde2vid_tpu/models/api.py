@@ -1,0 +1,104 @@
+"""The common functional model protocol + sequence runner + registry.
+
+Replaces the reference's three state conventions (attribute state with
+``reset_states()``, explicit prev_states threading, and mmengine wrappers —
+see eval_models_seq.py:41-96) with ONE:
+
+    out_dict, new_state = model.apply(params, voxel, state)
+    state0 = model.initial_state(batch, H, W)
+
+and one TPU-native sequence runner: ``lax.scan`` over time with the state as
+the carry. All five model families run through the same scan; XLA compiles
+the whole sequence into a single program with donated carries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def build_model(name: str, config: Dict[str, Any], **kwargs):
+    """Instantiate a registered model family by name (the framework's single
+    config surface, replacing the reference's three coexisting systems)."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](config=config, **kwargs)
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    """A built model + its params: everything needed to run sequences."""
+
+    name: str
+    module: Any  # flax module
+    params: Any  # frozen params pytree (may include batch_stats collection)
+    num_bins: int = 5
+    num_encoders: int = 0  # for Croper spatial padding (2^num_encoders)
+    is_sequence_model: bool = False  # BDE2VID-style whole-sequence forward
+
+    def initial_state(self, batch: int, height: int, width: int):
+        return self.module.initial_state(batch, height, width)
+
+    def step(self, voxel: Array, state):
+        return self.module.apply(self.params, voxel, state)
+
+
+def run_sequence(
+    module,
+    params,
+    voxels: Array,
+    state,
+    unroll: int = 1,
+) -> Tuple[Array, Any]:
+    """Run a per-step model over a [T, N, H, W, C] voxel sequence.
+
+    One ``lax.scan``: the recurrent state is the carry, per-step images are
+    stacked. This is the TPU replacement for the reference's Python loop over
+    ``model({'events': ...})`` (eval_models_seq.py:209-213) — the whole
+    sequence is one XLA program, weights stay resident in HBM/VMEM, and the
+    carry is donated.
+    """
+
+    def step_fn(carry, voxel):
+        out, new_state = module.apply(params, voxel, carry)
+        return new_state, out["image"]
+
+    final_state, images = jax.lax.scan(step_fn, state, voxels, unroll=unroll)
+    return images, final_state
+
+
+def run_sequence_chunked(
+    module,
+    params,
+    voxels: Array,
+    state,
+    chunk: int = 1000,
+) -> Array:
+    """Chunked variant mirroring the reference's subseq_L behavior
+    (eval_models_seq.py:216-219): state RESETS between chunks (the reference
+    calls reset_states() inside forward, bde2vid.py:31), so chunks are
+    independent — which also makes them trivially parallelizable across
+    devices.
+    """
+    t = voxels.shape[0]
+    outs = []
+    for s in range(0, t, chunk):
+        imgs, _ = run_sequence(module, params, voxels[s : s + chunk], state)
+        outs.append(imgs)
+    return jnp.concatenate(outs, axis=0)

@@ -8,10 +8,15 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The image pre-sets JAX_PLATFORMS=axon (the TPU tunnel) and that wins over a
+# plain env override here, so force the platform through jax.config instead.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
