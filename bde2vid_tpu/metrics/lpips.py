@@ -1,0 +1,235 @@
+"""LPIPS (net-lin) perceptual metric in JAX/flax.
+
+Reference: LPIPS/models/networks_basic.py PNetLin :72-175 (v0.1 scaling:
+inputs in [-1,1] are shifted/scaled by per-channel constants, run through a
+frozen AlexNet/VGG16 feature extractor, features unit-normalized over
+channels, squared diffs passed through learned 1x1 "lin" convs, spatially
+averaged and summed over layers) and pretrained_networks.py :63-100 (the
+slice boundaries).
+
+Pretrained torchvision backbone weights are not bundled (and cannot be
+downloaded in this environment); ``load_lpips_params`` converts a torch
+state dict (torchvision ``alexnet``/``vgg16`` ``features.*`` naming + LPIPS
+``lin{k}.model.1.weight`` heads) into the flax param tree at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jax.Array
+
+# v0.1 color normalization constants (networks_basic.py:109-110)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+ALEX_CHNS = [64, 192, 384, 256, 256]
+VGG_CHNS = [64, 128, 256, 512, 512]
+
+
+def _maxpool_3x3_s2(x: Array) -> Array:
+    """MaxPool2d(kernel=3, stride=2), VALID — torch default (no padding)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet ``features`` trunk, returning the 5 relu slices
+    LPIPS taps (pretrained_networks.py:63-100)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        conv = lambda f, k, s, p, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=((p, p), (p, p)), dtype=self.dtype, name=name
+        )
+        outs = []
+        h = jax.nn.relu(conv(64, 11, 4, 2, "conv0")(x))
+        outs.append(h)  # relu1
+        h = _maxpool_3x3_s2(h)
+        h = jax.nn.relu(conv(192, 5, 1, 2, "conv1")(h))
+        outs.append(h)  # relu2
+        h = _maxpool_3x3_s2(h)
+        h = jax.nn.relu(conv(384, 3, 1, 1, "conv2")(h))
+        outs.append(h)  # relu3
+        h = jax.nn.relu(conv(256, 3, 1, 1, "conv3")(h))
+        outs.append(h)  # relu4
+        h = jax.nn.relu(conv(256, 3, 1, 1, "conv4")(h))
+        outs.append(h)  # relu5
+        return outs
+
+
+class VGG16Features(nn.Module):
+    """torchvision VGG16 trunk tapped at relu{1_2,2_2,3_3,4_3,5_3}."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        conv = lambda f, i: nn.Conv(
+            f, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}"
+        )
+        pool = lambda h: jax.lax.reduce_window(
+            h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+        outs = []
+        h = jax.nn.relu(conv(64, 0)(x))
+        h = jax.nn.relu(conv(64, 1)(h))
+        outs.append(h)
+        h = pool(h)
+        h = jax.nn.relu(conv(128, 2)(h))
+        h = jax.nn.relu(conv(128, 3)(h))
+        outs.append(h)
+        h = pool(h)
+        h = jax.nn.relu(conv(256, 4)(h))
+        h = jax.nn.relu(conv(256, 5)(h))
+        h = jax.nn.relu(conv(256, 6)(h))
+        outs.append(h)
+        h = pool(h)
+        h = jax.nn.relu(conv(512, 7)(h))
+        h = jax.nn.relu(conv(512, 8)(h))
+        h = jax.nn.relu(conv(512, 9)(h))
+        outs.append(h)
+        h = pool(h)
+        h = jax.nn.relu(conv(512, 10)(h))
+        h = jax.nn.relu(conv(512, 11)(h))
+        h = jax.nn.relu(conv(512, 12)(h))
+        outs.append(h)
+        return outs
+
+
+def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
+    """Unit-normalize over the channel axis (LPIPS util.normalize_tensor)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """net-lin LPIPS distance. Inputs NHWC in [-1, 1], 3 channels.
+
+    Returns per-example distance (N,). The 1x1 lin heads have no bias
+    (NetLinLayer: dropout + 1x1 conv, networks_basic.py).
+    """
+
+    net: str = "alex"
+    version: str = "0.1"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in0: Array, in1: Array) -> Array:
+        shift = jnp.asarray(_SHIFT, self.dtype)
+        scale = jnp.asarray(_SCALE, self.dtype)
+        if self.version == "0.1":
+            in0 = (in0 - shift) / scale
+            in1 = (in1 - shift) / scale
+        # v0.0 skips input scaling (original-release bug kept for parity)
+        if self.net == "alex":
+            backbone = AlexNetFeatures(dtype=self.dtype, name="backbone")
+            chns = ALEX_CHNS
+        elif self.net in ("vgg", "vgg16"):
+            backbone = VGG16Features(dtype=self.dtype, name="backbone")
+            chns = VGG_CHNS
+        else:
+            raise ValueError(f"unsupported LPIPS net {self.net!r}")
+        f0 = backbone(in0)
+        f1 = backbone(in1)
+        total = 0.0
+        for k, (a, b) in enumerate(zip(f0, f1)):
+            d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
+            w = self.param(f"lin{k}", nn.initializers.ones, (chns[k],), jnp.float32)
+            # 1x1 conv with no bias == channel-weighted sum
+            layer_val = jnp.sum(d * w.astype(d.dtype), axis=-1)  # (N, H, W)
+            total = total + jnp.mean(layer_val, axis=(1, 2))  # (N,)
+        return total
+
+
+def lpips_features(module: LPIPS, params, x: Array) -> List[Array]:
+    """Unit-normalized backbone features of x (for VIP-style feature losses)."""
+    def run(mdl, inp):
+        if mdl.net == "alex":
+            bb = AlexNetFeatures(dtype=mdl.dtype, name="backbone")
+        else:
+            bb = VGG16Features(dtype=mdl.dtype, name="backbone")
+        return [_normalize_tensor(f) for f in bb(inp)]
+
+    return nn.apply(run, module)(
+        {"params": params["params"]["backbone"]}
+        if "backbone" in params.get("params", {})
+        else params,
+        x,
+    )
+
+
+def lpips_distance(module: LPIPS, params, pred: Array, target: Array, normalize: bool = True) -> Array:
+    """Reference perceptual_loss semantics (evaluate/metrics.py:78-97):
+    inputs in [0,1] are scaled to [-1,1]; 1-channel inputs are replicated to
+    3; returns the mean distance over the batch."""
+    if normalize:
+        pred = 2.0 * pred - 1.0
+        target = 2.0 * target - 1.0
+    if pred.shape[-1] == 1:
+        pred = jnp.repeat(pred, 3, axis=-1)
+        target = jnp.repeat(target, 3, axis=-1)
+    # reference calls forward_pair(target, pred) in that order
+    return jnp.mean(module.apply(params, target, pred))
+
+
+# ---------------------------------------------------------------------------
+# Torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+_ALEX_FEATURE_IDS = [0, 3, 6, 8, 10]  # torchvision alexnet features.* conv ids
+_VGG_FEATURE_IDS = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def load_lpips_params(
+    lin_state: Dict[str, "np.ndarray"],
+    backbone_state: Optional[Dict[str, "np.ndarray"]] = None,
+    net: str = "alex",
+    rng: Optional[jax.Array] = None,
+    image_hw: tuple = (64, 64),
+):
+    """Build LPIPS flax params from torch state dicts (values as numpy).
+
+    - ``lin_state``: keys ``lin{k}.model.1.weight`` of shape (1, C, 1, 1)
+      (the vendored LPIPS/weights/v0.1/{alex,vgg}.pth layout).
+    - ``backbone_state``: torchvision ``features.{i}.weight/bias`` keys. If
+      None, backbone params stay randomly initialized (architecture tests
+      only — NOT metric parity).
+    """
+    module = LPIPS(net=net)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, *image_hw, 3))
+    params = module.init(rng, dummy, dummy)
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    for k in range(5):
+        key = f"lin{k}.model.1.weight"
+        if key in lin_state:
+            params["params"][f"lin{k}"] = np.asarray(lin_state[key]).reshape(-1).astype(
+                np.float32
+            )
+
+    if backbone_state is not None:
+        ids = _ALEX_FEATURE_IDS if net == "alex" else _VGG_FEATURE_IDS
+        for j, i in enumerate(ids):
+            w = np.asarray(backbone_state[f"features.{i}.weight"])  # (O,I,kh,kw)
+            b = np.asarray(backbone_state[f"features.{i}.bias"])
+            params["params"]["backbone"][f"conv{j}"] = {
+                "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                "bias": b.astype(np.float32),
+            }
+
+    return jax.tree_util.tree_map(jnp.asarray, params)

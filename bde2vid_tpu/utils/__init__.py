@@ -1,0 +1,24 @@
+"""Framework utilities: padding, normalization, timers, json io."""
+
+from bde2vid_tpu.utils.padding import optimal_crop_size, CropParameters
+from bde2vid_tpu.utils.norm import (
+    legacy_norm,
+    robust_norm,
+    quick_norm,
+    abs_norm,
+    robust_1_99,
+)
+from bde2vid_tpu.utils.timers import Timer, CudaTimer, timer_summary
+
+__all__ = [
+    "optimal_crop_size",
+    "CropParameters",
+    "legacy_norm",
+    "robust_norm",
+    "quick_norm",
+    "abs_norm",
+    "robust_1_99",
+    "Timer",
+    "CudaTimer",
+    "timer_summary",
+]

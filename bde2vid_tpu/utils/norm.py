@@ -1,0 +1,71 @@
+"""Normalization transforms (JAX, jittable).
+
+Reference: utils_func/data_augmentation.py RobustNorm :30-68 (percentile
+clamp + min/max rescale with nearest-rank percentiles) and LegacyNorm
+:313-330 (zero-mean/unit-std over NONZERO voxel entries only, preserving
+zeros), utils_func/utils.py quick_norm/abs_norm :58-66.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def legacy_norm(x: Array) -> Array:
+    """Mean/std-normalize the nonzero entries of x; zeros stay zero.
+
+    Degenerate cases match the reference: all-zero input or zero stddev
+    return x unchanged.
+    """
+    nonzero = (x != 0).astype(jnp.float32)
+    num = jnp.sum(nonzero)
+    safe_num = jnp.maximum(num, 1.0)
+    mean = jnp.sum(x) / safe_num
+    var = jnp.sum(x * x) / safe_num - mean * mean
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    normed = nonzero * (x - mean) / jnp.where(std == 0, 1.0, std)
+    return jnp.where((num > 0) & (std != 0), normed, x)
+
+
+def _nearest_rank_percentile(x: Array, q: float) -> Array:
+    """Nearest-rank percentile == torch.kthvalue with k = 1 + round(q/100*(n-1)).
+
+    Uses sort (TPU-friendly; event tensors are small enough that a full sort
+    is cheaper than iterative selection).
+    """
+    flat = jnp.ravel(x)
+    n = flat.shape[0]
+    k = int(round(0.01 * float(q) * (n - 1)))  # 0-based index
+    return jnp.sort(flat)[k]
+
+
+def robust_norm(x: Array, low_perc: float = 0.0, top_perc: float = 95.0) -> Array:
+    """Percentile-clamp then rescale by (x - min) / (max + eps).
+
+    Matches the reference quirk of dividing by max(normed) rather than the
+    range (data_augmentation.py:63-66).
+    """
+    t_max = _nearest_rank_percentile(x, top_perc)
+    t_min = _nearest_rank_percentile(x, low_perc)
+    eps = 1e-6
+    clamped = jnp.clip(x, t_min, t_max)
+    normed = (clamped - jnp.min(clamped)) / (jnp.max(clamped) + eps)
+    return jnp.where((t_max == 0) & (t_min == 0), x, normed)
+
+
+robust_1_99 = functools.partial(robust_norm, low_perc=1.0, top_perc=99.0)
+
+
+def quick_norm(x: Array) -> Array:
+    return (x - jnp.min(x)) / (jnp.max(x) - jnp.min(x) + 1e-6)
+
+
+def abs_norm(x: Array) -> Array:
+    y = x - jnp.min(x)
+    m = jnp.max(y)
+    return jnp.where(m != 0, y / jnp.where(m == 0, 1.0, m), y)

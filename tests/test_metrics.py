@@ -1,0 +1,173 @@
+"""Metrics tests: SSIM vs independent NumPy oracle, MSE vs torch,
+LPIPS vs a torch re-implementation with shared weights."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from bde2vid_tpu.metrics import (
+    LPIPS,
+    load_lpips_params,
+    lpips_distance,
+    mse,
+    structural_similarity,
+)
+
+
+# --------------------------- SSIM oracle (NumPy) ---------------------------
+def _uniform_valid_np(x, win):
+    h, w = x.shape
+    out = np.zeros((h - win + 1, w - win + 1), np.float64)
+    c = np.cumsum(np.cumsum(np.pad(x, ((1, 0), (1, 0))), axis=0), axis=1)
+    out = (
+        c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]
+    ) / (win * win)
+    return out
+
+
+def ssim_np(a, b, data_range=2.0, win=7):
+    """skimage structural_similarity algorithm, independent implementation."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    npx = win * win
+    cov_norm = npx / (npx - 1)
+    ux = _uniform_valid_np(a, win)
+    uy = _uniform_valid_np(b, win)
+    uxx = _uniform_valid_np(a * a, win)
+    uyy = _uniform_valid_np(b * b, win)
+    uxy = _uniform_valid_np(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+    return s.mean()
+
+
+def test_mse_matches_torch(rng):
+    a = rng.uniform(0, 1, (2, 16, 24, 1)).astype(np.float32)
+    b = rng.uniform(0, 1, (2, 16, 24, 1)).astype(np.float32)
+    got = float(mse(jnp.asarray(a), jnp.asarray(b)))
+    want = float(F.mse_loss(torch.from_numpy(a), torch.from_numpy(b)))
+    assert got == pytest.approx(want, abs=1e-7)
+
+
+def test_ssim_identical_is_one(rng):
+    a = rng.uniform(0, 1, (1, 32, 48, 1)).astype(np.float32)
+    assert float(structural_similarity(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(
+        1.0, abs=1e-6
+    )
+
+
+def test_ssim_matches_oracle(rng):
+    a = rng.uniform(0, 1, (3, 32, 48, 1)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    got = float(structural_similarity(jnp.asarray(a), jnp.asarray(b)))
+    want = np.mean([ssim_np(a[i, :, :, 0], b[i, :, :, 0]) for i in range(3)])
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_ssim_monotone_with_noise(rng):
+    a = rng.uniform(0, 1, (1, 32, 48, 1)).astype(np.float32)
+    prev = 1.0
+    for sigma in (0.05, 0.15, 0.4):
+        b = np.clip(a + rng.normal(0, sigma, a.shape), 0, 1).astype(np.float32)
+        s = float(structural_similarity(jnp.asarray(a), jnp.asarray(b)))
+        assert s < prev
+        prev = s
+
+
+# ------------------------------- LPIPS -------------------------------------
+def _torch_alex_features():
+    """torchvision-AlexNet-features trunk built from torch primitives."""
+    return torch.nn.ModuleList(
+        [
+            torch.nn.Conv2d(3, 64, 11, stride=4, padding=2),
+            torch.nn.Conv2d(64, 192, 5, padding=2),
+            torch.nn.Conv2d(192, 384, 3, padding=1),
+            torch.nn.Conv2d(384, 256, 3, padding=1),
+            torch.nn.Conv2d(256, 256, 3, padding=1),
+        ]
+    )
+
+
+def _torch_alex_forward(convs, x):
+    outs = []
+    h = torch.relu(convs[0](x))
+    outs.append(h)
+    h = F.max_pool2d(h, 3, 2)
+    h = torch.relu(convs[1](h))
+    outs.append(h)
+    h = F.max_pool2d(h, 3, 2)
+    h = torch.relu(convs[2](h))
+    outs.append(h)
+    h = torch.relu(convs[3](h))
+    outs.append(h)
+    h = torch.relu(convs[4](h))
+    outs.append(h)
+    return outs
+
+
+def _torch_lpips(convs, lins, in0, in1):
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    f0 = _torch_alex_forward(convs, (in0 - shift) / scale)
+    f1 = _torch_alex_forward(convs, (in1 - shift) / scale)
+    val = 0.0
+    for k, (a, b) in enumerate(zip(f0, f1)):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (na - nb) ** 2
+        w = lins[k].view(1, -1, 1, 1)
+        val = val + (d * w).sum(1).mean(dim=(1, 2))
+    return val
+
+
+def test_lpips_matches_torch_with_shared_weights(rng):
+    convs = _torch_alex_features()
+    lins = [torch.rand(c) for c in (64, 192, 384, 256, 256)]
+    lin_state = {
+        f"lin{k}.model.1.weight": lins[k].numpy().reshape(1, -1, 1, 1) for k in range(5)
+    }
+    backbone_state = {}
+    for j, i in enumerate([0, 3, 6, 8, 10]):
+        backbone_state[f"features.{i}.weight"] = convs[j].weight.detach().numpy()
+        backbone_state[f"features.{i}.bias"] = convs[j].bias.detach().numpy()
+
+    params = load_lpips_params(lin_state, backbone_state, net="alex")
+    module = LPIPS(net="alex")
+
+    in0 = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    in1 = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(module.apply(params, jnp.asarray(in0), jnp.asarray(in1)))
+    want = (
+        _torch_lpips(
+            convs,
+            lins,
+            torch.from_numpy(in0.transpose(0, 3, 1, 2)),
+            torch.from_numpy(in1.transpose(0, 3, 1, 2)),
+        )
+        .detach()
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_lpips_distance_gray_replication(rng):
+    module = LPIPS(net="alex")
+    lin_state = {
+        f"lin{k}.model.1.weight": np.ones((1, c, 1, 1), np.float32)
+        for k, c in enumerate((64, 192, 384, 256, 256))
+    }
+    params = load_lpips_params(lin_state, None, net="alex")
+    a = rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+    d_same = float(lpips_distance(module, params, jnp.asarray(a), jnp.asarray(a)))
+    assert d_same == pytest.approx(0.0, abs=1e-6)
+    b = rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+    d_diff = float(lpips_distance(module, params, jnp.asarray(a), jnp.asarray(b)))
+    assert d_diff > 0.0

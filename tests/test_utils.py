@@ -1,0 +1,74 @@
+"""Utils tests: pad/crop roundtrip, norms vs torch-semantics oracles."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from bde2vid_tpu.utils import (
+    CropParameters,
+    legacy_norm,
+    optimal_crop_size,
+    quick_norm,
+    robust_norm,
+)
+
+
+def test_optimal_crop_size():
+    assert optimal_crop_size(180, 4) == 192
+    assert optimal_crop_size(240, 4) == 240
+    assert optimal_crop_size(240, 3) == 240
+    assert optimal_crop_size(346, 4) == 352
+    assert optimal_crop_size(256, 4) == 256
+
+
+@pytest.mark.parametrize("h,w,enc", [(180, 240, 4), (260, 346, 4), (181, 239, 3)])
+def test_pad_crop_roundtrip(rng, h, w, enc):
+    cp = CropParameters(w, h, enc)
+    x = rng.normal(size=(1, h, w, 5)).astype(np.float32)
+    padded = cp.pad(jnp.asarray(x))
+    assert padded.shape[1] % 2**enc == 0 and padded.shape[2] % 2**enc == 0
+    back = cp.crop(padded)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_legacy_norm_matches_torch_semantics(rng):
+    x = rng.normal(size=(5, 16, 24)).astype(np.float32)
+    x[x < 0.5] = 0.0  # plenty of zeros
+    got = np.asarray(legacy_norm(jnp.asarray(x)))
+
+    t = torch.from_numpy(x)
+    nonzero = t != 0
+    num = nonzero.sum()
+    mean = t.sum() / num
+    std = torch.sqrt((t**2).sum() / num - mean**2)
+    want = (nonzero.float() * (t - mean) / std).numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5)
+    # zeros preserved
+    assert (got[x == 0] == 0).all()
+
+
+def test_legacy_norm_degenerate():
+    z = jnp.zeros((2, 4, 4))
+    np.testing.assert_array_equal(np.asarray(legacy_norm(z)), np.zeros((2, 4, 4)))
+
+
+def test_robust_norm_matches_torch_kthvalue(rng):
+    x = rng.normal(size=(3, 10, 12)).astype(np.float32)
+    got = np.asarray(robust_norm(jnp.asarray(x), 0, 95))
+
+    t = torch.from_numpy(x)
+    k_hi = 1 + round(0.95 * (t.numel() - 1))
+    k_lo = 1
+    t_max = t.view(-1).kthvalue(k_hi).values.item()
+    t_min = t.view(-1).kthvalue(k_lo).values.item()
+    clamped = torch.clamp(t, min=t_min, max=t_max)
+    want = ((clamped - clamped.min()) / (clamped.max() + 1e-6)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_quick_norm_range(rng):
+    x = rng.normal(size=(8, 8)).astype(np.float32)
+    y = np.asarray(quick_norm(jnp.asarray(x)))
+    assert y.min() >= 0.0 and y.max() <= 1.0
