@@ -1,0 +1,242 @@
+"""Sequence assembly: h5 file -> padded event windows -> device voxel grids.
+
+Mirrors the reference item surface (h5_dataset.py __getitem__ :204-259:
+{'frame','flow','events','timestamp','data_source_idx','dt'}), with the
+voxel grid built on device. Reference edge cases preserved:
+
+- windows with < 3 events produce a zero voxel (:219-220)
+- dt == 0 forced to 0.0 (:230-231)
+- hot-pixel mask multiplied into every voxel (:364)
+- flow is scaled by dt to displacement (:239-241); zero flow if absent
+- LegacyNorm applied to voxels only when ``normalize`` (the reference wires
+  this through vox_transform, eval_models_seq.py:159-161)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bde2vid_tpu.events.h5_io import H5EventReader
+from bde2vid_tpu.events.voxel import (
+    _bucket_capacity,
+    events_to_neg_pos_voxel,
+    events_to_voxel,
+    hot_event_mask,
+)
+from bde2vid_tpu.data.windowing import (
+    between_frames_windows,
+    k_events_windows,
+    t_seconds_windows,
+)
+from bde2vid_tpu.utils.norm import legacy_norm
+
+DATA_SOURCES = ("esim", "ijrr", "mvsec", "eccd", "hqfd", "unknown")
+
+
+@dataclasses.dataclass
+class SequenceItem:
+    """One eval step (host-side)."""
+
+    frame: Optional[np.ndarray]  # (H, W) float32 in [0,1], or None
+    flow: Optional[np.ndarray]  # (2, H, W) displacement, or None
+    events: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]  # padded
+    n_events: int
+    timestamp: float
+    dt: float
+    data_source_idx: int
+
+
+class EventSequence:
+    """A fully-indexed event sequence ready for device voxelization.
+
+    All windows are padded to ONE per-sequence capacity (power-of-two bucket
+    of the largest window) so the whole sequence voxelizes under a single jit
+    compilation, vmapped over steps.
+    """
+
+    def __init__(
+        self,
+        reader: H5EventReader,
+        windows: np.ndarray,
+        num_bins: int = 5,
+        combined_voxel_channels: bool = True,
+        hot_filter: bool = False,
+        normalize: bool = False,
+        sensor_resolution: Optional[Tuple[int, int]] = None,
+        has_frames: bool = True,
+        max_length: Optional[int] = None,
+    ):
+        self.reader = reader
+        self.windows = np.asarray(windows, np.int64)
+        self.num_bins = num_bins
+        self.combined = combined_voxel_channels
+        self.normalize = normalize
+        self.sensor_size = tuple(sensor_resolution or reader.sensor_size)
+        self.has_frames = has_frames
+        self.length = len(self.windows)
+        if has_frames:
+            self.length = min(self.length, reader.num_frames - 1) if reader.num_frames else 0
+        if max_length is not None:
+            self.length = min(self.length, max_length + 1)
+        if self.length <= 0:
+            raise ValueError("sequence has zero usable steps")
+
+        sizes = self.windows[: self.length, 1] - self.windows[: self.length, 0]
+        self.capacity = _bucket_capacity(int(sizes.max()) if len(sizes) else 1)
+
+        src = "unknown"
+        try:
+            src = reader.f.attrs.get("source", "unknown")
+            src = src.decode() if isinstance(src, bytes) else str(src)
+        except Exception:
+            pass
+        self.data_source_idx = DATA_SOURCES.index(src) if src in DATA_SOURCES else -1
+
+        if hot_filter:
+            sl = reader.events(0, min(reader.num_events, 2_000_000))
+            self.hot_mask = hot_event_mask(
+                sl.xs, sl.ys, np.abs(sl.ps), self.sensor_size, num_hot=100
+            )
+        else:
+            self.hot_mask = None
+
+    def __len__(self) -> int:
+        return self.length
+
+    # -- host item surface ---------------------------------------------------
+
+    def raw_window(self, i: int):
+        """Padded (xs, ys, ts, ps, n) for step i; ts shifted to window start
+        (reference shifts by ts_0 before voxelizing, h5_dataset.py:226)."""
+        idx0, idx1 = self.windows[i]
+        sl = self.reader.events(int(idx0), int(idx1))
+        n = len(sl.xs)
+        cap = self.capacity
+        xs = np.zeros(cap, np.int32)
+        ys = np.zeros(cap, np.int32)
+        ts = np.zeros(cap, np.float32)
+        ps = np.zeros(cap, np.float32)
+        xs[:n] = sl.xs
+        ys[:n] = sl.ys
+        if n:
+            ts[:n] = sl.ts - sl.ts[0]
+            ts[n:] = ts[n - 1] if n else 0.0
+        ps[:n] = sl.ps
+        return xs, ys, ts, ps, n
+
+    def item(self, i: int) -> SequenceItem:
+        xs, ys, ts, ps, n = self.raw_window(i)
+        dt = float(ts[n - 1]) if n > 0 else 0.0
+        frame = self.reader.frame(i) if self.has_frames else None
+        flow = None
+        if self.has_frames and self.reader.num_flow > i:
+            flow = self.reader.flow(i) * dt
+        timestamp = float(self.reader.frame_timestamps[i]) if self.has_frames else (
+            float(ts[n - 1]) if n else 0.0
+        )
+        return SequenceItem(
+            frame=frame,
+            flow=flow,
+            events=(xs, ys, ts, ps),
+            n_events=n,
+            timestamp=timestamp,
+            dt=dt,
+            data_source_idx=self.data_source_idx,
+        )
+
+    # -- device voxelization ---------------------------------------------------
+
+    def _voxelize_batch(self, xs, ys, ts, ps, ns):
+        """[C, cap] event buffers -> [C, B, H, W] voxels, on device."""
+        num_bins, sensor = self.num_bins, self.sensor_size
+
+        def one(x, y, t, p, n):
+            small = n < 3  # reference: <3 events -> zero voxel
+            if self.combined:
+                v = events_to_voxel(x, y, t, p, n, num_bins=num_bins, sensor_size=sensor)
+            else:
+                vp, vn = events_to_neg_pos_voxel(
+                    x, y, t, p, n, num_bins=num_bins, sensor_size=sensor
+                )
+                v = jnp.concatenate([vp, vn], axis=0)
+            v = jnp.where(small, jnp.zeros_like(v), v)
+            if self.hot_mask is not None:
+                v = v * jnp.asarray(self.hot_mask)[None]
+            if self.normalize:
+                v = legacy_norm(v)
+            return v
+
+        return jax.jit(jax.vmap(one))(xs, ys, ts, ps, ns)
+
+    def voxels(self, start: int = 0, stop: Optional[int] = None, batch: int = 64):
+        """Voxel grids for steps [start, stop) as a device array
+        [T, B, H, W] (or [T, 2B, H, W] for separate polarities)."""
+        stop = self.length if stop is None else min(stop, self.length)
+        out = []
+        for s in range(start, stop, batch):
+            e = min(s + batch, stop)
+            bufs = [self.raw_window(i) for i in range(s, e)]
+            xs = np.stack([b[0] for b in bufs])
+            ys = np.stack([b[1] for b in bufs])
+            ts = np.stack([b[2] for b in bufs])
+            ps = np.stack([b[3] for b in bufs])
+            ns = np.asarray([b[4] for b in bufs], np.int32)
+            out.append(self._voxelize_batch(xs, ys, ts, ps, ns))
+        return jnp.concatenate(out, axis=0)
+
+    def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
+        stop = self.length if stop is None else min(stop, self.length)
+        return np.stack([self.reader.frame(i) for i in range(start, stop)])
+
+
+def load_sequence(
+    path: str,
+    num_bins: int = 5,
+    voxel_method: Optional[Dict] = None,
+    combined_voxel_channels: bool = True,
+    hot_filter: bool = False,
+    normalize: bool = False,
+    sensor_resolution: Optional[Tuple[int, int]] = None,
+    max_length: Optional[int] = None,
+) -> EventSequence:
+    """Open an h5 sequence with a windowing policy (reference
+    InferenceDataLoader + set_voxel_method surface)."""
+    voxel_method = voxel_method or {"method": "between_frames"}
+    reader = H5EventReader(path)
+    method = voxel_method["method"]
+    if method == "between_frames":
+        windows = between_frames_windows(reader.frame_event_indices)
+        has_frames = True
+    elif method == "k_events":
+        windows = k_events_windows(
+            reader.num_events, voxel_method["k"], voxel_method.get("sliding_window_w", 0)
+        )
+        has_frames = False
+    elif method == "t_seconds":
+        duration = float(reader.f.attrs.get("duration", 0.0))
+        windows = t_seconds_windows(
+            reader.search_time,
+            0.0,
+            duration,
+            voxel_method["t"],
+            voxel_method.get("sliding_window_t", 0.0),
+        )
+        has_frames = False
+    else:
+        raise ValueError(f"unknown voxel method {method!r}")
+    return EventSequence(
+        reader,
+        windows,
+        num_bins=num_bins,
+        combined_voxel_channels=combined_voxel_channels,
+        hot_filter=hot_filter,
+        normalize=normalize,
+        sensor_resolution=sensor_resolution,
+        has_frames=has_frames,
+        max_length=max_length,
+    )

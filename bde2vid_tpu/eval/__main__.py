@@ -1,0 +1,154 @@
+"""Evaluation CLI — the reference entry point surface, TPU-native.
+
+Usage (reference: python eval_models_seq.py --weights_dir W --data_dir D):
+
+    python -m bde2vid_tpu.eval --weights_dir W --data_dir D [--st N --ed M]
+
+The reference hard-codes ~20 config attrs in __main__ (eval_models_seq.py:
+300-322); those are explicit flags here with the same defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import functools
+import os
+import re
+import sys
+from glob import glob
+
+import jax.numpy as jnp
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="evaluate reconstruction models on event h5 datasets")
+    p.add_argument("--weights_dir", default="weights/", type=str)
+    p.add_argument("--data_dir", default="data/eval/", type=str)
+    p.add_argument("--st", default=0, type=int)
+    p.add_argument("--ed", default=-1, type=int)
+    # reference hard-coded block, surfaced as flags (same defaults)
+    p.add_argument("--datatype", default="org")
+    p.add_argument("--datasets", nargs="*", default=["HQF/", "ECD/", "MVSEC/"])
+    p.add_argument("--metrics", nargs="*", default=["p_loss", "mse", "ssim"])
+    p.add_argument("--subseq_L", default=1000, type=int)
+    p.add_argument("--max_length", default=111200, type=int)
+    p.add_argument("--pause_st", default=None, type=int)
+    p.add_argument("--pause_ed", default=None, type=int)
+    p.add_argument("--filter_hot_events", action="store_true")
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--eq", action="store_true")
+    p.add_argument("--saveim", default=None, type=str, help="folder to dump triptych PNGs")
+    p.add_argument("--output_dir", default=None, type=str,
+                   help="where result files go (default: weights_dir)")
+    p.add_argument("--lpips_lin", default=None, type=str,
+                   help="torch .pth with LPIPS lin heads (v0.1 alex layout)")
+    p.add_argument("--lpips_backbone", default=None, type=str,
+                   help="torch state dict with torchvision alexnet features.*")
+    p.add_argument("--bf16", action="store_true", help="run models in bfloat16")
+    return p
+
+
+def read_checkpoints(weights_dir: str, st: int, ed: int):
+    """Glob + sort checkpoints by epoch number (reference read_cps :346-360)."""
+    files = glob(os.path.join(weights_dir, "*.pth")) + glob(
+        os.path.join(weights_dir, "*.msgpack")
+    )
+
+    def parse_num(x):
+        if "epoch_" in x:
+            m = re.search(r"\d+", x.split("epoch_")[-1])
+            if m:
+                return m[0]
+        return x
+
+    files.sort(key=parse_num)
+    if st > 0 or ed > -1:
+        files = files[st if st > 0 else 0 : ed if ed > -1 else len(files)]
+    return files
+
+
+def read_datafiles(data_dir: str, datasets):
+    listing = os.path.join(data_dir, "h5", "eval_data.txt")
+    if os.path.exists(listing):
+        with open(listing) as f:
+            files = [l for l in f.read().split("\n") if l]
+    else:  # fall back to walking the tree
+        files = [
+            os.path.relpath(p, os.path.join(data_dir, "h5"))
+            for p in glob(os.path.join(data_dir, "h5", "**", "*.h5"), recursive=True)
+        ]
+    keep = lambda f: any(d in f for d in datasets)
+    return [f for f in files if keep(f)], os.path.join(data_dir, "h5")
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+    from bde2vid_tpu.eval.driver import EvalConfig, evaluate_all
+    from bde2vid_tpu.metrics.lpips import LPIPS, load_lpips_params
+
+    lpips_pair = None
+    if args.lpips_lin:
+        from bde2vid_tpu.eval.checkpoint import load_torch_file, _to_numpy_state
+
+        lin = _to_numpy_state(load_torch_file(args.lpips_lin))
+        backbone = (
+            _to_numpy_state(load_torch_file(args.lpips_backbone))
+            if args.lpips_backbone
+            else None
+        )
+        lpips_pair = (LPIPS(net="alex"), load_lpips_params(lin, backbone))
+
+    metrics = tuple(args.metrics)
+    if "p_loss" in metrics and lpips_pair is None:
+        print("warning: dropping p_loss (no --lpips_lin provided)")
+        metrics = tuple(m for m in metrics if m != "p_loss")
+
+    datafiles, data_root = read_datafiles(args.data_dir, args.datasets)
+    if not datafiles:
+        print(f"no datafiles found under {args.data_dir}")
+        return 1
+    checkpoints = read_checkpoints(args.weights_dir, args.st, args.ed)
+    if not checkpoints:
+        print(f"no checkpoints found under {args.weights_dir}")
+        return 1
+
+    out_dir = args.output_dir or args.weights_dir
+    for ckpt in checkpoints:
+        name = os.path.split(ckpt)[-1].split(".")[0]
+        if args.pause_st is not None:
+            result_file = f"{name}_{args.datatype}_{args.pause_st}_{args.pause_ed}.txt"
+            subseq = None
+        elif args.subseq_L:
+            result_file = f"{name}_L{args.subseq_L}_{args.datatype}.txt"
+            subseq = args.subseq_L
+        else:
+            result_file = f"{name}_{args.datatype}.txt"
+            subseq = None
+        result_file = os.path.join(out_dir, result_file)
+        if os.path.exists(result_file):
+            print(f"skipping {ckpt} (result exists)")
+            continue
+        print(f"loading {ckpt} ...")
+        spec = load_model_from_torch(ckpt, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        cfg = EvalConfig(
+            subseq_L=subseq,
+            max_length=args.max_length,
+            pause_st=args.pause_st,
+            pause_ed=args.pause_ed,
+            filter_hot_events=args.filter_hot_events,
+            normalize=args.normalize or getattr(spec, "normalize", False),
+            eq=args.eq,
+            metrics=metrics,
+            lpips=lpips_pair,
+            robust_norm_output="SNN" in name,
+            save_images_to=args.saveim,
+        )
+        evaluate_all(spec, datafiles, data_root, result_file, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

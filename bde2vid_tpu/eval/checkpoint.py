@@ -1,0 +1,259 @@
+"""Checkpoint loading: torch .pth dialects -> flax params (one-time convert).
+
+The reference loads four checkpoint dialects (eval_models_seq.py:41-96):
+1. mmengine-style with the model config embedded as a python-config string in
+   ckpt['meta']['cfg'] (BDE2VID);
+2. pytorch-template style: ckpt['arch'] class name + nested
+   config.arch.args.unet_kwargs/eitr_kwargs;
+3. bare state dict keyed by filename substring (SPADE);
+4. SNN BasicModel dialect (state dict under 'model' or bare).
+
+This module reproduces that dispatch and converts the torch state dict into
+the flax NHWC param tree. Conversion rules:
+- conv weight (O,I,kh,kw) -> kernel (kh,kw,I,O)
+- transposed conv weight (I,O,kh,kw) -> spatially flipped (kh,kw,I,O)
+  (our TransposedConvLayer stores the correlation-form kernel)
+- linear weight (O,I) -> (I,O)
+- BatchNorm/InstanceNorm weight/bias -> params scale/bias;
+  running_mean/var -> batch_stats mean/var
+- module-path renames per family (encoders.N -> encoderN, conv2d -> conv, ...)
+
+Conversion is strict: every torch tensor must land somewhere and every flax
+leaf must be filled, else it raises — silently-missing weights are the #1
+parity killer.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bde2vid_tpu.models.api import ModelSpec, build_model
+
+
+def _to_numpy_state(sd) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ---------------------------------------------------------------------------
+# key mapping
+# ---------------------------------------------------------------------------
+
+_LIST_RENAMES = {
+    "encoders": "encoder",
+    "decoders": "decoder",
+    "resblocks": "resblock",
+}
+
+_FLAT_RENAMES = {
+    "conv2d": "conv",
+    "Gates": "gates",
+}
+
+
+def _map_module_path(parts) -> Tuple[list, bool]:
+    """torch module path -> flax module path. Returns (path, is_transposed)."""
+    out = []
+    is_transposed = False
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p in _LIST_RENAMES and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(f"{_LIST_RENAMES[p]}{parts[i + 1]}")
+            i += 2
+        elif p == "transposed_conv2d":
+            is_transposed = True
+            i += 1
+        elif p in _FLAT_RENAMES:
+            out.append(_FLAT_RENAMES[p])
+            i += 1
+        else:
+            out.append(p)
+            i += 1
+    return out, is_transposed
+
+
+def _convert_leaf(
+    path: list, leaf: str, val: np.ndarray, is_transposed: bool
+) -> Optional[Tuple[str, list, str, np.ndarray]]:
+    """-> (collection, module_path, leaf_name, value) or None to skip."""
+    if leaf == "num_batches_tracked":
+        return None
+    norm_module = path and path[-1] in ("norm_layer", "bn1", "bn2")
+    if norm_module:
+        if leaf == "weight":
+            return ("params", path, "scale", val.astype(np.float32))
+        if leaf == "bias":
+            return ("params", path, "bias", val.astype(np.float32))
+        if leaf == "running_mean":
+            return ("batch_stats", path, "mean", val.astype(np.float32))
+        if leaf == "running_var":
+            return ("batch_stats", path, "var", val.astype(np.float32))
+    if leaf == "weight":
+        if val.ndim == 4:
+            if is_transposed:
+                k = val[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            else:
+                k = val.transpose(2, 3, 1, 0)
+            return ("params", path, "kernel", np.ascontiguousarray(k, np.float32))
+        if val.ndim == 2:
+            return ("params", path, "kernel", val.T.astype(np.float32))
+        return ("params", path, "scale", val.astype(np.float32))
+    if leaf == "bias":
+        return ("params", path, "bias", val.astype(np.float32))
+    # anything else (e.g. custom buffers) keeps its name as a param
+    return ("params", path, leaf, val.astype(np.float32))
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """torch flat state dict -> nested {params: ..., batch_stats: ...}."""
+    tree: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    for key, val in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        path, is_transposed = _map_module_path(parts[:-1])
+        conv = _convert_leaf(path, leaf, val, is_transposed)
+        if conv is None:
+            continue
+        coll, mpath, lname, value = conv
+        node = tree[coll]
+        # transposed-conv kernels live directly on the layer module
+        for m in mpath:
+            node = node.setdefault(m, {})
+        node[lname] = value
+    if not tree["batch_stats"]:
+        tree.pop("batch_stats")
+    return tree
+
+
+def _tree_paths(tree, prefix=()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _tree_paths(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def fill_params(init_tree, converted, strict: bool = True):
+    """Copy converted leaves into the init-shaped tree, checking coverage."""
+    init_flat = dict(_tree_paths(init_tree))
+    conv_flat = dict(_tree_paths(converted))
+    missing = [p for p in init_flat if p not in conv_flat]
+    extra = [p for p in conv_flat if p not in init_flat]
+    if strict and (missing or extra):
+        raise ValueError(
+            "checkpoint/model mismatch:\n"
+            f"  missing in checkpoint: {['/'.join(map(str, m)) for m in missing][:8]}\n"
+            f"  unused from checkpoint: {['/'.join(map(str, e)) for e in extra][:8]}"
+        )
+    out = {}
+    for p, v in init_flat.items():
+        src = conv_flat.get(p, v)
+        src = np.asarray(src)
+        if src.shape != np.asarray(v).shape:
+            raise ValueError(f"shape mismatch at {'/'.join(map(str, p))}: "
+                             f"ckpt {src.shape} vs model {np.asarray(v).shape}")
+        node = out
+        for m in p[:-1]:
+            node = node.setdefault(m, {})
+        node[p[-1]] = jnp.asarray(src)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dialect dispatch
+# ---------------------------------------------------------------------------
+
+
+def _template_model_args(ckpt) -> Optional[dict]:
+    if "config" in ckpt:
+        cp = ckpt["config"]
+        if not isinstance(cp, dict):
+            cp = cp.config
+        if "arch" in cp:
+            margs = cp["arch"]["args"]
+            if "unet_kwargs" in margs:
+                return dict(margs["unet_kwargs"])
+            if "eitr_kwargs" in margs:
+                return dict(margs["eitr_kwargs"])
+            return dict(margs)
+    if "model" in ckpt:
+        return dict(ckpt["model"])
+    return None
+
+
+def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
+    """Reference load_model dispatch (eval_models_seq.py:41-96), producing a
+    ModelSpec with converted flax params."""
+    ckpt = load_torch_file(path)
+
+    if path.endswith("firenet_1000.pth"):
+        config = dict(ckpt["config"]["model"])
+        return _build_spec("FireNetOrg", config, ckpt["state_dict"], dtype)
+
+    if "state_dict" in ckpt:
+        if "meta" in ckpt:
+            from bde2vid_tpu.eval.mmengine_cfg import parse_embedded_cfg
+
+            model_cfg = parse_embedded_cfg(ckpt["meta"]["cfg"])
+            name = model_cfg.pop("type")
+            return _build_spec(name, model_cfg, ckpt["state_dict"], dtype,
+                               is_sequence_model=name.startswith("BDE2VID"))
+        if "arch" in ckpt:
+            arch = ckpt["arch"]
+            config = _template_model_args(ckpt) or {}
+            return _build_spec(arch, config, ckpt["state_dict"], dtype,
+                               normalize="model" in ckpt)
+    # bare state dict
+    if "SPADE" in path:
+        return _build_spec("SPADEE2VID", {}, ckpt, dtype, normalize=True)
+    if "SNN" in path:
+        name = "PAEVSNN" if "PAEVSNN" in path else "EVSNN"
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        return _build_spec(name, {}, sd, dtype)
+    raise ValueError(f"unrecognized checkpoint dialect: {path}")
+
+
+def _build_spec(
+    name: str,
+    config: dict,
+    state_dict,
+    dtype,
+    is_sequence_model: bool = False,
+    normalize: bool = False,
+) -> ModelSpec:
+    config = dict(config)
+    config.setdefault("num_bins", 5)
+    model = build_model(name, config, dtype=dtype)
+    h = w = 64
+    voxel = jnp.zeros((1, h, w, int(config["num_bins"])))
+    init_tree = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
+    init_tree = jax.tree_util.tree_map(np.asarray, init_tree)
+    converted = convert_state_dict(_to_numpy_state(state_dict))
+    # top-level torch prefixes match our top-level module names already
+    params = fill_params(init_tree, converted)
+    num_encoders = int(config.get("num_encoders", 4 if "E2VID" in name else 3))
+    if name in ("FireNet", "FireNetOrg"):
+        num_encoders = 0
+    spec = ModelSpec(
+        name=name,
+        module=model,
+        params=params,
+        num_bins=int(config["num_bins"]),
+        num_encoders=num_encoders,
+        is_sequence_model=is_sequence_model,
+    )
+    spec.normalize = normalize
+    return spec

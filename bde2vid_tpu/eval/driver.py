@@ -1,0 +1,251 @@
+"""Sequence evaluation driver.
+
+Reference control flow (eval_models_seq.py:99-290) rebuilt TPU-native:
+
+- the per-step Python loop over ``model({'events': ...})`` becomes one
+  jitted ``lax.scan`` per subsequence chunk (run_sequence_chunked), with
+  voxelization batched on device beforehand;
+- metrics are computed batched over all steps on device (vmapped SSIM,
+  one MSE reduction per step, LPIPS in mini-batches) instead of one host
+  round-trip per step;
+- the "pause" robustness experiment (:184-189) zeroes the voxels for steps
+  in (pause_st, pause_ed] while repeating the last real frame;
+- results keep the reference JSON schema so generate_table is drop-in.
+
+Result semantics preserved: metric averaged as sum-over-steps / T; images
+cropped back to sensor size before scoring; SNN outputs robust-normalized
+(:246-248); optional histogram equalization (--eq).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bde2vid_tpu.data.pipeline import EventSequence, load_sequence
+from bde2vid_tpu.metrics.basic import mse, structural_similarity
+from bde2vid_tpu.metrics.lpips import LPIPS, lpips_distance
+from bde2vid_tpu.models.api import ModelSpec, run_sequence
+from bde2vid_tpu.utils.norm import robust_norm
+from bde2vid_tpu.utils.padding import CropParameters
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    num_bins: int = 5
+    subseq_L: Optional[int] = 1000
+    max_length: Optional[int] = 111200
+    pause_st: Optional[int] = None
+    pause_ed: Optional[int] = None
+    filter_hot_events: bool = False
+    normalize: bool = False
+    eq: bool = False
+    voxel_batch: int = 128
+    metrics: Tuple[str, ...] = ("p_loss", "mse", "ssim")
+    lpips: Optional[Tuple[LPIPS, dict]] = None  # (module, params)
+    robust_norm_output: bool = False  # SNN postprocessing
+    save_images_to: Optional[str] = None
+
+
+def _equalize_hist(img: np.ndarray) -> np.ndarray:
+    """cv2.equalizeHist on a [0,1] float image, via histogram ops (the
+    reference round-trips through uint8, eval_models_seq.py:249-252)."""
+    u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    hist = np.bincount(u8.ravel(), minlength=256)
+    cdf = hist.cumsum()
+    nonzero = cdf[cdf > 0]
+    if len(nonzero) == 0:
+        return img
+    cdf_min = nonzero[0]
+    total = cdf[-1]
+    if total == cdf_min:
+        return img
+    lut = np.round((cdf - cdf_min) / (total - cdf_min) * 255.0).clip(0, 255)
+    return lut[u8].astype(np.float32) / 255.0
+
+
+def _metric_batch(
+    preds: jax.Array,  # (T, H, W) in [0,1]
+    gts: jax.Array,  # (T, H, W)
+    names: Sequence[str],
+    lpips_pair,
+    lpips_chunk: int = 32,
+) -> Dict[str, np.ndarray]:
+    """Per-step metric values, computed batched on device."""
+    out: Dict[str, np.ndarray] = {}
+    p4 = preds[..., None]  # (T, H, W, 1)
+    g4 = gts[..., None]
+    if "mse" in names:
+        out["mse"] = np.asarray(
+            jax.jit(jax.vmap(mse))(p4, g4)
+        )
+    if "ssim" in names:
+        ssim_one = jax.jit(
+            jax.vmap(lambda a, b: structural_similarity(a[None], b[None]))
+        )
+        out["ssim"] = np.asarray(ssim_one(p4, g4))
+    if "p_loss" in names:
+        if lpips_pair is None:
+            raise ValueError(
+                "p_loss requested but no LPIPS weights configured "
+                "(EvalConfig.lpips); pass --lpips_lin/--lpips_backbone or "
+                "drop p_loss from metrics"
+            )
+        module, params = lpips_pair
+        dist_fn = jax.jit(
+            lambda a, b: jax.vmap(
+                lambda x, y: lpips_distance(module, params, x[None], y[None])
+            )(a, b)
+        )
+        vals = []
+        for s in range(0, p4.shape[0], lpips_chunk):
+            vals.append(np.asarray(dist_fn(p4[s : s + lpips_chunk], g4[s : s + lpips_chunk])))
+        out["p_loss"] = np.concatenate(vals)
+    return out
+
+
+def evaluate_sequence(
+    spec: ModelSpec, seq: EventSequence, cfg: EvalConfig
+) -> Tuple[Dict[str, float], Dict[str, List[float]]]:
+    """Evaluate one model on one sequence; returns (result, detail)."""
+    T = len(seq)
+    if cfg.pause_st is not None:
+        T = min(cfg.max_length or T, cfg.pause_ed + 200 if cfg.pause_ed else T)
+    if cfg.max_length is not None:
+        T = min(T, cfg.max_length)
+
+    h, w = seq.sensor_size
+    crop = CropParameters(w, h, spec.num_encoders)
+
+    # ---- assemble voxels (device) + frames (host) -------------------------
+    voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
+    frames = seq.frames(0, T)  # (T, H, W) float32
+
+    if cfg.pause_st is not None and cfg.pause_ed is not None:
+        t_idx = np.arange(T)
+        paused = (t_idx > cfg.pause_st) & (t_idx <= cfg.pause_ed)
+        # repeat the last real item with zeroed events
+        voxels = jnp.where(jnp.asarray(paused)[:, None, None, None], 0.0, voxels)
+        last_real = np.maximum.accumulate(np.where(paused, -1, t_idx))
+        frames = frames[last_real]
+
+    # (T, B, H, W) -> (T, 1, H', W', B) padded NHWC
+    x = jnp.transpose(voxels, (0, 2, 3, 1))[:, None]
+    x = crop.pad(x)
+
+    # ---- model forward (scan per chunk, state reset at chunk boundary) ----
+    chunk = cfg.subseq_L or T
+    preds = []
+    state0 = spec.module.initial_state(1, x.shape[2], x.shape[3])
+    run = jax.jit(
+        lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
+    )
+    for s in range(0, T, chunk):
+        piece = x[s : s + chunk]
+        if piece.shape[0] == chunk:
+            imgs = run(piece)
+        else:  # ragged tail: separate compile, still scanned
+            imgs, _ = run_sequence(spec.module, spec.params, piece, state0)
+        preds.append(imgs)
+    preds = jnp.concatenate(preds, axis=0)  # (T, 1, H', W', 1)
+
+    preds = crop.crop(preds)[:, 0, :, :, 0]  # (T, H, W)
+
+    # ---- postprocessing ----------------------------------------------------
+    if cfg.robust_norm_output:
+        preds = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))(preds)
+    gts = jnp.asarray(frames)
+    if cfg.eq:
+        preds = jnp.asarray(
+            np.stack([_equalize_hist(p) for p in np.asarray(preds)])
+        )
+        gts = jnp.asarray(np.stack([_equalize_hist(g) for g in frames]))
+
+    if cfg.save_images_to:
+        os.makedirs(cfg.save_images_to, exist_ok=True)
+        ev_frame = np.asarray(jnp.sum(voxels, axis=1))
+        _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), frames)
+
+    # ---- metrics -----------------------------------------------------------
+    detail = _metric_batch(preds, gts, cfg.metrics, cfg.lpips)
+    result = {name: float(np.sum(vals) / T) for name, vals in detail.items()}
+    detail = {name: [float(v) for v in vals] for name, vals in detail.items()}
+    return result, detail
+
+
+def _save_triptychs(folder, ev, pred, gt):
+    """[event frame | prediction | ground truth] PNGs (reference :260-270)."""
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    for i in range(len(pred)):
+        e = ev[i]
+        rng = e.max() - e.min()
+        e = (e - e.min()) / (rng + 1e-6)
+        img = np.concatenate([e, pred[i], gt[i]], axis=1)
+        img = np.clip(img * 255, 0, 255).astype(np.uint8)
+        path = os.path.join(folder, f"frame_{i:010d}.png")
+        if cv2 is not None:
+            cv2.imwrite(path, img)
+        else:  # minimal PNG writer fallback
+            from bde2vid_tpu.utils.png import write_gray_png
+
+            write_gray_png(path, img)
+
+
+def evaluate_all(
+    spec: ModelSpec,
+    datafiles: Sequence[str],
+    data_dir: str,
+    result_file: str,
+    cfg: EvalConfig,
+    progress: bool = True,
+) -> Dict:
+    """Evaluate a model over many sequences; write result/detail JSON + table
+    (reference eval_model_alldata :99-144, incl. the result-file skip lock)."""
+    from bde2vid_tpu.eval.tables import generate_table
+
+    if os.path.exists(result_file):
+        print(f"skipping {result_file} (exists)")
+        return {}
+    results = collections.defaultdict(dict)
+    details = collections.defaultdict(dict)
+    it = datafiles
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(datafiles)
+        except ImportError:
+            pass
+    for datafile in it:
+        dataset_name, filename = os.path.split(datafile)
+        dataset_name = os.path.basename(dataset_name) or "unknown"
+        filename = filename.split(".h5")[0]
+        seq = load_sequence(
+            os.path.join(data_dir, datafile),
+            num_bins=cfg.num_bins,
+            hot_filter=cfg.filter_hot_events,
+            normalize=cfg.normalize,
+        )
+        result, detail = evaluate_sequence(spec, seq, cfg)
+        seq.reader.close()
+        results[dataset_name][filename] = result
+        details[dataset_name][filename] = detail
+
+    os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
+    with open(result_file, "w") as fp:
+        json.dump(results, fp)
+    with open(result_file.replace(".txt", "_detail.txt"), "w") as fp:
+        json.dump(details, fp)
+    generate_table([result_file], result_file.replace(".txt", "_table.txt"))
+    return dict(results)

@@ -93,13 +93,21 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-def _make_norm(norm: Optional[str], features: int, dtype, train: bool):
+def _make_norm(
+    norm: Optional[str], features: int, dtype, train: bool, name: str = "norm_layer"
+):
     if norm == "BN":
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            name=name,
         )
     if norm == "IN":
-        return InstanceNorm(features=features, use_running_average=not train, dtype=dtype)
+        return InstanceNorm(
+            features=features, use_running_average=not train, dtype=dtype, name=name
+        )
     return None
 
 
@@ -216,17 +224,19 @@ class UpsampleConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = resize_bilinear_2x(x)
-        return ConvLayer(
+        pad = 0 if self.padding is None else self.padding
+        y = nn.Conv(
             self.features,
-            self.kernel_size,
-            stride=1,
-            padding=self.padding,
-            activation=self.activation,
-            norm=self.norm,
+            (self.kernel_size, self.kernel_size),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=self.norm != "BN",
             dtype=self.dtype,
-            train=self.train,
             name="conv",
         )(x)
+        norm = _make_norm(self.norm, self.features, self.dtype, self.train)
+        if norm is not None:
+            y = norm(y)
+        return get_activation(self.activation)(y)
 
 
 def pixel_shuffle(x: Array, r: int) -> Array:
@@ -293,7 +303,7 @@ class ResidualBlock(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        n1 = _make_norm(self.norm, self.features, self.dtype, self.train)
+        n1 = _make_norm(self.norm, self.features, self.dtype, self.train, name="bn1")
         if n1 is not None:
             y = n1(y)
         y = jax.nn.relu(y)
@@ -306,7 +316,7 @@ class ResidualBlock(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(y)
-        n2 = _make_norm(self.norm, self.features, self.dtype, self.train)
+        n2 = _make_norm(self.norm, self.features, self.dtype, self.train, name="bn2")
         if n2 is not None:
             y = n2(y)
         if self.downsample:

@@ -1,0 +1,132 @@
+"""Data pipeline tests: windowing policies + sequence assembly vs oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bde2vid_tpu.data import (
+    between_frames_windows,
+    k_events_windows,
+    load_sequence,
+    prefetch_to_device,
+    t_seconds_windows,
+)
+from bde2vid_tpu.events import H5EventWriter
+from bde2vid_tpu.events.voxel_np import events_to_voxel_np
+from tests.conftest import make_events
+
+SENSOR = (48, 64)
+
+
+@pytest.fixture
+def seq_file(tmp_path, rng):
+    xs, ys, ts, ps = make_events(rng, n=20000, sensor_size=SENSOR, t1=2.0)
+    path = str(tmp_path / "seq.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(8):
+            w.add_image(
+                (rng.uniform(0, 255, SENSOR)).astype(np.uint8), (i + 0.5) * 0.25
+            )
+    return path, (xs, ys, ts, np.where(ps > 0, 1.0, -1.0).astype(np.float32))
+
+
+def test_between_frames_windows():
+    w = between_frames_windows(np.array([10, 25, 40]))
+    np.testing.assert_array_equal(w, [[0, 10], [10, 25], [25, 40]])
+
+
+def test_k_events_windows():
+    w = k_events_windows(100, k=30, sliding_window_w=0)
+    np.testing.assert_array_equal(w, [[0, 30], [30, 60], [60, 90]])
+    w2 = k_events_windows(100, k=30, sliding_window_w=10)
+    # overlapping windows advance by k - sliding; the final window clips to
+    # num_events (the reference would index out of bounds here and raise)
+    assert (w2[:-1, 1] - w2[:-1, 0] == 30).all()
+    assert w2[1, 0] - w2[0, 0] == 20
+    assert w2[-1, 1] == 100
+
+
+def test_load_sequence_between_frames(seq_file):
+    path, (xs, ys, ts, ps) = seq_file
+    seq = load_sequence(path, num_bins=5)
+    assert len(seq) == 7  # num_frames - 1
+    assert seq.sensor_size == SENSOR
+
+    vox = np.asarray(seq.voxels())
+    assert vox.shape == (7, 5, *SENSOR)
+
+    # oracle: voxelize window 2 by hand
+    i0, i1 = seq.windows[2]
+    want = events_to_voxel_np(
+        xs[i0:i1], ys[i0:i1], ts[i0:i1] - ts[i0], ps[i0:i1], 5, SENSOR
+    )
+    np.testing.assert_allclose(vox[2], want, atol=1e-3, rtol=1e-3)
+
+
+def test_item_surface(seq_file):
+    path, _ = seq_file
+    seq = load_sequence(path, num_bins=5)
+    it = seq.item(0)
+    assert it.frame.shape == SENSOR
+    assert it.frame.min() >= 0 and it.frame.max() <= 1
+    assert it.dt > 0
+    assert it.n_events >= 0
+    assert it.flow is None  # no flow in file
+
+
+def test_small_window_zero_voxel(tmp_path, rng):
+    """Windows with <3 events produce a zero voxel (reference edge case)."""
+    path = str(tmp_path / "tiny.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        # 2 events before frame 0, many after
+        w.append_events(
+            np.array([1, 2], np.int16),
+            np.array([1, 2], np.int16),
+            np.array([0.01, 0.02]),
+            np.array([True, True]),
+        )
+        xs, ys, ts, ps = make_events(rng, n=1000, sensor_size=SENSOR, t1=1.0)
+        w.append_events(xs, ys, ts + 0.1, ps > 0)
+        w.add_image(np.zeros(SENSOR, np.uint8), 0.05)
+        w.add_image(np.zeros(SENSOR, np.uint8), 0.9)
+        w.add_image(np.zeros(SENSOR, np.uint8), 1.2)
+    seq = load_sequence(path, num_bins=5)
+    vox = np.asarray(seq.voxels())
+    assert vox[0].sum() == 0.0  # <3 events
+    assert np.abs(vox[1]).sum() > 0
+
+
+def test_normalize_applies_legacy_norm(seq_file):
+    path, _ = seq_file
+    seq_n = load_sequence(path, num_bins=5, normalize=True)
+    vox = np.asarray(seq_n.voxels())
+    nz = vox[vox != 0]
+    assert abs(nz.mean()) < 0.15  # approx zero-mean on nonzeros
+    assert 0.5 < nz.std() < 1.5
+
+
+def test_hot_filter_masks_pixels(seq_file):
+    path, _ = seq_file
+    seq = load_sequence(path, num_bins=5, hot_filter=True)
+    vox = np.asarray(seq.voxels())
+    hot = np.asarray(seq.hot_mask) == 0
+    assert hot.sum() == 100
+    assert (np.abs(vox).sum(axis=(0, 1))[hot] == 0).all()
+
+
+def test_k_events_sequence(seq_file):
+    path, _ = seq_file
+    seq = load_sequence(path, num_bins=5, voxel_method={"method": "k_events", "k": 2000})
+    assert len(seq) == 10
+    vox = np.asarray(seq.voxels(stop=3))
+    assert vox.shape == (3, 5, *SENSOR)
+
+
+def test_prefetch_roundtrip(seq_file):
+    path, _ = seq_file
+    seq = load_sequence(path, num_bins=5)
+    items = list(prefetch_to_device((seq.item(i).frame for i in range(3)), size=2))
+    assert len(items) == 3
+    np.testing.assert_allclose(np.asarray(items[1]), seq.item(1).frame)

@@ -1,0 +1,94 @@
+"""End-to-end eval driver test: synthetic h5 -> model -> metrics -> table."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bde2vid_tpu.data import load_sequence
+from bde2vid_tpu.eval import EvalConfig, evaluate_all, evaluate_sequence, generate_table
+from bde2vid_tpu.events import H5EventWriter
+from bde2vid_tpu.models import build_model
+from bde2vid_tpu.models.api import ModelSpec
+from tests.conftest import make_events
+
+SENSOR = (36, 44)  # not /16 — exercises Croper padding
+CFG = {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8, "num_residual_blocks": 1}
+
+
+def _make_spec(name="E2VIDRecurrent"):
+    model = build_model(name, CFG)
+    voxel = jnp.zeros((1, 64, 64, 5))
+    params = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, 64, 64))
+    return ModelSpec(name=name, module=model, params=params, num_bins=5, num_encoders=2)
+
+
+def _write_seq(path, rng, num_frames=6):
+    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
+    with H5EventWriter(str(path), sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(num_frames):
+            w.add_image(
+                (rng.uniform(0, 255, SENSOR)).astype(np.uint8),
+                (i + 0.5) / num_frames,
+            )
+
+
+def test_evaluate_sequence_schema(tmp_path, rng):
+    _write_seq(tmp_path / "a.h5", rng)
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    spec = _make_spec()
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=3, max_length=None)
+    result, detail = evaluate_sequence(spec, seq, cfg)
+    assert set(result) == {"mse", "ssim"}
+    T = len(seq)
+    assert len(detail["mse"]) == T
+    assert result["mse"] == pytest.approx(sum(detail["mse"]) / T, rel=1e-5)
+    assert 0 <= result["ssim"] <= 1
+    assert np.isfinite(result["mse"])
+
+
+def test_evaluate_sequence_pause(tmp_path, rng):
+    _write_seq(tmp_path / "a.h5", rng, num_frames=8)
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    spec = _make_spec()
+    cfg = EvalConfig(metrics=("mse",), subseq_L=None, max_length=None, pause_st=2, pause_ed=5)
+    result, detail = evaluate_sequence(spec, seq, cfg)
+    assert np.isfinite(result["mse"])
+
+
+def test_evaluate_all_writes_results_and_table(tmp_path, rng):
+    os.makedirs(tmp_path / "DSET")
+    _write_seq(tmp_path / "DSET" / "s1.h5", rng)
+    _write_seq(tmp_path / "DSET" / "s2.h5", rng)
+    spec = _make_spec("FireNet")
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    result_file = str(tmp_path / "out" / "model_org.txt")
+    results = evaluate_all(
+        spec, ["DSET/s1.h5", "DSET/s2.h5"], str(tmp_path), result_file, cfg, progress=False
+    )
+    assert "DSET" in results and set(results["DSET"]) == {"s1", "s2"}
+    # files exist and parse
+    with open(result_file) as fp:
+        loaded = json.load(fp)
+    assert loaded["DSET"]["s1"]["mse"] == pytest.approx(results["DSET"]["s1"]["mse"])
+    table_txt = open(result_file.replace(".txt", "_table.txt")).read()
+    assert "Results on DSET" in table_txt and "Mean" in table_txt
+    # the reference renders with header=False, so no column-name row;
+    # sequence names appear as the first column
+    assert "s1" in table_txt and "s2" in table_txt
+    # skip-lock: second call is a no-op
+    assert evaluate_all(spec, [], str(tmp_path), result_file, cfg, progress=False) == {}
+
+
+def test_p_loss_without_weights_raises(tmp_path, rng):
+    _write_seq(tmp_path / "a.h5", rng)
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    spec = _make_spec("FireNet")
+    cfg = EvalConfig(metrics=("p_loss",), subseq_L=None, max_length=None)
+    with pytest.raises(ValueError, match="LPIPS"):
+        evaluate_sequence(spec, seq, cfg)

@@ -104,10 +104,8 @@ def test_upsample_conv_matches_torch(rng):
     params = {
         "params": {
             "conv": {
-                "conv": {
-                    "kernel": t2j_conv(tconv.weight),
-                    "bias": jnp.asarray(tconv.bias.detach().numpy()),
-                }
+                "kernel": t2j_conv(tconv.weight),
+                "bias": jnp.asarray(tconv.bias.detach().numpy()),
             }
         }
     }
