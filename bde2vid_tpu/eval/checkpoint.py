@@ -79,6 +79,11 @@ def _map_module_path(parts) -> Tuple[list, bool]:
         elif p in _FLAT_RENAMES:
             out.append(_FLAT_RENAMES[p])
             i += 1
+        elif p.isdigit() and out:
+            # torch Sequential index: merge into the parent name
+            # (e.g. mlp_shared.0.weight -> mlp_shared0/kernel)
+            out[-1] = f"{out[-1]}{p}"
+            i += 1
         else:
             out.append(p)
             i += 1
@@ -91,16 +96,13 @@ def _convert_leaf(
     """-> (collection, module_path, leaf_name, value) or None to skip."""
     if leaf == "num_batches_tracked":
         return None
-    norm_module = path and path[-1] in ("norm_layer", "bn1", "bn2")
-    if norm_module:
-        if leaf == "weight":
-            return ("params", path, "scale", val.astype(np.float32))
-        if leaf == "bias":
-            return ("params", path, "bias", val.astype(np.float32))
-        if leaf == "running_mean":
-            return ("batch_stats", path, "mean", val.astype(np.float32))
-        if leaf == "running_var":
-            return ("batch_stats", path, "var", val.astype(np.float32))
+    # norm running stats / affine params are recognizable by leaf name + rank
+    if leaf == "running_mean":
+        return ("batch_stats", path, "mean", val.astype(np.float32))
+    if leaf == "running_var":
+        return ("batch_stats", path, "var", val.astype(np.float32))
+    if leaf == "weight" and val.ndim == 1:  # BN/IN affine scale
+        return ("params", path, "scale", val.astype(np.float32))
     if leaf == "weight":
         if val.ndim == 4:
             if is_transposed:
@@ -146,12 +148,23 @@ def _tree_paths(tree, prefix=()):
             yield prefix + (k,), v
 
 
-def fill_params(init_tree, converted, strict: bool = True):
-    """Copy converted leaves into the init-shaped tree, checking coverage."""
+def fill_params(init_tree, converted, strict: bool = True, unused_ok=()):
+    """Copy converted leaves into the init-shaped tree, checking coverage.
+
+    ``unused_ok``: substrings marking checkpoint tensors that legitimately
+    have no home — e.g. the SNN skip layers' dead pooled-MLP submodules
+    (snn_network.py:86-110 define conv2d_pool/fc1/fc2 that forward never
+    uses, yet they sit in real checkpoints).
+    """
     init_flat = dict(_tree_paths(init_tree))
     conv_flat = dict(_tree_paths(converted))
     missing = [p for p in init_flat if p not in conv_flat]
-    extra = [p for p in conv_flat if p not in init_flat]
+    extra = [
+        p
+        for p in conv_flat
+        if p not in init_flat
+        and not any(u in "/".join(map(str, p)) for u in unused_ok)
+    ]
     if strict and (missing or extra):
         raise ValueError(
             "checkpoint/model mismatch:\n"
@@ -218,11 +231,15 @@ def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
                                normalize="model" in ckpt)
     # bare state dict
     if "SPADE" in path:
-        return _build_spec("SPADEE2VID", {}, ckpt, dtype, normalize=True)
+        return _build_spec("SPADEE2VID", {}, ckpt, dtype, normalize=True,
+                           wrap_module="generator")
     if "SNN" in path:
         name = "PAEVSNN" if "PAEVSNN" in path else "EVSNN"
         sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-        return _build_spec(name, {}, sd, dtype)
+        return _build_spec(
+            name, {}, sd, dtype,
+            unused_ok=("conv2d_pool", "fc1", "fc2"),
+        )
     raise ValueError(f"unrecognized checkpoint dialect: {path}")
 
 
@@ -233,6 +250,8 @@ def _build_spec(
     dtype,
     is_sequence_model: bool = False,
     normalize: bool = False,
+    wrap_module: str = None,
+    unused_ok=(),
 ) -> ModelSpec:
     config = dict(config)
     config.setdefault("num_bins", 5)
@@ -242,11 +261,17 @@ def _build_spec(
     init_tree = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
     init_tree = jax.tree_util.tree_map(np.asarray, init_tree)
     converted = convert_state_dict(_to_numpy_state(state_dict))
+    if wrap_module is not None:
+        # torch state dict was saved without the wrapper prefix (e.g. SPADE's
+        # wrapper delegates load_state_dict to .generator, spade_e2v.py:14-15)
+        converted = {coll: {wrap_module: sub} for coll, sub in converted.items()}
     # top-level torch prefixes match our top-level module names already
-    params = fill_params(init_tree, converted)
+    params = fill_params(init_tree, converted, unused_ok=unused_ok)
     num_encoders = int(config.get("num_encoders", 4 if "E2VID" in name else 3))
     if name in ("FireNet", "FireNetOrg"):
         num_encoders = 0
+    if name == "SPADEE2VID":
+        num_encoders = 3  # reference driver default when the attr is absent
     spec = ModelSpec(
         name=name,
         module=model,

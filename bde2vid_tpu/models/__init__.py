@@ -12,6 +12,8 @@ per-step Python loop.
 from bde2vid_tpu.models.api import run_sequence, ModelSpec, build_model, MODEL_REGISTRY
 from bde2vid_tpu.models.unet import UNet, UNetRecurrent, UNetFire, UNetFlow
 from bde2vid_tpu.models.e2vid import E2VID, E2VIDRecurrent, FireNet, FireNetOrg, FlowNet
+from bde2vid_tpu.models.spade_e2vid import SPADEE2VID
+from bde2vid_tpu.models.evsnn import EVSNN, PAEVSNN
 
 __all__ = [
     "run_sequence",
@@ -27,4 +29,7 @@ __all__ = [
     "FireNet",
     "FireNetOrg",
     "FlowNet",
+    "SPADEE2VID",
+    "EVSNN",
+    "PAEVSNN",
 ]
