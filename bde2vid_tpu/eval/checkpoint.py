@@ -79,6 +79,10 @@ def _map_module_path(parts) -> Tuple[list, bool]:
         elif p in _FLAT_RENAMES:
             out.append(_FLAT_RENAMES[p])
             i += 1
+        elif p in ("encoder", "decoder") and out and out[-1].startswith("trans_"):
+            # torch transformer wrappers nest a .encoder/.decoder module
+            # (transformer_encoder.py:16-18); flax flattens that level
+            i += 1
         elif p.isdigit() and out:
             # torch Sequential index: merge into the parent name
             # (e.g. mlp_shared.0.weight -> mlp_shared0/kernel)
@@ -101,8 +105,12 @@ def _convert_leaf(
         return ("batch_stats", path, "mean", val.astype(np.float32))
     if leaf == "running_var":
         return ("batch_stats", path, "var", val.astype(np.float32))
-    if leaf == "weight" and val.ndim == 1:  # BN/IN affine scale
+    if leaf == "weight" and val.ndim == 1:  # BN/IN/LayerNorm affine scale
         return ("params", path, "scale", val.astype(np.float32))
+    if leaf == "in_proj_weight":  # torch nn.MultiheadAttention packed qkv
+        return ("params", path, "in_proj_kernel", val.T.astype(np.float32))
+    if leaf == "in_proj_bias":
+        return ("params", path, "in_proj_bias", val.astype(np.float32))
     if leaf == "weight":
         if val.ndim == 4:
             if is_transposed:

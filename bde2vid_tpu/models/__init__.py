@@ -14,6 +14,7 @@ from bde2vid_tpu.models.unet import UNet, UNetRecurrent, UNetFire, UNetFlow
 from bde2vid_tpu.models.e2vid import E2VID, E2VIDRecurrent, FireNet, FireNetOrg, FlowNet
 from bde2vid_tpu.models.spade_e2vid import SPADEE2VID
 from bde2vid_tpu.models.evsnn import EVSNN, PAEVSNN
+from bde2vid_tpu.models.eitr import EITR
 
 __all__ = [
     "run_sequence",
@@ -32,4 +33,5 @@ __all__ = [
     "SPADEE2VID",
     "EVSNN",
     "PAEVSNN",
+    "EITR",
 ]
