@@ -156,7 +156,37 @@ def _tree_paths(tree, prefix=()):
             yield prefix + (k,), v
 
 
-def fill_params(init_tree, converted, strict: bool = True, unused_ok=()):
+import re as _re
+
+
+def _bde2vid_path_fixup(path):
+    """torch->flax path shifts specific to the BDE2VID generator:
+    - decoder/pred convs live inside the scanned 'decode' module
+      (torch decoders.N.{0,1} / predI.{0,1} are Sequential slots);
+    - depth-0 fallback resblocks feat_attnsN.{j} -> feat_attnsN/res{j}.
+    """
+    path = list(path)
+    out = []
+    for i, p in enumerate(path):
+        m = _re.fullmatch(r"(decoder\d+[01]|predI[01])", p)
+        if m and (not out or out[-1] != "decode"):
+            out.append("decode")
+            out.append(p)
+            continue
+        # the decode convs are bare nn.Conv in flax (no ConvLayer wrapper):
+        # drop the conv2d->conv level under decoderN1/predI1
+        if p == "conv" and out and _re.fullmatch(r"decoder\d+[01]|predI[01]", out[-1]):
+            continue
+        m = _re.fullmatch(r"(feat_attns\d)([1-9]\d*)", p)
+        if m and i + 1 < len(path) and path[i + 1].startswith("conv"):
+            out.append(m.group(1))
+            out.append(f"res{m.group(2)}")
+            continue
+        out.append(p)
+    return tuple(out)
+
+
+def fill_params(init_tree, converted, strict: bool = True, unused_ok=(), path_fixup=None):
     """Copy converted leaves into the init-shaped tree, checking coverage.
 
     ``unused_ok``: substrings marking checkpoint tensors that legitimately
@@ -166,6 +196,8 @@ def fill_params(init_tree, converted, strict: bool = True, unused_ok=()):
     """
     init_flat = dict(_tree_paths(init_tree))
     conv_flat = dict(_tree_paths(converted))
+    if path_fixup is not None:
+        conv_flat = {path_fixup(p): v for p, v in conv_flat.items()}
     missing = [p for p in init_flat if p not in conv_flat]
     extra = [
         p
@@ -230,8 +262,16 @@ def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
 
             model_cfg = parse_embedded_cfg(ckpt["meta"]["cfg"])
             name = model_cfg.pop("type")
-            return _build_spec(name, model_cfg, ckpt["state_dict"], dtype,
-                               is_sequence_model=name.startswith("BDE2VID"))
+            if name.startswith("BDE2VID"):
+                name = "BDE2VID"
+            return _build_spec(
+                name, model_cfg, ckpt["state_dict"], dtype,
+                is_sequence_model=name.startswith("BDE2VID"),
+                path_fixup=_bde2vid_path_fixup if name == "BDE2VID" else None,
+                # fusion_layers are constructed but never called in the
+                # reference forward (V5:55-60 vs :137-147)
+                unused_ok=("fusion_layers", "relative_position_index"),
+            )
         if "arch" in ckpt:
             arch = ckpt["arch"]
             config = _template_model_args(ckpt) or {}
@@ -260,12 +300,18 @@ def _build_spec(
     normalize: bool = False,
     wrap_module: str = None,
     unused_ok=(),
+    path_fixup=None,
 ) -> ModelSpec:
     config = dict(config)
-    config.setdefault("num_bins", 5)
+    gen_cfg = config.get("generator", config)
+    config.setdefault("num_bins", int(gen_cfg.get("num_bins", 5)))
     model = build_model(name, config, dtype=dtype)
     h = w = 64
-    voxel = jnp.zeros((1, h, w, int(config["num_bins"])))
+    if is_sequence_model:
+        # sequence models take (T, N, H, W, C)
+        voxel = jnp.zeros((2, 1, h, w, int(config["num_bins"])))
+    else:
+        voxel = jnp.zeros((1, h, w, int(config["num_bins"])))
     init_tree = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
     init_tree = jax.tree_util.tree_map(np.asarray, init_tree)
     converted = convert_state_dict(_to_numpy_state(state_dict))
@@ -274,8 +320,11 @@ def _build_spec(
         # wrapper delegates load_state_dict to .generator, spade_e2v.py:14-15)
         converted = {coll: {wrap_module: sub} for coll, sub in converted.items()}
     # top-level torch prefixes match our top-level module names already
-    params = fill_params(init_tree, converted, unused_ok=unused_ok)
-    num_encoders = int(config.get("num_encoders", 4 if "E2VID" in name else 3))
+    params = fill_params(init_tree, converted, unused_ok=unused_ok,
+                         path_fixup=path_fixup)
+    num_encoders = int(
+        config.get("num_encoders", gen_cfg.get("num_encoders", 4 if "E2VID" in name else 3))
+    )
     if name in ("FireNet", "FireNetOrg"):
         num_encoders = 0
     if name == "SPADEE2VID":

@@ -144,17 +144,30 @@ def evaluate_sequence(
     # ---- model forward (scan per chunk, state reset at chunk boundary) ----
     chunk = cfg.subseq_L or T
     preds = []
-    state0 = spec.module.initial_state(1, x.shape[2], x.shape[3])
-    run = jax.jit(
-        lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
-    )
-    for s in range(0, T, chunk):
-        piece = x[s : s + chunk]
-        if piece.shape[0] == chunk:
-            imgs = run(piece)
-        else:  # ragged tail: separate compile, still scanned
-            imgs, _ = run_sequence(spec.module, spec.params, piece, state0)
-        preds.append(imgs)
+    if spec.is_sequence_model:
+        # BDE2VID-style: the whole (sub)sequence is one forward; the
+        # reference resets state per call (bde2vid.py:31), so chunks are
+        # independent (eval_models_seq.py:216-219)
+        run = jax.jit(lambda v: spec.module.apply(spec.params, v)[0]["image"])
+        for s in range(0, T, chunk):
+            piece = x[s : s + chunk]
+            preds.append(
+                run(piece)
+                if piece.shape[0] == chunk
+                else spec.module.apply(spec.params, piece)[0]["image"]
+            )
+    else:
+        state0 = spec.module.initial_state(1, x.shape[2], x.shape[3])
+        run = jax.jit(
+            lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
+        )
+        for s in range(0, T, chunk):
+            piece = x[s : s + chunk]
+            if piece.shape[0] == chunk:
+                imgs = run(piece)
+            else:  # ragged tail: separate compile, still scanned
+                imgs, _ = run_sequence(spec.module, spec.params, piece, state0)
+            preds.append(imgs)
     preds = jnp.concatenate(preds, axis=0)  # (T, 1, H', W', 1)
 
     preds = crop.crop(preds)[:, 0, :, :, 0]  # (T, H, W)

@@ -15,6 +15,7 @@ from bde2vid_tpu.models.e2vid import E2VID, E2VIDRecurrent, FireNet, FireNetOrg,
 from bde2vid_tpu.models.spade_e2vid import SPADEE2VID
 from bde2vid_tpu.models.evsnn import EVSNN, PAEVSNN
 from bde2vid_tpu.models.eitr import EITR
+from bde2vid_tpu.models.bde2vid import BDE2VID, BDE2VIDGenerator
 
 __all__ = [
     "run_sequence",
@@ -34,4 +35,6 @@ __all__ = [
     "EVSNN",
     "PAEVSNN",
     "EITR",
+    "BDE2VID",
+    "BDE2VIDGenerator",
 ]

@@ -28,7 +28,9 @@ _ACTIVATIONS = {
     "lrelu": lambda x: jax.nn.leaky_relu(x, 0.01),
     "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.01),
     "elu": jax.nn.elu,
-    "gelu": jax.nn.gelu,
+    # exact erf GELU — torch nn.GELU() default; jax.nn.gelu defaults to the
+    # tanh approximation which breaks checkpoint parity
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "softplus": jax.nn.softplus,
     "identity": lambda x: x,
     "none": lambda x: x,

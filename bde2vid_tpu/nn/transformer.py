@@ -69,11 +69,11 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, src: Array) -> Array:
-        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
         src = src + MultiheadAttention(
             self.d_model, self.nhead, dtype=self.dtype, name="self_attn"
         )(q, q, q)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(jax.nn.relu(y))
         return src + y
@@ -90,16 +90,16 @@ class TransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt: Array, memory: Array) -> Array:
-        q = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
         tgt = tgt + MultiheadAttention(
             self.d_model, self.nhead, dtype=self.dtype, name="self_attn"
         )(q, q, q)
-        q = nn.LayerNorm(dtype=self.dtype, name="norm21")(tgt)
-        kv = nn.LayerNorm(dtype=self.dtype, name="norm22")(memory)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm21")(tgt)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm22")(memory)
         tgt = tgt + MultiheadAttention(
             self.d_model, self.nhead, dtype=self.dtype, name="cross_attn"
         )(q, kv, kv)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(jax.nn.relu(y))
         return tgt + y

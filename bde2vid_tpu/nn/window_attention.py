@@ -1,0 +1,332 @@
+"""Temporal-window cross-frame attention (BDE2VID's DFrameAttention).
+
+Reference: model/BDE2VID/DTransformer.py — window_partition/reverse :40-86
+(regular reshape windows and dilation-2 unfold windows on alternating
+blocks), WindowAttention3D :95-207 (query = the center frame's window
+tokens, keys/values = all D frames' tokens, 3D relative position bias table
+sliced to the query-frame rows, optional grouped-conv KV token reduction),
+SwinTransformerBlock3D :210-306, DFrameAttention :309-389 (stack of blocks,
+each feeding its output back as the center frame).
+
+Layout here is NDHWC stacks: ``x: (D, B, H, W, C)``; window partition
+produces ``(D, B*nW, Wh, Ww, C)`` token grids. All index maps for the
+dilated windows are precomputed static numpy arrays (shapes are static under
+jit), so partition/reverse are pure gathers/scatters — no unfold/fold kernel
+needed on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from bde2vid_tpu.nn.layers import get_activation
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# window partition / reverse
+# ---------------------------------------------------------------------------
+
+
+def window_partition(x: Array, window: Tuple[int, int]) -> Array:
+    """(D, B, H, W, C) -> (D, B*nW, Wh, Ww, C), row-major window order."""
+    d, b, h, w, c = x.shape
+    wh, ww = window
+    x = x.reshape(d, b, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(d, -1, wh, ww, c)
+
+
+def window_reverse(windows: Array, b: int, h: int, w: int) -> Array:
+    """(B*nW, Wh, Ww, C) -> (B, H, W, C)."""
+    _, wh, ww, c = windows.shape
+    x = windows.reshape(b, h // wh, w // ww, wh, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=64)
+def _dilated_indices(h: int, w: int, wh: int, ww: int):
+    """Static index maps replicating F.unfold(kernel=win, dilation=2,
+    stride=win) on an input padded by (+ww right, +wh bottom)
+    (DTransformer.py:55-60). Returns (row_idx, col_idx) of shape
+    (nWh, Wh) / (nWw, Ww) into the padded grid, plus padded dims."""
+    hp, wp = h + wh, w + ww
+    n_wh = (hp - 2 * (wh - 1) - 1) // wh + 1
+    n_ww = (wp - 2 * (ww - 1) - 1) // ww + 1
+    rows = np.arange(n_wh)[:, None] * wh + 2 * np.arange(wh)[None, :]
+    cols = np.arange(n_ww)[:, None] * ww + 2 * np.arange(ww)[None, :]
+    return rows, cols, hp, wp, n_wh, n_ww
+
+
+def window_partition_dilated(x: Array, window: Tuple[int, int]) -> Array:
+    """(D, B, H, W, C) -> (D, B*nW, Wh, Ww, C) with dilation-2 sampling."""
+    d, b, h, w, c = x.shape
+    wh, ww = window
+    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, wh), (0, ww), (0, 0)))
+    # gather rows then cols: (D, B, nWh, Wh, W+ww, C) -> (D, B, nWh, Wh, nWw, Ww, C)
+    x = x[:, :, jnp.asarray(rows)]  # (D, B, nWh, Wh, Wp, C)
+    x = x[:, :, :, :, jnp.asarray(cols)]  # (D, B, nWh, Wh, nWw, Ww, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (D, B, nWh, nWw, Wh, Ww, C)
+    return x.reshape(d, -1, wh, ww, c)
+
+
+def window_reverse_dilated(windows: Array, b: int, h: int, w: int) -> Array:
+    """Inverse of window_partition_dilated (torch F.fold then crop :80-85)."""
+    _, wh, ww, c = windows.shape
+    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
+    x = windows.reshape(b, n_wh, n_ww, wh, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nWh, Wh, nWw, Ww, C)
+    flat_rows = (np.asarray(rows)[:, :, None, None] * wp + np.asarray(cols)[None, None]).reshape(-1)
+    out = jnp.zeros((b, hp * wp, c), windows.dtype)
+    out = out.at[:, jnp.asarray(flat_rows)].set(x.reshape(b, -1, c))
+    out = out.reshape(b, hp, wp, c)
+    return out[:, :h, :w]
+
+
+def get_window_size(x_size, window_size):
+    """Shrink the window to the feature size where needed (reference :89-95)."""
+    return tuple(min(a, b) for a, b in zip(x_size, window_size))
+
+
+# ---------------------------------------------------------------------------
+# relative position bias
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def relative_position_index(wd: int, wh: int, ww: int) -> np.ndarray:
+    """(Wd*Wh*Ww, Wd*Wh*Ww) index into the (2Wd-1)(2Wh-1)(2Ww-1) bias table
+    (reference :137-155)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+class WindowAttention3D(nn.Module):
+    """Cross-frame window attention: q from the center frame, kv from all D.
+
+    Input: (D, B_, Wh, Ww, C) window stacks; output (B_, Wh, Ww, C).
+    """
+
+    dim: int
+    window_size: Tuple[int, int, int]  # (Wd, Wh, Ww)
+    num_heads: int
+    q_ind: Optional[int] = None
+    nwin_size: Optional[Tuple[int, int]] = None
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        wd, wh0, ww0 = self.window_size
+        d, b_, h, w, c = x.shape
+        q_ind = wd // 2 if self.q_ind is None else self.q_ind
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+
+        if self.nwin_size is not None:
+            # grouped-conv KV token reduction (reference :129,172-176). NOTE:
+            # the reference reshapes group-major conv output as (tokens, C),
+            # mixing channel/token axes; replicated verbatim for parity.
+            nt = self.nwin_size[0] * self.nwin_size[1]
+            red = nn.Conv(
+                nt * c,
+                (h, w),
+                padding="VALID",
+                feature_group_count=c,
+                dtype=self.dtype,
+                name="reduction_conv",
+            )(x.reshape(-1, h, w, c))
+            kv_tok = red.reshape(d, b_, nt, c)
+        else:
+            kv_tok = x.reshape(d, b_, h * w, c)
+
+        q_tok = x[q_ind].reshape(b_, h * w, c)
+        kv_tok = kv_tok.transpose(1, 0, 2, 3).reshape(b_, -1, c)
+
+        q_tok = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_q")(q_tok)
+        kv_tok = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kv")(kv_tok)
+
+        m = q_tok.shape[1]
+        n = kv_tok.shape[1]
+        q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="q")(q_tok)
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(kv_tok)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):
+            return t.reshape(b_, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q) * scale, heads(k), heads(v)
+        attn = jnp.einsum("bhmd,bhnd->bhmn", q, k)
+
+        # bias table uses the CONFIGURED window size; indices sliced to the
+        # q-frame rows and the first N columns (reference :195-199)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wd - 1) * (2 * wh0 - 1) * (2 * ww0 - 1), self.num_heads),
+            jnp.float32,
+        )
+        idx = relative_position_index(wd, wh0, ww0)
+        qs = q_ind * wh0 * ww0
+        rows = idx[qs : qs + wh0 * ww0, :n][:m].reshape(-1)
+        bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhmn,bhnd->bhmd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, m, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b_, h, w, c)
+
+
+class Mlp(nn.Module):
+    """fc1 -> act -> fc2 (reference Mlp, DTransformer.py:19-37)."""
+
+    hidden: int
+    out: int
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = get_activation(self.activation)(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class SwinTransformerBlock3D(nn.Module):
+    """attn(windowed) with center-frame residual, then MLP residual
+    (reference :210-306; norm1 is commented out in the reference too)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int] = (3, 8, 8)
+    nwindow_size: Optional[Tuple[int, int]] = None
+    dilate_win: bool = False
+    mlp_ratio: float = 4.0
+    q_ind: Optional[int] = None
+    activation: str = "gelu"
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d, b, h, w, c = x.shape
+        q_ind = self.window_size[0] // 2 if self.q_ind is None else self.q_ind
+        win = get_window_size((h, w), self.window_size[-2:])
+
+        shortcut = x[q_ind]
+
+        # pad H, W to window multiples (reference pads centered, :260-265)
+        pad_h = (win[0] - h % win[0]) % win[0]
+        pad_w = (win[1] - w % win[1]) % win[1]
+        pt, pb = pad_h // 2, pad_h - pad_h // 2
+        pl, pr = pad_w // 2, pad_w - pad_w // 2
+        xp = jnp.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+
+        if self.dilate_win:
+            windows = window_partition_dilated(xp, win)
+        else:
+            windows = window_partition(xp, win)
+        # attn is constructed with the CONFIGURED window size (the bias
+        # table's shape depends on it, reference :137-141); the actual
+        # (possibly shrunken) window only affects the token count.
+        attn = WindowAttention3D(
+            self.dim,
+            self.window_size,
+            self.num_heads,
+            q_ind=q_ind,
+            nwin_size=self.nwindow_size,
+            dtype=self.dtype,
+            name="attn",
+        )(windows)
+        if self.dilate_win:
+            y = window_reverse_dilated(attn, b, hp, wp)
+        else:
+            y = window_reverse(attn, b, hp, wp)
+        if pad_h or pad_w:
+            y = y[:, pt : hp - pb, pl : wp - pr]
+
+        y = shortcut + self._drop_path(y)
+
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
+        z = Mlp(
+            int(c * self.mlp_ratio),
+            c,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )(z)
+        return y + self._drop_path(z)
+
+    def _drop_path(self, y: Array) -> Array:
+        """Stochastic depth (timm DropPath); identity at inference."""
+        if self.deterministic or self.drop_path == 0.0:
+            return y
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("droppath")
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
+        return y * mask.astype(y.dtype) / keep
+
+
+class DFrameAttention(nn.Module):
+    """Stack of Swin blocks over a temporal buffer of D frames; each block's
+    output becomes the new center frame (reference :309-389). Alternating
+    blocks use dilation-2 windows (dilate_win = i % 2 == 1).
+
+    Input: (D, B, H, W, C) -> output (B, H, W, C).
+    """
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: Tuple[int, int, int] = (1, 7, 7)
+    nwindow_size: Optional[Tuple[int, int]] = None
+    q_ind: Optional[int] = None
+    mlp_ratio: float = 4.0
+    activation: str = "gelu"
+    drop_path: Sequence[float] = ()
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        q_ind = self.window_size[0] // 2 if self.q_ind is None else self.q_ind
+        center = x[q_ind]
+        for i in range(self.depth):
+            x = x.at[q_ind].set(center)
+            center = SwinTransformerBlock3D(
+                self.dim,
+                self.num_heads,
+                window_size=self.window_size,
+                nwindow_size=self.nwindow_size,
+                dilate_win=(i % 2 == 1),
+                mlp_ratio=self.mlp_ratio,
+                q_ind=q_ind,
+                activation=self.activation,
+                drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                dtype=self.dtype,
+                deterministic=self.deterministic,
+                name=f"blocks{i}",
+            )(x)
+        return center

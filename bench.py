@@ -1,11 +1,12 @@
-"""Benchmark: frames/sec/chip on the flagship reconstruction pipeline.
+"""Benchmark: frames/sec/chip on the FLAGSHIP model (BDE2VID).
 
-Measures the end-to-end device path at the reference's native protocol
-(240x180 sensor, 5-bin voxel grids, between-frames windows): on-device
-voxelization + recurrent model forward over a T-step sequence under one
-lax.scan. Baseline = the same architecture in PyTorch on CPU (the
-environment the reference actually runs its eval loop in here), measured in
-the same process; BASELINE.md's target is >= 10x that.
+Measures the device path at the reference's native protocol (240x180
+sensor padded to /8, 5-bin voxels): the full bidirectional BDE2VID
+generator (basechannels 32, 3 levels, attention depths [4,0,6], 16 heads,
+7x7 windows) over a T-step sequence, one jitted program. Baseline = an
+E2VID-class recurrent CNN of the same backbone scale in PyTorch on CPU
+(the only hardware the reference runs on here); BASELINE.md's target is
+>= 10x that.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,7 +19,7 @@ import time
 import numpy as np
 
 
-H, W, BINS, T = 184, 240, 5, 120  # 180x240 padded to /8
+H, W, BINS, T = 184, 240, 5, 16  # 180x240 padded to /8 (compile ~2min; scan makes T-throughput stable)
 CFG = {
     "num_bins": BINS,
     "num_encoders": 3,
@@ -32,20 +33,20 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    from __graft_entry__ import _FLAGSHIP_CFG
     from bde2vid_tpu.models import build_model
-    from bde2vid_tpu.models.api import run_sequence
 
-    model = build_model("E2VIDRecurrent", CFG)
+    model = build_model("BDE2VID", _FLAGSHIP_CFG)
     rng = np.random.default_rng(0)
     voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, BINS)).astype(np.float32))
-    state = model.initial_state(1, H, W)
-    params = model.init(jax.random.PRNGKey(0), voxels[0], state)
+    # params are T-independent: init on a 2-step sequence (much cheaper trace)
+    params = model.init(jax.random.PRNGKey(0), voxels[:2])
 
-    run = jax.jit(lambda v: run_sequence(model, params, v, state)[0])
+    run = jax.jit(lambda v: model.apply(params, v)[0]["image"])
     imgs = run(voxels)
     jax.block_until_ready(imgs)  # compile + warm-up
 
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         imgs = run(voxels)
@@ -133,7 +134,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2vid_recurrent_frames_per_sec_240x180",
+                "metric": "bde2vid_frames_per_sec_240x180",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 2) if vs == vs else None,

@@ -1,0 +1,329 @@
+"""BDE2VID flagship tests: full checkpoint-conversion parity vs a torch
+replica of the V5 generator (bidirectional LSTM sweeps, cross-frame window
+attention with relative bias + dilated windows, aliased-skip decode)."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from bde2vid_tpu.models import build_model
+
+BASE, ENC, KS, NRES = 8, 3, 5, 1
+BUF = [-2, -1, 0, 1, 2]
+DEPTHS = [2, 0, 2]
+HEADS = 4
+WIN = (7, 7)
+T, H, W = 5, 56, 56
+
+
+# ------------------------------ torch replica --------------------------------
+
+
+class TWinAttn(nn.Module):
+    def __init__(self, dim, window_size, num_heads, q_ind):
+        super().__init__()
+        self.dim, self.window_size, self.num_heads = dim, window_size, num_heads
+        self.q_ind = q_ind
+        self.scale = (dim // num_heads) ** -0.5
+        self.q_ind_WinS = q_ind * window_size[1] * window_size[2]
+        self.q_ind_WinE = self.q_ind_WinS + window_size[1] * window_size[2]
+        self.norm_q = nn.LayerNorm(dim)
+        self.norm_kv = nn.LayerNorm(dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn(
+                (2 * window_size[0] - 1)
+                * (2 * window_size[1] - 1)
+                * (2 * window_size[2] - 1),
+                num_heads,
+            )
+            * 0.02
+        )
+        coords = torch.stack(
+            torch.meshgrid(
+                torch.arange(window_size[0]),
+                torch.arange(window_size[1]),
+                torch.arange(window_size[2]),
+                indexing="ij",
+            )
+        ).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window_size[0] - 1
+        rel[:, :, 1] += window_size[1] - 1
+        rel[:, :, 2] += window_size[2] - 1
+        rel[:, :, 0] *= (2 * window_size[1] - 1) * (2 * window_size[2] - 1)
+        rel[:, :, 1] *= 2 * window_size[2] - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.q = nn.Linear(dim, dim, bias=True)
+        self.kv = nn.Linear(dim, dim * 2, bias=True)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):  # (D, B_, C, Wh, Ww)
+        D, B_, C, Hh, Ww = x.shape
+        kv = x.permute(0, 1, 3, 4, 2).contiguous().view(D, B_, Hh * Ww, C)
+        q = x[self.q_ind].permute(0, 2, 3, 1).contiguous().view(B_, -1, C)
+        kv = kv.permute(1, 0, 2, 3).contiguous().view(B_, -1, C)
+        q = self.norm_q(q)
+        kv = self.norm_kv(kv)
+        M = q.shape[1]
+        _, N, _ = kv.shape
+        q = self.q(q).reshape(B_, M, self.num_heads, C // self.num_heads).permute(0, 2, 1, 3)
+        kv = self.kv(kv).reshape(B_, N, 2, self.num_heads, C // self.num_heads).permute(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index[self.q_ind_WinS : self.q_ind_WinE, :N].reshape(-1)
+        ].reshape(M, N, -1)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B_, M, C)
+        x = self.proj(x)
+        return x.view(B_, Hh, Ww, C).permute(0, 3, 1, 2).contiguous()
+
+
+def t_window_partition(x, window_size, dilate):
+    D, B, C, Hh, Ww = x.shape
+    if not dilate:
+        x = x.view(D, B, C, Hh // window_size[0], window_size[0], Ww // window_size[1], window_size[1])
+        return x.permute(0, 1, 3, 5, 2, 4, 6).contiguous().view(D, -1, C, *window_size)
+    x = x.view(D * B, C, Hh, Ww)
+    h, w = window_size
+    x = F.pad(x, (0, w, 0, h))
+    x = F.unfold(x, kernel_size=window_size, dilation=(2, 2), stride=window_size)
+    return x.permute(0, 2, 1).contiguous().view(D, -1, C, *window_size)
+
+
+def t_window_reverse(windows, B, Hh, Ww, dilate):
+    B_, C, wh, ww = windows.shape
+    if not dilate:
+        x = windows.view(B, Hh // wh, Ww // ww, C, wh, ww).permute(0, 3, 1, 4, 2, 5).contiguous()
+        return x.view(B, C, Hh, Ww)
+    x = windows.view(B, Hh // wh * (Ww // ww), -1).permute(0, 2, 1).contiguous()
+    x = F.fold(x, (Hh + wh, Ww + ww), kernel_size=(wh, ww), stride=(wh, ww), dilation=(2, 2))
+    return x[:, :, :-wh, :-ww]
+
+
+class TSwinBlock(nn.Module):
+    def __init__(self, dim, heads, window_size, dilate, q_ind):
+        super().__init__()
+        self.window_size = window_size
+        self.dilate = dilate
+        self.q_ind = q_ind
+        self.attn = TWinAttn(dim, window_size, heads, q_ind)
+        self.norm2 = nn.LayerNorm(dim)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(dim, dim * 4)
+        mlp.fc2 = nn.Linear(dim * 4, dim)
+        self.mlp = mlp
+
+    def forward(self, x):  # (D, B, C, H, W)
+        shortcut = x[self.q_ind]
+        D, B, C, Hh, Ww = x.shape
+        win = tuple(min(a, b) for a, b in zip((Hh, Ww), self.window_size[-2:]))
+        pad_h = (win[0] - Hh % win[0]) % win[0]
+        pad_w = (win[1] - Ww % win[1]) % win[1]
+        pt, pb, pl, pr = pad_h // 2, pad_h - pad_h // 2, pad_w // 2, pad_w - pad_w // 2
+        xp = F.pad(x, (pl, pr, pt, pb))
+        _, _, _, Hp, Wp = xp.shape
+        wins = t_window_partition(xp, win, self.dilate)
+        attn = self.attn(wins)
+        y = t_window_reverse(attn, B, Hp, Wp, self.dilate)
+        if pad_h or pad_w:
+            y = y[:, :, pt : Hp - pb, pl : Wp - pr]
+        y = shortcut + y
+        z = self.norm2(y.permute(0, 2, 3, 1))
+        z = self.mlp.fc2(F.gelu(self.mlp.fc1(z)))
+        return y + z.permute(0, 3, 1, 2)
+
+
+class TDFrameAttn(nn.Module):
+    def __init__(self, dim, depth, heads, window_size, q_ind):
+        super().__init__()
+        self.q_ind = q_ind
+        self.blocks = nn.ModuleList(
+            [TSwinBlock(dim, heads, window_size, dilate=(i % 2 == 1), q_ind=q_ind) for i in range(depth)]
+        )
+
+    def forward(self, keys):
+        x = keys[self.q_ind]
+        for blk in self.blocks:
+            keys[self.q_ind] = x
+            x = blk(torch.stack(keys, dim=0))
+        return x
+
+
+class TConvLayer(nn.Module):
+    def __init__(self, ci, co, k, s, act="relu"):
+        super().__init__()
+        self.conv2d = nn.Conv2d(ci, co, k, s, k // 2)
+        self.act = act
+
+    def forward(self, x):
+        y = self.conv2d(x)
+        if self.act == "relu":
+            return torch.relu(y)
+        if self.act == "relu6":
+            return F.relu6(y)
+        return y
+
+
+class TRecConv(nn.Module):
+    def __init__(self, ci, co, k):
+        super().__init__()
+        self.conv = TConvLayer(ci, co, k, 2)
+        rec = nn.Module()
+        rec.Gates = nn.Conv2d(2 * co, 4 * co, 3, padding=1)
+        self.recurrent_block = rec
+        self.state = None
+
+    def forward(self, x):
+        x = self.conv(x)
+        if self.state is None:
+            z = torch.zeros(x.shape[0], x.shape[1], x.shape[2], x.shape[3])
+            self.state = (z, z.clone())
+        h, c = self.state
+        i, f, o, g = self.recurrent_block.Gates(torch.cat([x, h], 1)).chunk(4, 1)
+        c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
+        h = torch.sigmoid(o) * torch.tanh(c)
+        self.state = (h, c)
+        return h
+
+
+class TV5(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.head = TConvLayer(5, BASE, KS, 1)
+        ins = [BASE * 2**i for i in range(ENC)]
+        outs = [BASE * 2 ** (i + 1) for i in range(ENC)]
+        self.forward_encoder = nn.ModuleList([TRecConv(i, o, KS) for i, o in zip(ins, outs)])
+        self.backward_encoder = nn.ModuleList([TRecConv(i, o, KS) for i, o in zip(ins, outs)])
+        self.fusion_layers = nn.ModuleList([nn.Conv2d(o * 2, o, 1) for o in outs])  # unused
+        self.feat_attns = nn.ModuleList(
+            [
+                TDFrameAttn(outs[l], DEPTHS[l], HEADS, (len(BUF), *WIN), len(BUF) // 2)
+                if DEPTHS[l] > 0
+                else None
+                for l in range(ENC)
+            ]
+        )
+        dec_ins = outs[::-1]
+        dec_outs = ins[::-1]
+        decs = []
+        for ci, co in zip(dec_ins, dec_outs):
+            up = nn.Module()
+            up.conv2d = nn.Conv2d(ci, co, KS, 1, KS // 2)
+            decs.append(nn.Sequential(nn.Identity(), UpWrap(up)))
+        self.decoders = nn.ModuleList(decs)
+        self.predI = nn.Sequential(nn.Identity(), nn.Conv2d(BASE, 1, 1))
+
+    def reset(self):
+        for m in self.modules():
+            if isinstance(m, TRecConv):
+                m.state = None
+
+    def forward(self, voxels):
+        self.reset()
+        Tn = len(voxels)
+        head_seqs = [self.head(v) for v in voxels]
+        target = head_seqs
+        all_lvl = []
+        for l in range(ENC):
+            fwd = [None] * Tn
+            bwd = [None] * Tn
+            for idx_f in range(Tn):
+                idx_b = Tn - 1 - idx_f
+                fwd[idx_f] = self.forward_encoder[l](target[idx_f])
+                bwd[idx_b] = self.backward_encoder[l](target[idx_b])
+            merged = [f + b for f, b in zip(fwd, bwd)]
+            if l == ENC - 1:
+                all_lvl.append(merged)  # ALIASED list, mutated below
+            if self.feat_attns[l] is not None:
+                empty = torch.zeros_like(merged[0])
+                for t in range(Tn):
+                    buf = []
+                    for off in BUF:
+                        idx = off + t
+                        buf.append(merged[idx] if 0 <= idx < Tn else empty)
+                    x = self.feat_attns[l](buf)
+                    merged[t] = x + merged[t]
+            target = merged
+            all_lvl.append(merged)
+        outs = []
+        for t in range(Tn):
+            x = all_lvl[-1][t]
+            for i, dec in enumerate(self.decoders):
+                x = dec(all_lvl[-2 - i][t] + x)
+            x = x + head_seqs[t]
+            outs.append(torch.sigmoid(self.predI(x)))
+        return outs
+
+
+class UpWrap(nn.Module):
+    def __init__(self, inner):
+        super().__init__()
+        self.conv2d = inner.conv2d
+
+    def forward(self, x):
+        x = F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
+        return F.relu6(self.conv2d(x))
+
+
+CFG_STR = f"""
+model = dict(
+    type='BDE2VID',
+    cpu_cache_length=100,
+    generator=dict(
+        type='BDE2VIDCrossscalePropogationV5',
+        num_bins=5, basechannels={BASE}, num_encoders={ENC}, ks={KS},
+        num_res_blocks={NRES}, buffer_index={BUF}, depths={DEPTHS},
+        num_heads={HEADS}, window_size=({WIN[0]}, {WIN[1]}),
+        drop_path_rate=0.2,
+        activation=dict(type='Sigmoid'),
+        losses=[],
+    ),
+)
+"""
+
+
+def test_bde2vid_checkpoint_parity(rng, tmp_path):
+    torch.manual_seed(0)
+    tnet = TV5().eval()
+    wrapper_sd = {f"generator.{k}": v for k, v in tnet.state_dict().items()}
+    ckpt = {"meta": {"cfg": CFG_STR}, "state_dict": wrapper_sd}
+    path = str(tmp_path / "epoch_1.pth")
+    torch.save(ckpt, path)
+
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(path)
+    assert spec.name == "BDE2VID" and spec.is_sequence_model
+    assert spec.num_encoders == ENC
+
+    voxels = rng.normal(size=(T, 1, H, W, 5)).astype(np.float32)
+    out, _ = spec.module.apply(spec.params, jnp.asarray(voxels))
+    got = np.asarray(out["image"])[:, 0, :, :, 0]
+
+    with torch.no_grad():
+        tv = [torch.from_numpy(voxels[t].transpose(0, 3, 1, 2)) for t in range(T)]
+        want = torch.cat(tnet(tv))[:, 0].numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_bde2vid_t_invariance_of_step(rng):
+    """Frame t's output must not depend on frames outside the buffer+recurrence
+    influence: check determinism across two identical runs."""
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 5, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 2], "num_heads": 4, "window_size": [7, 7]}}
+    m = build_model("BDE2VID", cfg)
+    v = jnp.asarray(rng.normal(size=(4, 1, 28, 28, 5)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), v)
+    a, _ = m.apply(params, v)
+    b, _ = m.apply(params, v)
+    np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
