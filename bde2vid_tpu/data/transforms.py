@@ -1,0 +1,183 @@
+"""Data augmentation / transforms.
+
+Reference: utils_func/data_augmentation.py :30-334 (Compose, CenterCrop,
+RandomCrop, RandomRotationFlip, RobustNorm, LegacyNorm, voxel noise, hot
+pixels, sequence image normalization). Host-side geometric transforms are
+NumPy (they run in the loader); noise injections are JAX (they run on
+device against device voxels). Norms live in utils.norm.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ----------------------------- geometric (host) -----------------------------
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, x, is_flow: bool = False):
+        for t in self.transforms:
+            x = t(x, is_flow=is_flow)
+        return x
+
+
+class CenterCrop:
+    """Center crop (..., H, W) arrays (reference :79-106)."""
+
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, x, is_flow: bool = False):
+        h, w = x.shape[-2:]
+        th, tw = self.size
+        i = (h - th) // 2
+        j = (w - tw) // 2
+        return x[..., i : i + th, j : j + tw]
+
+
+class RandomCrop:
+    """Random crop; call ``sample_params(h, w, rng)`` once per sequence so
+    every item crops identically (the reference reseeds python random with a
+    shared seed per sequence)."""
+
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self._ij: Optional[Tuple[int, int]] = None
+
+    def sample_params(self, h: int, w: int, rng: np.random.Generator):
+        th, tw = self.size
+        self._ij = (int(rng.integers(0, h - th + 1)), int(rng.integers(0, w - tw + 1)))
+
+    def __call__(self, x, is_flow: bool = False):
+        if self._ij is None:
+            raise RuntimeError("call sample_params first")
+        i, j = self._ij
+        th, tw = self.size
+        return x[..., i : i + th, j : j + tw]
+
+
+class RandomRotationFlip:
+    """90-degree rotations + horizontal/vertical flips; flow channels are
+    sign-corrected and swapped under rotation (reference :190-246)."""
+
+    def __init__(self, p_hflip: float = 0.5, p_vflip: float = 0.0, p_rot90: float = 0.0):
+        self.p_hflip = p_hflip
+        self.p_vflip = p_vflip
+        self.p_rot90 = p_rot90
+        self._state = None
+
+    def sample_params(self, rng: np.random.Generator):
+        self._state = (
+            rng.random() < self.p_hflip,
+            rng.random() < self.p_vflip,
+            int(rng.integers(0, 4)) if rng.random() < self.p_rot90 else 0,
+        )
+
+    def __call__(self, x, is_flow: bool = False):
+        if self._state is None:
+            raise RuntimeError("call sample_params first")
+        hflip, vflip, k = self._state
+        out = np.asarray(x)
+        if hflip:
+            out = out[..., :, ::-1]
+            if is_flow:
+                out = out.copy()
+                out[..., 0, :, :] = -out[..., 0, :, :]
+        if vflip:
+            out = out[..., ::-1, :]
+            if is_flow:
+                out = out.copy()
+                out[..., 1, :, :] = -out[..., 1, :, :]
+        for _ in range(k):
+            out = np.rot90(out, axes=(-2, -1))
+            if is_flow:
+                out = out.copy()
+                fx = out[..., 0, :, :].copy()
+                out[..., 0, :, :] = -out[..., 1, :, :]
+                out[..., 1, :, :] = fx
+        return np.ascontiguousarray(out)
+
+
+# ------------------------------ noise (device) -------------------------------
+
+
+def add_noise_to_voxel(
+    voxel: Array, rng: jax.Array, noise_std: float = 1.0, noise_fraction: float = 0.1
+) -> Array:
+    """Gaussian noise on a random fraction of voxel entries
+    (reference data_augmentation.py:40-45)."""
+    k1, k2 = jax.random.split(rng)
+    noise = noise_std * jax.random.normal(k1, voxel.shape, voxel.dtype)
+    if noise_fraction < 1.0:
+        mask = jax.random.uniform(k2, voxel.shape) >= noise_fraction
+        noise = jnp.where(mask, 0.0, noise)
+    return voxel + noise
+
+
+def add_hot_pixels_to_sequence(
+    voxels: Array,
+    rng: jax.Array,
+    hot_pixel_std: float = 1.0,
+    max_hot_pixel_fraction: float = 0.001,
+) -> Array:
+    """Persistent hot pixels added to every step of a (T, ..., H, W, C) voxel
+    sequence (reference :48-59). Same pixels/values across T."""
+    k0, k1, k2, k3 = jax.random.split(rng, 4)
+    h, w = voxels.shape[-3], voxels.shape[-2]
+    fraction = jax.random.uniform(k0) * max_hot_pixel_fraction
+    max_n = max(int(max_hot_pixel_fraction * h * w), 1)
+    xs = jax.random.randint(k1, (max_n,), 0, w)
+    ys = jax.random.randint(k2, (max_n,), 0, h)
+    vals = jax.random.normal(k3, (max_n,)) * hot_pixel_std
+    n_active = (fraction * h * w).astype(jnp.int32)
+    active = (jnp.arange(max_n) < n_active).astype(voxels.dtype)
+    img = jnp.zeros((h, w), voxels.dtype).at[ys, xs].add(vals * active)
+    return voxels + img[..., None]
+
+
+def normalize_image_sequence(frames: Array, eps: float = 1e-5) -> Array:
+    """1-99 percentile rescale of a whole frame sequence, clamped to [0,1]
+    (reference :333-341)."""
+    flat = jnp.sort(frames.reshape(-1))
+    n = flat.shape[0]
+    mini = flat[jnp.int32(0.01 * (n - 1))]
+    maxi = flat[jnp.int32(0.99 * (n - 1))]
+    return jnp.clip((frames - mini) / (maxi - mini + eps), 0.0, 1.0)
+
+
+# --------------------------- training sequences ------------------------------
+
+
+def sample_pause_mask(
+    length: int,
+    rng: np.random.Generator,
+    proba_pause_when_running: float = 0.0,
+    proba_pause_when_paused: float = 0.0,
+) -> np.ndarray:
+    """Markov pause chain (reference SequenceDataset h5_dataset.py:721-747):
+    step 0 never pauses; pausing repeats the previous item with zeroed
+    events. Returns an int index map idx[t] = source item offset and a bool
+    pause mask."""
+    idx = np.zeros(length, np.int64)
+    paused = np.zeros(length, bool)
+    k = 0
+    is_paused = False
+    for t in range(1, length):
+        p = proba_pause_when_paused if is_paused else proba_pause_when_running
+        is_paused = rng.random() < p
+        if not is_paused:
+            k += 1
+        idx[t] = k
+        paused[t] = is_paused
+    return idx, paused

@@ -1,0 +1,22 @@
+"""Training path: sequence losses, train step factory, checkpointing.
+
+The reference has no in-repo training loop; its training-mode plumbing lives
+inside the BDE2VID model (mode='loss', V5:210-241) and the pytorch-template
+config system. Here training is first-class: a functional sequence loss
+matching the V5 in-loop computation, a jittable/shardable train step, and
+msgpack checkpoints.
+"""
+
+from bde2vid_tpu.train.trainer import (
+    SequenceLossComputer,
+    make_train_step,
+    save_checkpoint,
+    load_checkpoint,
+)
+
+__all__ = [
+    "SequenceLossComputer",
+    "make_train_step",
+    "save_checkpoint",
+    "load_checkpoint",
+]

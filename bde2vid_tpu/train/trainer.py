@@ -1,0 +1,191 @@
+"""Sequence-loss computation + train step factory + checkpoint IO.
+
+Loss semantics follow the reference BDE2VID in-loop computation
+(bde2vid_cross_scale_propogation_V5.py:210-241):
+- losses evaluated per step, optionally subsampled by ``loss_inds``
+  (an int n means steps {0, n, 2n, ...} within the first 40 — reference
+  :40-43);
+- PerceptualLoss/L1Loss take (pred, gt); VIPLoss also takes the previous
+  step's (gt, pred) features (cached state, reset per sequence);
+- TemporalConsistencyLoss takes (prev_gt, cur_gt, prev_pred, cur_pred,
+  flow) and only applies for t > L0;
+- total = mean over evaluated steps per loss, summed over losses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bde2vid_tpu.losses import build_loss
+
+Array = jax.Array
+
+
+class SequenceLossComputer:
+    """Builds losses from a config list and evaluates them over an image
+    sequence, functionally (explicit VIP feature state)."""
+
+    def __init__(self, losses_cfg: Sequence[Dict], loss_inds: Optional[Any] = None):
+        self.losses = {cfg["type"]: build_loss(cfg) for cfg in losses_cfg}
+        if loss_inds is not None and not isinstance(loss_inds, (list, tuple)):
+            loss_inds = [t for t in range(40) if t % int(loss_inds) == 0]
+        self.loss_inds = loss_inds
+
+    def _gate(self, T: int) -> np.ndarray:
+        if self.loss_inds is None:
+            return np.ones(T, bool)
+        g = np.zeros(T, bool)
+        for t in self.loss_inds:
+            if t < T:
+                g[t] = True
+        return g
+
+    def __call__(
+        self,
+        lpips_params,
+        preds: Array,  # (T, N, H, W, 1)
+        gts: Array,  # (T, N, H, W, 1)
+        flows: Optional[Array] = None,  # (T, N, H, W, 2)
+    ) -> Tuple[Array, Dict[str, Array]]:
+        T = preds.shape[0]
+        gate = self._gate(T)
+        sums: Dict[str, Array] = {}
+        counts: Dict[str, Array] = {}
+        vip_state = None
+        for name in self.losses:
+            sums[name] = jnp.zeros(())
+            counts[name] = jnp.zeros(())
+
+        prev_gt = prev_pd = None
+        for t in range(T):  # static unroll: loss graph is cheap vs model fwd
+            cur_pd, cur_gt = preds[t], gts[t]
+            if gate[t]:
+                for name, fn in self.losses.items():
+                    if name in ("PerceptualLoss", "L1Loss"):
+                        v, _ = fn(lpips_params, cur_pd, cur_gt)
+                    elif name == "VIPLoss":
+                        v, vip_state = fn(lpips_params, cur_pd, cur_gt, vip_state)
+                    elif name == "TemporalConsistencyLoss":
+                        if t <= fn.L0 or prev_gt is None:
+                            continue
+                        v, _ = fn(
+                            lpips_params, prev_gt, cur_gt, prev_pd, cur_pd, flows[t]
+                        )
+                    else:
+                        raise ValueError(f"unknown loss {name}")
+                    sums[name] = sums[name] + v
+                    counts[name] = counts[name] + 1.0
+            prev_gt, prev_pd = cur_gt, cur_pd
+
+        loss_dict = {}
+        total = jnp.zeros(())
+        for name in self.losses:
+            mean = sums[name] / jnp.maximum(counts[name], 1.0)
+            short = "L_" + "".join(c for c in name if c.isupper())
+            loss_dict[short] = mean
+            total = total + mean
+        loss_dict["loss"] = total
+        return total, loss_dict
+
+
+def make_train_step(
+    model,
+    tx,
+    loss_computer: SequenceLossComputer,
+    lpips_params=None,
+    is_sequence_model: bool = True,
+    donate: bool = True,
+    remat: bool = False,
+):
+    """Build a jitted train step.
+
+    step(params, opt_state, rngs, voxels (T,N,H,W,C), frames (T,N,H,W,1),
+         flows or None) -> (params, opt_state, loss_dict)
+
+    For step models the forward is a lax.scan via run_sequence; for sequence
+    models the model consumes the whole sequence. ``remat`` wraps the
+    forward in jax.checkpoint (the TPU replacement for the reference's
+    use_checkpoint + cpu_cache memory strategies, SURVEY §5.7).
+    """
+    import optax
+
+    from bde2vid_tpu.models.api import run_sequence
+
+    def forward(params, voxels, rngs):
+        if is_sequence_model:
+            out, _ = model.apply(params, voxels, rngs=rngs)
+            return out["image"]
+        n, h, w = voxels.shape[1], voxels.shape[2], voxels.shape[3]
+        state = model.initial_state(n, h, w)
+        imgs, _ = run_sequence(model, params, voxels, state)
+        return imgs
+
+    fwd = jax.checkpoint(forward, static_argnums=()) if remat else forward
+
+    def loss_fn(params, voxels, frames, flows, rngs):
+        preds = fwd(params, voxels, rngs)
+        total, loss_dict = loss_computer(lpips_params, preds, frames, flows)
+        return total, loss_dict
+
+    @jax.jit
+    def step(params, opt_state, rng, voxels, frames, flows):
+        rngs = {"droppath": rng}
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, voxels, frames, flows, rngs
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_dict
+
+    return step
+
+
+# ------------------------------ checkpoints ----------------------------------
+
+
+def save_checkpoint(path: str, params, model_name: str, config: Dict) -> None:
+    """Framework-native checkpoint: flax msgpack params + sidecar json config
+    (the analog of the reference's embedded-config dialect, SURVEY §5.4)."""
+    from flax import serialization
+
+    params = jax.device_get(params)
+    with open(path, "wb") as fp:
+        fp.write(serialization.to_bytes(params))
+    with open(path + ".json", "w") as fp:
+        json.dump({"model": model_name, "config": config}, fp)
+
+
+def load_checkpoint(path: str, dtype=jnp.float32):
+    """Load a framework-native checkpoint -> ModelSpec."""
+    from flax import serialization
+
+    from bde2vid_tpu.models.api import ModelSpec, build_model
+
+    with open(path + ".json") as fp:
+        meta = json.load(fp)
+    name, config = meta["model"], meta["config"]
+    model = build_model(name, config, dtype=dtype)
+    is_seq = bool(getattr(model, "is_sequence_model", False))
+    h = w = 64
+    nb = int(config.get("num_bins", config.get("generator", {}).get("num_bins", 5)))
+    voxel = jnp.zeros((2, 1, h, w, nb)) if is_seq else jnp.zeros((1, h, w, nb))
+    target = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
+    with open(path, "rb") as fp:
+        params = serialization.from_bytes(jax.device_get(target), fp.read())
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    gen_cfg = config.get("generator", config)
+    spec = ModelSpec(
+        name=name,
+        module=model,
+        params=params,
+        num_bins=nb,
+        num_encoders=int(gen_cfg.get("num_encoders", 3)),
+        is_sequence_model=is_seq,
+    )
+    return spec

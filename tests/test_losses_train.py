@@ -1,0 +1,150 @@
+"""Loss + training-path tests: torch parity for TC loss / grid sample /
+VIP cosine math, end-to-end train step decreases loss, checkpoint roundtrip."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bde2vid_tpu.losses import (
+    L1Loss,
+    VIPLoss,
+    build_loss,
+    temporal_consistency_loss,
+)
+from bde2vid_tpu.metrics.lpips import LPIPS, load_lpips_params
+from bde2vid_tpu.models import build_model
+from bde2vid_tpu.nn.sampling import grid_sample_bilinear, warp_by_flow
+from bde2vid_tpu.train import (
+    SequenceLossComputer,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+)
+
+
+def test_grid_sample_matches_torch(rng):
+    img = rng.normal(size=(2, 9, 13, 3)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, size=(2, 5, 7, 2)).astype(np.float32)
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid)))
+    with torch.no_grad():
+        want = F.grid_sample(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_temporal_consistency_matches_torch(rng):
+    n, h, w = 1, 16, 20
+    i0 = rng.uniform(0, 1, (n, h, w, 1)).astype(np.float32)
+    i1 = rng.uniform(0, 1, (n, h, w, 1)).astype(np.float32)
+    p0 = rng.uniform(0, 1, (n, h, w, 1)).astype(np.float32)
+    p1 = rng.uniform(0, 1, (n, h, w, 1)).astype(np.float32)
+    flow = rng.normal(0, 1.5, (n, h, w, 2)).astype(np.float32)
+
+    got = float(
+        temporal_consistency_loss(
+            jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(flow)
+        )
+    )
+
+    # torch oracle following the reference formula (losses.py:192-231)
+    def t(x):
+        return torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    with torch.no_grad():
+        xx, yy = torch.meshgrid(torch.arange(w), torch.arange(h), indexing="ij")
+        xx, yy = xx.T.float(), yy.T.float()
+        gx = 2 * (xx + t(flow)[:, 0]) / (w - 1) - 1
+        gy = 2 * (yy + t(flow)[:, 1]) / (h - 1) - 1
+        grid = torch.stack([gx, gy], dim=3)
+        i0w = F.grid_sample(t(i0), grid, align_corners=False)
+        vis = torch.exp(-50.0 * (t(i1) - i0w) ** 2)
+        p0w = F.grid_sample(t(p0), grid, align_corners=False)
+        tc = vis * (t(p1) - p0w).abs() / (t(p1).abs() + p0w.abs() + 1e-5)
+        want = float(tc.mean())
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def _lpips_params():
+    lin = {
+        f"lin{k}.model.1.weight": np.random.default_rng(k).uniform(
+            0, 1, (1, c, 1, 1)
+        ).astype(np.float32)
+        for k, c in enumerate((64, 192, 384, 256, 256))
+    }
+    return load_lpips_params(lin, None, net="alex")
+
+
+def test_vip_loss_state_and_value(rng):
+    params = _lpips_params()
+    vip = build_loss({"type": "VIPLoss", "net": "alex"})
+    a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32))
+    v1, st = vip(params, a, b, None)
+    assert float(v1) > 0 and st is not None
+    v_same, _ = vip(params, a, a, None)
+    assert float(v_same) == pytest.approx(0.0, abs=1e-5)
+    # with previous-step features the temporal term kicks in
+    v2, _ = vip(params, a, b, st)
+    assert float(v2) != pytest.approx(float(v1))
+
+
+def test_sequence_loss_computer_gating(rng):
+    comp = SequenceLossComputer([{"type": "L1Loss"}], loss_inds=2)
+    preds = jnp.asarray(rng.uniform(0, 1, (6, 1, 8, 8, 1)).astype(np.float32))
+    gts = jnp.zeros_like(preds)
+    total, d = comp(None, preds, gts)
+    # only steps 0, 2, 4 scored
+    want = float(np.mean([np.abs(np.asarray(preds[t])).mean() for t in (0, 2, 4)]))
+    assert float(total) == pytest.approx(want, rel=1e-5)
+    assert "L_LL" in d and "loss" in d
+
+
+def test_train_step_decreases_loss(rng):
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg, train=True)
+    T, N, H, W = 3, 1, 16, 16
+    voxels = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(0, 1, (T, N, H, W, 1)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}, voxels
+    )
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    comp = SequenceLossComputer([{"type": "L1Loss"}])
+    step = make_train_step(model, tx, comp, is_sequence_model=True)
+    losses = []
+    for i in range(5):
+        params, opt_state, d = step(
+            params, opt_state, jax.random.PRNGKey(i), voxels, frames, None
+        )
+        losses.append(float(d["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+           "num_residual_blocks": 1}
+    model = build_model("FireNet", cfg)
+    st = model.initial_state(1, 16, 16)
+    v = jnp.asarray(rng.normal(size=(1, 16, 16, 5)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), v, st)
+    path = str(tmp_path / "firenet.msgpack")
+    save_checkpoint(path, params, "FireNet", cfg)
+    spec = load_checkpoint(path)
+    out_a, _ = model.apply(params, v, st)
+    out_b, _ = spec.module.apply(spec.params, v, spec.module.initial_state(1, 16, 16))
+    np.testing.assert_allclose(
+        np.asarray(out_a["image"]), np.asarray(out_b["image"]), atol=1e-6
+    )
