@@ -1,0 +1,189 @@
+"""Contrast maximization: warp models, IWE objectives, optimizer loop.
+
+Reference: events_contrast_maximization/utils/{events_cmax.py:47-120,
+objectives.py:56-438, warps.py:20-37}. A standalone research utility (not on
+the eval path) for motion estimation by maximizing the contrast of the image
+of warped events (IWE).
+
+TPU-native redesign: warps and objectives are differentiable JAX functions,
+so gradients come from autodiff instead of the reference's hand-derived /
+numeric derivatives; the scipy BFGS driver consumes jitted value-and-grad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bde2vid_tpu.events.voxel import events_to_image_bilinear
+
+Array = jax.Array
+
+
+# ---------------------------------- warps ------------------------------------
+
+
+def linvel_warp(xs: Array, ys: Array, ts: Array, params: Array, t0: float = 0.0):
+    """Linear-velocity (global optic flow) warp: p' = p - dt * v
+    (reference warps.py:20-37). params = (vx, vy)."""
+    dt = ts - t0
+    return xs - dt * params[0], ys - dt * params[1]
+
+
+LINVEL_DIMS = 2
+
+
+# -------------------------------- IWE ----------------------------------------
+
+
+def gaussian_blur(img: Array, sigma: Optional[float]) -> Array:
+    """Separable Gaussian blur (scipy gaussian_filter equivalent, truncate=4)."""
+    if sigma is None or sigma <= 0:
+        return img
+    radius = int(4.0 * sigma + 0.5)
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+    # scipy gaussian_filter default boundary mode is 'reflect' (== numpy
+    # 'symmetric'): pad first, then VALID convolve
+    img = jnp.pad(img, ((radius, radius), (radius, radius)), mode="symmetric")
+    img = img[None, :, :, None]
+    kh = k.reshape(-1, 1, 1, 1)
+    kw = k.reshape(1, -1, 1, 1)
+    img = jax.lax.conv_general_dilated(
+        img, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    img = jax.lax.conv_general_dilated(
+        img, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return img[0, :, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("img_size", "use_polarity", "blur_sigma"))
+def get_iwe(
+    params: Array,
+    xs: Array,
+    ys: Array,
+    ts: Array,
+    ps: Array,
+    n_events,
+    img_size: Tuple[int, int] = (180, 240),
+    use_polarity: bool = True,
+    blur_sigma: Optional[float] = None,
+) -> Array:
+    """Image of warped events under the linvel warp (objectives.py:56-71)."""
+    wx, wy = linvel_warp(xs.astype(jnp.float32), ys.astype(jnp.float32), ts, params)
+    weights = ps if use_polarity else jnp.abs(ps)
+    iwe = events_to_image_bilinear(wx, wy, weights, n_events, sensor_size=img_size)
+    return gaussian_blur(iwe, blur_sigma)
+
+
+# ------------------------------ objectives -----------------------------------
+
+
+def variance_objective(iwe: Array) -> Array:
+    """Negative variance of the IWE (Gallego'18; objectives.py:73-113)."""
+    return -jnp.var(iwe)
+
+
+def rms_objective(iwe: Array) -> Array:
+    """Negative RMS (objectives.py:115-155)."""
+    return -jnp.mean(iwe**2)
+
+
+def sos_objective(iwe: Array) -> Array:
+    """Negative sum of squares (Stoffregen'19; objectives.py:157-198)."""
+    return -jnp.mean(iwe**2)
+
+
+def soe_objective(iwe: Array) -> Array:
+    """Negative sum of exponentials (objectives.py:200-241)."""
+    return -jnp.mean(jnp.exp(iwe))
+
+
+def moa_objective(iwe: Array) -> Array:
+    """Negative max of accumulations (objectives.py:243-271)."""
+    return -jnp.max(iwe)
+
+
+def isoa_objective(iwe: Array, thresh: float = 0.5) -> Array:
+    """Inverse sum of (soft) suprathreshold accumulations (objectives.py:273-318).
+    The reference counts pixels above a threshold; a sigmoid relaxation keeps
+    it differentiable for the gradient path."""
+    return jnp.sum(jax.nn.sigmoid((iwe - thresh) * 50.0))
+
+
+def sosa_objective(iwe: Array, p: float = 3.0) -> Array:
+    """Sum of suprathreshold accumulations variant (objectives.py:320+)."""
+    return -jnp.sum(jnp.exp(-p * jnp.abs(iwe)))
+
+
+OBJECTIVES = {
+    "variance": variance_objective,
+    "rms": rms_objective,
+    "sos": sos_objective,
+    "soe": soe_objective,
+    "moa": moa_objective,
+    "isoa": isoa_objective,
+    "sosa": sosa_objective,
+}
+
+
+# ------------------------------ optimization ---------------------------------
+
+
+def optimize_contrast(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ts: np.ndarray,
+    ps: np.ndarray,
+    objective: str = "variance",
+    x0: Optional[np.ndarray] = None,
+    img_size: Tuple[int, int] = (180, 240),
+    blur_sigma: Optional[float] = 1.0,
+    use_polarity: bool = True,
+) -> np.ndarray:
+    """BFGS over warp params (reference optimize_contrast :47-77), with
+    autodiff gradients. Returns the argmax warp parameters."""
+    import scipy.optimize as opt
+
+    from bde2vid_tpu.events.voxel import pad_events
+
+    px, py, pt, pp, n = pad_events(
+        xs.astype(np.float32), ys.astype(np.float32), ts, ps
+    )
+    obj_fn = OBJECTIVES[objective]
+
+    @jax.jit
+    def value_and_grad(params):
+        def f(p):
+            iwe = get_iwe(
+                p, px, py, pt, pp, n, img_size=img_size,
+                use_polarity=use_polarity, blur_sigma=blur_sigma,
+            )
+            return obj_fn(iwe)
+
+        return jax.value_and_grad(f)(params)
+
+    def f_np(p):
+        v, _ = value_and_grad(jnp.asarray(p, jnp.float32))
+        return float(v)
+
+    def g_np(p):
+        _, g = value_and_grad(jnp.asarray(p, jnp.float32))
+        return np.asarray(g, np.float64)
+
+    x0 = np.zeros(LINVEL_DIMS) if x0 is None else np.asarray(x0, np.float64)
+    return opt.fmin_bfgs(f_np, x0, fprime=g_np, disp=False)
+
+
+def optimize_r2(xs, ys, ts, ps, objective: str = "sos", **kw) -> np.ndarray:
+    """Two-stage schedule finishing with SoE at blur 1.0 (reference :102-120)."""
+    argmax = optimize_contrast(xs, ys, ts, ps, objective=objective, blur_sigma=None, **kw)
+    return optimize_contrast(
+        xs, ys, ts, ps, objective="soe", x0=argmax, blur_sigma=1.0, **kw
+    )
