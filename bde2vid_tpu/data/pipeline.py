@@ -70,15 +70,16 @@ class EventSequence:
         sensor_resolution: Optional[Tuple[int, int]] = None,
         has_frames: bool = True,
         max_length: Optional[int] = None,
+        ev_rate: Optional[float] = None,
     ):
         self.reader = reader
-        self.windows = np.asarray(windows, np.int64)
+        self.item_windows = np.asarray(windows, np.int64)
         self.num_bins = num_bins
         self.combined = combined_voxel_channels
         self.normalize = normalize
         self.sensor_size = tuple(sensor_resolution or reader.sensor_size)
         self.has_frames = has_frames
-        self.length = len(self.windows)
+        self.length = len(self.item_windows)
         if has_frames:
             self.length = min(self.length, reader.num_frames - 1) if reader.num_frames else 0
         if max_length is not None:
@@ -86,7 +87,29 @@ class EventSequence:
         if self.length <= 0:
             raise ValueError("sequence has zero usable steps")
 
-        sizes = self.windows[: self.length, 1] - self.windows[: self.length, 0]
+        # SPADE event-rate splitting (reference SpadeE2VDataset,
+        # h5_dataset.py:486-565): each item window splits into
+        # len(events) // (H*W*ev_rate) equal sub-windows; the model consumes
+        # them sequentially and the item's prediction is the LAST one.
+        self.item_last: Optional[np.ndarray] = None
+        if ev_rate is not None:
+            num_pixels = self.sensor_size[0] * self.sensor_size[1]
+            flat = []
+            last = []
+            for i in range(self.length):
+                i0, i1 = self.item_windows[i]
+                n = int(i1 - i0)
+                num_vox = max(n // int(num_pixels * ev_rate), 1)
+                bounds = np.linspace(i0, i1, num_vox + 1).astype(np.int64)
+                for j in range(num_vox):
+                    flat.append([bounds[j], bounds[j + 1]])
+                last.append(len(flat) - 1)
+            self.windows = np.asarray(flat, np.int64)
+            self.item_last = np.asarray(last, np.int64)
+        else:
+            self.windows = self.item_windows[: self.length]
+
+        sizes = self.windows[:, 1] - self.windows[:, 0]
         self.capacity = _bucket_capacity(int(sizes.max()) if len(sizes) else 1)
 
         src = "unknown"
@@ -174,9 +197,12 @@ class EventSequence:
         return jax.jit(jax.vmap(one))(xs, ys, ts, ps, ns)
 
     def voxels(self, start: int = 0, stop: Optional[int] = None, batch: int = 64):
-        """Voxel grids for steps [start, stop) as a device array
-        [T, B, H, W] (or [T, 2B, H, W] for separate polarities)."""
-        stop = self.length if stop is None else min(stop, self.length)
+        """Voxel grids for (flat) windows [start, stop) as a device array
+        [T, B, H, W] (or [T, 2B, H, W] for separate polarities). With
+        ev_rate splitting there are more flat windows than items; use
+        ``item_last`` to map items to their final sub-voxel."""
+        n_windows = len(self.windows)
+        stop = n_windows if stop is None else min(stop, n_windows)
         out = []
         for s in range(start, stop, batch):
             e = min(s + batch, stop)
@@ -203,14 +229,31 @@ def load_sequence(
     normalize: bool = False,
     sensor_resolution: Optional[Tuple[int, int]] = None,
     max_length: Optional[int] = None,
+    ltype: str = "H5",
+    ev_rate: Optional[float] = None,
+    k_framerate: int = 1,
 ) -> EventSequence:
-    """Open an h5 sequence with a windowing policy (reference
-    InferenceDataLoader + set_voxel_method surface)."""
+    """Open an event sequence with a windowing policy (reference
+    InferenceDataLoader backend dispatch, h5_dataset.py:19-42:
+    H5 | SpadeH5 (ev_rate splitting) | MMP (RPG memmap dir); plus the HFR
+    k_framerate variant, h5_dataset.py:458-483)."""
     voxel_method = voxel_method or {"method": "between_frames"}
-    reader = H5EventReader(path)
+    if ltype in ("H5", "SpadeH5"):
+        reader = H5EventReader(path)
+        if ltype == "SpadeH5" and ev_rate is None:
+            ev_rate = 0.35
+    elif ltype == "MMP":
+        from bde2vid_tpu.events.tools import MemMapEventReader
+
+        reader = MemMapEventReader(path)
+    else:
+        raise ValueError(f"unknown loader type {ltype!r}")
     method = voxel_method["method"]
     if method == "between_frames":
-        windows = between_frames_windows(reader.frame_event_indices)
+        if k_framerate > 1:
+            windows = hfr_windows(reader, k_framerate)
+        else:
+            windows = between_frames_windows(reader.frame_event_indices)
         has_frames = True
     elif method == "k_events":
         windows = k_events_windows(
@@ -239,4 +282,19 @@ def load_sequence(
         sensor_resolution=sensor_resolution,
         has_frames=has_frames,
         max_length=max_length,
+        ev_rate=ev_rate,
     )
+
+
+def hfr_windows(reader, k_framerate: int) -> np.ndarray:
+    """High-framerate windows: each window starts at ts_frame - span/k
+    (reference DynamicH5DatasetHFR, h5_dataset.py:458-483)."""
+    ends = np.asarray(reader.frame_event_indices, np.int64)
+    fts = np.asarray(reader.frame_timestamps, np.float64)
+    starts = np.zeros_like(ends)
+    start_ts = 0.0
+    for i, (e, t) in enumerate(zip(ends, fts)):
+        s_ts = t - (t - start_ts) / k_framerate
+        starts[i] = reader.search_time(float(s_ts))
+        start_ts = t
+    return np.stack([starts, ends], axis=1)

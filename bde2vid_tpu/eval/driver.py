@@ -126,7 +126,12 @@ def evaluate_sequence(
     crop = CropParameters(w, h, spec.num_encoders)
 
     # ---- assemble voxels (device) + frames (host) -------------------------
-    voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
+    if seq.item_last is not None:
+        # SPADE ev_rate mode: all sub-voxels up to item T-1's last
+        flat_stop = int(seq.item_last[T - 1]) + 1
+        voxels = seq.voxels(0, flat_stop, batch=cfg.voxel_batch)
+    else:
+        voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
     frames = seq.frames(0, T)  # (T, H, W) float32
 
     if cfg.pause_st is not None and cfg.pause_ed is not None:
@@ -142,14 +147,15 @@ def evaluate_sequence(
     x = crop.pad(x)
 
     # ---- model forward (scan per chunk, state reset at chunk boundary) ----
-    chunk = cfg.subseq_L or T
+    n_steps = voxels.shape[0]  # == T except in ev_rate (sub-voxel) mode
+    chunk = cfg.subseq_L or n_steps
     preds = []
     if spec.is_sequence_model:
         # BDE2VID-style: the whole (sub)sequence is one forward; the
         # reference resets state per call (bde2vid.py:31), so chunks are
         # independent (eval_models_seq.py:216-219)
         run = jax.jit(lambda v: spec.module.apply(spec.params, v)[0]["image"])
-        for s in range(0, T, chunk):
+        for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
             preds.append(
                 run(piece)
@@ -161,7 +167,7 @@ def evaluate_sequence(
         run = jax.jit(
             lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
         )
-        for s in range(0, T, chunk):
+        for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
             if piece.shape[0] == chunk:
                 imgs = run(piece)
@@ -169,6 +175,11 @@ def evaluate_sequence(
                 imgs, _ = run_sequence(spec.module, spec.params, piece, state0)
             preds.append(imgs)
     preds = jnp.concatenate(preds, axis=0)  # (T, 1, H', W', 1)
+
+    if seq.item_last is not None:
+        # item prediction = last sub-voxel's output (reference SPADE wrapper
+        # loops sub-voxels and returns the final pred, spade_e2v.py:33-37)
+        preds = preds[jnp.asarray(seq.item_last[:T])]
 
     preds = crop.crop(preds)[:, 0, :, :, 0]  # (T, H, W)
 
@@ -249,6 +260,7 @@ def evaluate_all(
             num_bins=cfg.num_bins,
             hot_filter=cfg.filter_hot_events,
             normalize=cfg.normalize,
+            ltype="SpadeH5" if spec.name == "SPADEE2VID" else "H5",
         )
         result, detail = evaluate_sequence(spec, seq, cfg)
         seq.reader.close()

@@ -1,0 +1,215 @@
+"""Event-data conversion tools (reference: events_contrast_maximization/tools/).
+
+- txt/csv -> h5        (txt_to_h5.py:23-90)
+- h5 slice (cut)       (h5_cut.py:21+)
+- h5 attribute patch   (add_hdf5_attribute.py:28+)
+- h5 <-> memmap        (h5_to_memmap.py, read_events.py:12+)
+- rosbag -> h5 is intentionally absent: the rosbag toolchain is not in this
+  environment; the canonical h5 schema is produced by the other converters.
+
+All converters emit the canonical schema via H5EventWriter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from bde2vid_tpu.events.h5_io import H5EventReader, H5EventWriter
+
+
+def txt_to_h5(
+    txt_path: str,
+    output_path: str,
+    zero_timestamps: bool = False,
+    sensor_size: Optional[Tuple[int, int]] = None,
+    chunksize: int = 100_000,
+) -> None:
+    """Convert a whitespace text event stream ``t x y pol`` (one header line)
+    to the canonical h5 format, streaming in chunks."""
+    if sensor_size is None:
+        with open(txt_path) as fp:
+            header = fp.readline().split()
+        if len(header) == 2:  # first line is "W H" in the DVS txt convention
+            sensor_size = (int(header[1]), int(header[0]))
+    first_ts = None
+    with H5EventWriter(output_path, sensor_size=sensor_size or (180, 240)) as w:
+        max_x = max_y = 0
+        with open(txt_path) as fp:
+            fp.readline()  # header
+            done = False
+            while not done:
+                ts, xs, ys, ps = [], [], [], []
+                for _ in range(chunksize):
+                    line = fp.readline()
+                    if not line:
+                        done = True
+                        break
+                    t, x, y, p = line.split()
+                    ts.append(float(t))
+                    xs.append(int(x))
+                    ys.append(int(y))
+                    ps.append(int(p) > 0)
+                if not ts:
+                    break
+                ts = np.asarray(ts, np.float64)
+                if first_ts is None:
+                    first_ts = ts[0]
+                if zero_timestamps:
+                    ts = ts - first_ts
+                xs = np.asarray(xs, np.int16)
+                ys = np.asarray(ys, np.int16)
+                max_x = max(max_x, int(xs.max()))
+                max_y = max(max_y, int(ys.max()))
+                w.append_events(xs, ys, ts, np.asarray(ps))
+        if sensor_size is None:
+            w.sensor_size = (max_y + 1, max_x + 1)
+
+
+def h5_cut(
+    input_path: str, output_path: str, t_start: float, t_end: float
+) -> None:
+    """Slice an h5 sequence to [t_start, t_end) seconds (relative to t0),
+    keeping frames/flow in range (reference h5_cut.py)."""
+    with H5EventReader(input_path) as r:
+        i0 = r.search_time(t_start)
+        i1 = r.search_time(t_end)
+        sl = r.events(i0, i1)
+        with H5EventWriter(output_path, sensor_size=r.sensor_size) as w:
+            w.append_events(sl.xs, sl.ys, sl.ts + r.t0, sl.ps > 0)
+            if r.num_frames:
+                fts = r.frame_timestamps
+                for i in np.nonzero((fts >= t_start) & (fts < t_end))[0]:
+                    img = np.asarray(r.f["images"][r._frame_keys[int(i)]])
+                    w.add_image(img, float(fts[int(i)]) + r.t0)
+
+
+def add_hdf5_attribute(path: str, attr: str, value, dataset: Optional[str] = None):
+    """Patch an attribute on the file (or a dataset) in place
+    (reference add_hdf5_attribute.py:28+)."""
+    import h5py
+
+    with h5py.File(path, "a") as f:
+        target = f[dataset] if dataset else f
+        target.attrs[attr] = value
+
+
+# ------------------------------- memmap --------------------------------------
+
+MEMMAP_FILES = ("t.npy", "xy.npy", "p.npy", "images.npy", "timestamps.npy")
+
+
+def h5_to_memmap(h5_path: str, out_dir: str) -> None:
+    """Export the canonical h5 format to the RPG memmap layout:
+    t.npy (N,), xy.npy (N,2), p.npy (N,), images.npy (F,H,W,1),
+    timestamps.npy (F,), index.npy (F,), dataset_config.json."""
+    os.makedirs(out_dir, exist_ok=True)
+    with H5EventReader(h5_path) as r:
+        sl = r.events(0, r.num_events)
+        np.save(os.path.join(out_dir, "t.npy"), (sl.ts + r.t0).astype(np.float64))
+        np.save(
+            os.path.join(out_dir, "xy.npy"),
+            np.stack([sl.xs, sl.ys], axis=1).astype(np.int16),
+        )
+        np.save(os.path.join(out_dir, "p.npy"), (sl.ps > 0).astype(np.uint8))
+        if r.num_frames:
+            imgs = np.stack(
+                [np.asarray(r.f["images"][k]) for k in r._frame_keys]
+            )
+            if imgs.ndim == 3:
+                imgs = imgs[..., None]
+            np.save(os.path.join(out_dir, "images.npy"), imgs)
+            np.save(
+                os.path.join(out_dir, "timestamps.npy"),
+                r.frame_timestamps + r.t0,
+            )
+            np.save(os.path.join(out_dir, "index.npy"), r.frame_event_indices)
+        with open(os.path.join(out_dir, "dataset_config.json"), "w") as fp:
+            json.dump(
+                {
+                    "data_source": "unknown",
+                    "sensor_resolution": list(r.sensor_size),
+                    "num_events": int(r.num_events),
+                },
+                fp,
+            )
+
+
+class MemMapEventReader:
+    """Random-access reader over the RPG memmap layout, matching the
+    H5EventReader surface (reference MemMapDataset, h5_dataset.py:568-665)."""
+
+    def __init__(self, path: str):
+        if not os.path.isdir(path):
+            raise ValueError(f"{path} is not a memmap directory")
+        self.path = path
+        self.t = np.load(os.path.join(path, "t.npy"), mmap_mode="r").squeeze()
+        self.xy = np.load(os.path.join(path, "xy.npy"), mmap_mode="r").squeeze()
+        self.p = np.load(os.path.join(path, "p.npy"), mmap_mode="r").squeeze()
+        img_path = os.path.join(path, "images.npy")
+        self.images = np.load(img_path, mmap_mode="r") if os.path.exists(img_path) else None
+        ts_path = os.path.join(path, "timestamps.npy")
+        self.frame_ts = np.load(ts_path) if os.path.exists(ts_path) else np.zeros(0)
+        cfg_path = os.path.join(path, "dataset_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as fp:
+                cfg = json.load(fp)
+            self.sensor_size = tuple(cfg["sensor_resolution"])[:2]
+        elif self.images is not None and len(self.images):
+            self.sensor_size = tuple(self.images[0].shape[:2])
+        else:
+            self.sensor_size = (int(self.xy[:, 1].max()) + 1, int(self.xy[:, 0].max()) + 1)
+        self.t0 = float(self.t[0]) if len(self.t) else 0.0
+
+    @property
+    def num_events(self) -> int:
+        return len(self.t)
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.frame_ts)
+
+    @property
+    def frame_timestamps(self) -> np.ndarray:
+        return np.asarray(self.frame_ts, np.float64) - self.t0
+
+    @property
+    def frame_event_indices(self) -> np.ndarray:
+        idx_path = os.path.join(self.path, "index.npy")
+        if os.path.exists(idx_path):
+            idx = np.load(idx_path)
+            return idx[:, -1] if idx.ndim == 2 else idx
+        return np.searchsorted(np.asarray(self.t), np.asarray(self.frame_ts))
+
+    @property
+    def num_flow(self) -> int:
+        return 0
+
+    def events(self, i0: int, i1: int):
+        from bde2vid_tpu.events.h5_io import EventSlice
+
+        xy = np.asarray(self.xy[i0:i1])
+        return EventSlice(
+            xs=xy[:, 0].astype(np.int32),
+            ys=xy[:, 1].astype(np.int32),
+            ts=(np.asarray(self.t[i0:i1]) - self.t0).astype(np.float32),
+            ps=np.asarray(self.p[i0:i1]).astype(np.float32) * 2.0 - 1.0,
+        )
+
+    def search_time(self, t: float, side: str = "left") -> int:
+        return int(np.searchsorted(np.asarray(self.t) - self.t0, t, side=side))
+
+    def frame(self, i: int) -> np.ndarray:
+        img = np.asarray(self.images[i])
+        if img.ndim == 3:
+            img = img[..., 0]
+        return (img / 255.0).astype(np.float32)
+
+    def flow(self, i: int):
+        raise IndexError("memmap dataset has no flow")
+
+    def close(self):
+        pass

@@ -1,0 +1,111 @@
+"""Event tools tests: converters, memmap backend, HFR and ev_rate windowing."""
+
+import numpy as np
+import pytest
+
+from bde2vid_tpu.data import load_sequence
+from bde2vid_tpu.events import H5EventReader, H5EventWriter
+from bde2vid_tpu.events.tools import (
+    MemMapEventReader,
+    add_hdf5_attribute,
+    h5_cut,
+    h5_to_memmap,
+    txt_to_h5,
+)
+from tests.conftest import make_events
+
+SENSOR = (48, 64)
+
+
+@pytest.fixture
+def h5_file(tmp_path, rng):
+    xs, ys, ts, ps = make_events(rng, n=8000, sensor_size=SENSOR, t1=2.0)
+    path = str(tmp_path / "seq.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(6):
+            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 3)
+    return path
+
+
+def test_txt_to_h5_roundtrip(tmp_path, rng):
+    xs, ys, ts, ps = make_events(rng, n=500, sensor_size=SENSOR, t1=1.0)
+    txt = tmp_path / "events.txt"
+    with open(txt, "w") as fp:
+        fp.write(f"{SENSOR[1]} {SENSOR[0]}\n")
+        for t, x, y, p in zip(ts, xs, ys, ps):
+            fp.write(f"{t:.9f} {x} {y} {1 if p > 0 else 0}\n")
+    out = str(tmp_path / "events.h5")
+    txt_to_h5(str(txt), out)
+    with H5EventReader(out) as r:
+        assert r.num_events == 500
+        assert r.sensor_size == SENSOR
+        sl = r.events(0, 500)
+        np.testing.assert_array_equal(sl.xs, xs)
+        np.testing.assert_allclose(sl.ts, ts - ts[0], atol=1e-6)
+
+
+def test_h5_cut(tmp_path, h5_file):
+    out = str(tmp_path / "cut.h5")
+    h5_cut(h5_file, out, 0.5, 1.5)
+    with H5EventReader(h5_file) as r0, H5EventReader(out) as r1:
+        assert 0 < r1.num_events < r0.num_events
+        assert r1.num_frames < r0.num_frames
+        sl = r1.events(0, r1.num_events)
+        assert sl.ts.max() <= 1.0 + 1e-6  # shifted window span
+
+
+def test_add_hdf5_attribute(h5_file):
+    add_hdf5_attribute(h5_file, "source", "ijrr")
+    with H5EventReader(h5_file) as r:
+        assert r.f.attrs["source"] == "ijrr"
+
+
+def test_h5_to_memmap_and_reader(tmp_path, h5_file):
+    out = str(tmp_path / "mm")
+    h5_to_memmap(h5_file, out)
+    mm = MemMapEventReader(out)
+    with H5EventReader(h5_file) as r:
+        assert mm.num_events == r.num_events
+        assert mm.num_frames == r.num_frames
+        assert mm.sensor_size == tuple(r.sensor_size)
+        a = mm.events(10, 50)
+        b = r.events(10, 50)
+        np.testing.assert_array_equal(a.xs, b.xs)
+        np.testing.assert_allclose(a.ts, b.ts, atol=1e-5)
+        np.testing.assert_allclose(mm.frame(0), r.frame(0), atol=1e-6)
+
+
+def test_load_sequence_mmp_matches_h5(tmp_path, h5_file):
+    out = str(tmp_path / "mm")
+    h5_to_memmap(h5_file, out)
+    seq_h5 = load_sequence(h5_file, num_bins=5)
+    seq_mm = load_sequence(out, num_bins=5, ltype="MMP")
+    assert len(seq_mm) == len(seq_h5)
+    np.testing.assert_allclose(
+        np.asarray(seq_mm.voxels()), np.asarray(seq_h5.voxels()), atol=1e-3
+    )
+
+
+def test_spade_ev_rate_splitting(h5_file):
+    seq = load_sequence(h5_file, num_bins=5, ltype="SpadeH5", ev_rate=0.05)
+    assert seq.item_last is not None
+    assert len(seq.windows) >= len(seq)  # flat sub-windows
+    assert seq.item_last[-1] == len(seq.windows) - 1
+    # sub-windows tile each item window exactly
+    for i in range(len(seq)):
+        lo = seq.item_last[i - 1] + 1 if i else 0
+        hi = seq.item_last[i]
+        assert seq.windows[lo, 0] == seq.item_windows[i, 0]
+        assert seq.windows[hi, 1] == seq.item_windows[i, 1]
+    vox = np.asarray(seq.voxels())
+    assert vox.shape[0] == len(seq.windows)
+
+
+def test_hfr_windows(h5_file):
+    seq1 = load_sequence(h5_file, num_bins=5)
+    seq2 = load_sequence(h5_file, num_bins=5, k_framerate=3)
+    assert len(seq2) == len(seq1)
+    # HFR windows end at the same frame indices but start later (shorter span)
+    assert (seq2.windows[:, 1] == seq1.windows[: len(seq2), 1]).all()
+    assert (seq2.windows[1:, 0] >= seq1.windows[1 : len(seq2), 0]).all()
