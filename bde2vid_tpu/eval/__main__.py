@@ -46,6 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lpips_backbone", default=None, type=str,
                    help="torch state dict with torchvision alexnet features.*")
     p.add_argument("--bf16", action="store_true", help="run models in bfloat16")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas window-attention kernel (BDE2VID)")
     return p
 
 
@@ -133,6 +135,14 @@ def main(argv=None) -> int:
             continue
         print(f"loading {ckpt} ...")
         spec = load_model_from_torch(ckpt, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        if args.pallas and spec.name == "BDE2VID":
+            from bde2vid_tpu.models import build_model
+
+            cfg2 = dict(spec.module.config)
+            cfg2["use_pallas_attention"] = True
+            spec.module = build_model(
+                "BDE2VID", cfg2, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+            )
         cfg = EvalConfig(
             subseq_L=subseq,
             max_length=args.max_length,

@@ -95,6 +95,7 @@ class _AttnStep(nn.Module):
     nwindow_size: Optional[Tuple[int, int]]
     drop_path: Tuple[float, ...]
     activation: str
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -126,6 +127,7 @@ class _AttnStep(nn.Module):
                 q_ind=q_ind,
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
@@ -134,6 +136,69 @@ class _AttnStep(nn.Module):
         new = center + cur
         merged = jax.lax.dynamic_update_index_in_dim(merged, new, t, 0)
         return merged, ()
+
+
+class _AttnParallel(nn.Module):
+    """FAST (non-parity) attention mode: every frame's buffer reads the
+    ORIGINAL merged features, so all T frames batch through the attention
+    blocks at once — window matmuls across T*nW stay large on the MXU.
+    Differs from the reference's sequential in-place semantics (frame t
+    seeing already-attended past frames); enable via
+    ``parallel_attention=True`` when throughput matters more than
+    checkpoint-exact outputs."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    buffer_index: Tuple[int, ...]
+    q_idx: Optional[int]
+    window_size: Tuple[int, int]
+    nwindow_size: Optional[Tuple[int, int]]
+    drop_path: Tuple[float, ...]
+    activation: str
+    slab: int = 128  # frames attended per batch (memory bound)
+    dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, merged: Array) -> Array:
+        T, N, H, W, C = merged.shape
+        D = len(self.buffer_index)
+        wsz = (D, *self.window_size)
+        q_ind = wsz[0] // 2 if self.q_idx is None else self.q_idx
+        blocks = [
+            SwinTransformerBlock3D(
+                self.dim,
+                self.num_heads,
+                window_size=wsz,
+                nwindow_size=self.nwindow_size,
+                dilate_win=(i % 2 == 1),
+                q_ind=q_ind,
+                activation=self.activation,
+                drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                dtype=self.dtype,
+                deterministic=self.deterministic,
+                name=f"blocks{i}",
+            )
+            for i in range(self.depth)
+        ]
+
+        outs = []
+        for s0 in range(0, T, self.slab):
+            s1 = min(s0 + self.slab, T)
+            ts = jnp.arange(s0, s1)
+            offs = ts[:, None] + jnp.asarray(self.buffer_index)[None, :]  # (S, D)
+            valid = (offs >= 0) & (offs < T)
+            safe = jnp.clip(offs, 0, T - 1)
+            buf = merged[safe]  # (S, D, N, H, W, C)
+            buf = jnp.where(valid[:, :, None, None, None, None], buf, 0.0)
+            x = buf.transpose(1, 0, 2, 3, 4, 5).reshape(D, (s1 - s0) * N, H, W, C)
+            center = x[q_ind]
+            for blk in blocks:
+                x = x.at[q_ind].set(center)
+                center = blk(x)
+            outs.append(center.reshape(s1 - s0, N, H, W, C))
+        return merged + jnp.concatenate(outs, axis=0)
 
 
 class _ResFallbackStep(nn.Module):
@@ -256,6 +321,8 @@ class BDE2VIDGenerator(nn.Module):
     num_heads: int = 16
     drop_path_rate: float = 0.2
     act_attn: str = "default"
+    parallel_attention: bool = False  # fast mode; see _AttnParallel
+    use_pallas_attention: bool = False  # fused VMEM attention kernel (TPU)
     dtype: jnp.dtype = jnp.float32
     train: bool = False
 
@@ -319,7 +386,23 @@ class BDE2VIDGenerator(nn.Module):
             depth = self.depths[lvl] if lvl < len(self.depths) else 0
             is_last = lvl == self.num_encoders - 1
             ts = jnp.arange(T)
-            if depth > 0:
+            if depth > 0 and self.parallel_attention:
+                dpr = tuple(np.linspace(0, self.drop_path_rate, depth).tolist())
+                merged = _AttnParallel(
+                    dim=ch,
+                    depth=depth,
+                    num_heads=self.num_heads,
+                    buffer_index=tuple(self.buffer_index),
+                    q_idx=self.q_idx,
+                    window_size=tuple(self.window_size),
+                    nwindow_size=self.nwindow_size,
+                    drop_path=dpr,
+                    activation=act_attn,
+                    dtype=self.dtype,
+                    deterministic=not self.train,
+                    name=f"feat_attns{lvl}",
+                )(merged)
+            elif depth > 0:
                 dpr = tuple(np.linspace(0, self.drop_path_rate, depth).tolist())
                 step = nn.scan(
                     _AttnStep,
@@ -337,6 +420,7 @@ class BDE2VIDGenerator(nn.Module):
                     nwindow_size=self.nwindow_size,
                     drop_path=dpr,
                     activation=act_attn,
+                    use_pallas=self.use_pallas_attention,
                     dtype=self.dtype,
                     deterministic=not self.train,
                     name=f"feat_attns{lvl}",
@@ -433,6 +517,14 @@ class BDE2VID(nn.Module):
             num_heads=gcfg.get("num_heads", 16),
             drop_path_rate=gcfg.get("drop_path_rate", 0.2),
             act_attn=gcfg.get("act_attn", "default"),
+            parallel_attention=bool(
+                self.config.get("parallel_attention", gcfg.get("parallel_attention", False))
+            ),
+            use_pallas_attention=bool(
+                self.config.get(
+                    "use_pallas_attention", gcfg.get("use_pallas_attention", False)
+                )
+            ),
         )
         images = BDE2VIDGenerator(
             dtype=self.dtype, train=self.train, name="generator", **kw

@@ -131,6 +131,7 @@ class WindowAttention3D(nn.Module):
     q_ind: Optional[int] = None
     nwin_size: Optional[Tuple[int, int]] = None
     qkv_bias: bool = True
+    use_pallas: bool = False  # fused VMEM attention kernel (TPU)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -170,12 +171,6 @@ class WindowAttention3D(nn.Module):
         kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(kv_tok)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        def heads(t):
-            return t.reshape(b_, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q) * scale, heads(k), heads(v)
-        attn = jnp.einsum("bhmd,bhnd->bhmn", q, k)
-
         # bias table uses the CONFIGURED window size; indices sliced to the
         # q-frame rows and the first N columns (reference :195-199)
         table = self.param(
@@ -188,11 +183,26 @@ class WindowAttention3D(nn.Module):
         qs = q_ind * wh0 * ww0
         rows = idx[qs : qs + wh0 * ww0, :n][:m].reshape(-1)
         bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhmn,bhnd->bhmd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, m, c)
+        if self.use_pallas:
+            # fused VMEM kernel: never materializes (B_, H, M, N) in HBM
+            from bde2vid_tpu.ops.window_attn_pallas import fused_window_attention
+
+            interpret = jax.devices()[0].platform != "tpu"
+            out = fused_window_attention(
+                q, k, v, bias, self.num_heads, interpret=interpret
+            )
+        else:
+            def heads(t):
+                return t.reshape(b_, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = heads(q) * scale, heads(k), heads(v)
+            attn = jnp.einsum("bhmd,bhnd->bhmn", qh, kh)
+            attn = attn + bias[None].astype(attn.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhmn,bhnd->bhmd", attn, vh)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, m, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return out.reshape(b_, h, w, c)
 
@@ -225,6 +235,7 @@ class SwinTransformerBlock3D(nn.Module):
     q_ind: Optional[int] = None
     activation: str = "gelu"
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -257,6 +268,7 @@ class SwinTransformerBlock3D(nn.Module):
             self.num_heads,
             q_ind=q_ind,
             nwin_size=self.nwindow_size,
+            use_pallas=self.use_pallas and self.nwindow_size is None,
             dtype=self.dtype,
             name="attn",
         )(windows)

@@ -1,0 +1,127 @@
+"""Fused cross-frame window attention (Pallas TPU kernel).
+
+The BDE2VID window attention (nn/window_attention.py) is the throughput
+bottleneck of the flagship: per window, q has M = Wh*Ww tokens, kv has
+N = D*Wh*Ww tokens, and the XLA path materializes the (B*, heads, M, N)
+score tensor in HBM (~135 MB per block at 240x180), making bias+softmax+AV
+bandwidth-bound (~2.7 ms/block measured vs ~0.1 ms of useful traffic).
+
+This kernel keeps each window's scores entirely in VMEM (flash-attention
+style, but the whole window fits so no online-softmax tiling is needed):
+
+- one grid program per window;
+- head_dim is tiny (e.g. 4 for 16 heads on 64 channels) which is hostile to
+  the MXU, so scores are computed with a HEAD-MASK trick: for head h,
+  ``scores_h = (q * mask_h) @ k^T`` — a full-K=C matmul whose contraction
+  only sees head h's channels. 16 full-width matmuls trade 4x redundant
+  FLOPs (free: we are far from compute bound) for MXU-shaped operands;
+- AV uses the complementary trick: ``out += attn_h @ (v * mask_h)`` — the
+  head masks partition the output columns, so the sum assembles the
+  multi-head output directly in (M, C) layout. No lane-dimension reshapes
+  anywhere (Mosaic-friendly).
+
+HBM traffic drops to reading q/k/v once and writing (M, C) per window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _kernel(
+    q_ref, k_ref, v_ref, bias_ref, masks_ref, out_ref, *, num_heads, scale, wb, m
+):
+    # masks_ref: (H*M, C) row-stacked head masks (precomputed host-side — no
+    # tile-unaligned reshapes inside the kernel); bias_ref: (H*M, N)
+    masks_rows = masks_ref[:]
+    bias_rows = bias_ref[:].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    for w in range(wb):  # windows per program (amortizes the bias DMA)
+        q = q_ref[w]  # (M, C) — keep input dtype: bf16 operands run the MXU
+        k = k_ref[w]  # at full rate; accumulation is f32 via
+        v = v_ref[w]  # preferred_element_type
+        c = q.shape[-1]
+
+        # stack all heads' masked queries in the ROW dimension so the whole
+        # window is TWO big MXU matmuls instead of 2*H tiny ones:
+        #   Qm (H*M, C) = mask_h ⊙ q per head-block of rows
+        q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
+        qm = masks_rows.astype(in_dtype) * q_rep
+        scores = jax.lax.dot_general(
+            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (H*M, N); row block h only sees head h's channels
+        scores = scores * scale + bias_rows
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
+        outs = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (H*M, C): row block h has all columns; keep only head h's
+        outs = outs * masks_rows
+        out = outs[0:m]
+        for h in range(1, num_heads):
+            out = out + outs[h * m : (h + 1) * m]
+        out_ref[w] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_window_attention(
+    q: Array,  # (B_, M, C) post-norm, pre-projection-scale q tokens
+    k: Array,  # (B_, N, C)
+    v: Array,  # (B_, N, C)
+    bias: Array,  # (num_heads, M, N) float32 relative position bias
+    num_heads: int,
+    interpret: bool = False,
+) -> Array:
+    """Softmax((q*scale) @ k^T + bias) @ v with multi-head channel split,
+    fused per window. Returns (B_, M, C) in q's dtype."""
+    b_, m, c = q.shape
+    n = k.shape[1]
+    head_dim = c // num_heads
+    scale = head_dim**-0.5
+
+    masks = np.zeros((num_heads, c), np.float32)
+    for h in range(num_heads):
+        masks[h, h * head_dim : (h + 1) * head_dim] = 1.0
+    masks_rows = jnp.asarray(np.repeat(masks, m, axis=0))  # (H*M, C)
+    bias_rows = bias.reshape(num_heads * m, n)
+
+    # windows per program: amortize the bias/mask DMA without blowing VMEM
+    # (per window: ~2*N*C*4B f32 operands + one (M, N) f32 score plane)
+    wb = 1
+    for cand in (8, 4, 2):
+        if b_ % cand == 0:
+            wb = cand
+            break
+
+    grid = (b_ // wb,)
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, scale=scale, wb=wb, m=m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_heads * m, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((num_heads * m, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_, m, c), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_ * num_heads * (m * n * c * 2),
+            bytes_accessed=b_ * (m * c + 2 * n * c + m * c) * q.dtype.itemsize,
+            transcendentals=b_ * num_heads * m * n,
+        ),
+    )(q, k, v, bias_rows, masks_rows)

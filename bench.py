@@ -36,7 +36,12 @@ def bench_tpu() -> float:
     from __graft_entry__ import _FLAGSHIP_CFG
     from bde2vid_tpu.models import build_model
 
-    model = build_model("BDE2VID", _FLAGSHIP_CFG)
+    # throughput config: bf16 compute + the fused Pallas window-attention
+    # kernel (numerics within bf16 noise of the f32 parity path, which the
+    # eval driver uses by default)
+    cfg = {"generator": dict(_FLAGSHIP_CFG["generator"])}
+    cfg["generator"]["use_pallas_attention"] = True
+    model = build_model("BDE2VID", cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, BINS)).astype(np.float32))
     # params are T-independent: init on a 2-step sequence (much cheaper trace)
