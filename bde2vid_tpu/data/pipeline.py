@@ -206,14 +206,21 @@ class EventSequence:
         out = []
         for s in range(start, stop, batch):
             e = min(s + batch, stop)
-            bufs = [self.raw_window(i) for i in range(s, e)]
-            xs = np.stack([b[0] for b in bufs])
-            ys = np.stack([b[1] for b in bufs])
-            ts = np.stack([b[2] for b in bufs])
-            ps = np.stack([b[3] for b in bufs])
-            ns = np.asarray([b[4] for b in bufs], np.int32)
+            xs, ys, ts, ps, ns = self._pack_batch(s, e)
             out.append(self._voxelize_batch(xs, ys, ts, ps, ns))
         return jnp.concatenate(out, axis=0)
+
+    def _pack_batch(self, s: int, e: int):
+        """Assemble padded (e-s, capacity) buffers: ONE reader span read +
+        one native pack_windows call (C++; NumPy fallback inside)."""
+        from bde2vid_tpu.native import pack_windows
+
+        wins = self.windows[s:e]
+        span0 = int(wins[:, 0].min())
+        span1 = int(wins[:, 1].max())
+        rxs, rys, rts, rps = self.reader.raw_events(span0, span1)
+        rebased = wins - span0
+        return pack_windows(rxs, rys, rts, rps, rebased, self.capacity)
 
     def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
         stop = self.length if stop is None else min(stop, self.length)

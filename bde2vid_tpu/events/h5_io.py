@@ -74,6 +74,16 @@ class H5EventReader:
     def num_events(self) -> int:
         return int(self.f["events/ts"].shape[0])
 
+    def raw_events(self, idx0: int, idx1: int):
+        """Raw on-disk dtypes (int16, int16, float64 absolute, uint8 0/1) —
+        the native packer's input format."""
+        return (
+            self.f["events/xs"][idx0:idx1],
+            self.f["events/ys"][idx0:idx1],
+            self.f["events/ts"][idx0:idx1],
+            self.f["events/ps"][idx0:idx1].astype(np.uint8),
+        )
+
     def events(self, idx0: int, idx1: int) -> EventSlice:
         """Events in [idx0, idx1), converted to framework dtypes."""
         xs = self.f["events/xs"][idx0:idx1].astype(np.int32)

@@ -188,6 +188,15 @@ class MemMapEventReader:
     def num_flow(self) -> int:
         return 0
 
+    def raw_events(self, i0: int, i1: int):
+        xy = np.asarray(self.xy[i0:i1])
+        return (
+            xy[:, 0].astype(np.int16),
+            xy[:, 1].astype(np.int16),
+            np.asarray(self.t[i0:i1], np.float64),
+            np.asarray(self.p[i0:i1], np.uint8),
+        )
+
     def events(self, i0: int, i1: int):
         from bde2vid_tpu.events.h5_io import EventSlice
 
