@@ -253,6 +253,12 @@ def load_sequence(
         from bde2vid_tpu.events.tools import MemMapEventReader
 
         reader = MemMapEventReader(path)
+    elif ltype == "ENPY":
+        from bde2vid_tpu.events.tools import NPYEventReader
+
+        reader = NPYEventReader(path)
+    elif ltype == "NPY":
+        return PrevoxelizedSequence(path, normalize=normalize, max_length=max_length)
     else:
         raise ValueError(f"unknown loader type {ltype!r}")
     method = voxel_method["method"]
@@ -305,3 +311,64 @@ def hfr_windows(reader, k_framerate: int) -> np.ndarray:
         starts[i] = reader.search_time(float(s_ts))
         start_ts = t
     return np.stack([starts, ends], axis=1)
+
+
+class PrevoxelizedSequence:
+    """Pre-voxelized NPY sequence (reference VoxelGridDataset +
+    SynchronizedFramesEventsDataset, event_dataset.py:111-158,
+    dataset.py:379-514): base/{event_folder}/voxels.npy (+ timestamps.txt),
+    base/{frame_folder}/frames.npy + timestamps.txt. Duck-types the
+    EventSequence surface the eval driver needs (voxels/frames/item_last/
+    sensor_size). Frame pairing: first frame whose ts >= voxel ts."""
+
+    item_last = None
+
+    def __init__(
+        self,
+        base_folder: str,
+        event_folder: str = "VoxelGrid-betweenframes-5",
+        frame_folder: str = "frames",
+        normalize: bool = False,
+        max_length: Optional[int] = None,
+    ):
+        import os
+
+        self.base = base_folder
+        ef = os.path.join(base_folder, event_folder)
+        ff = os.path.join(base_folder, frame_folder)
+        self._voxels = np.load(os.path.join(ef, "voxels.npy"), mmap_mode="r")
+        ev_ts = np.loadtxt(os.path.join(ef, "timestamps.txt"))
+        self.event_ts = ev_ts[:, 1] if ev_ts.ndim == 2 else ev_ts
+        self._frames = np.load(os.path.join(ff, "frames.npy"), mmap_mode="r")
+        fr_ts = np.loadtxt(os.path.join(ff, "timestamps.txt"))
+        self.frame_stamps = fr_ts[:, 1] if fr_ts.ndim == 2 else fr_ts
+        self.normalize = normalize
+        self.sensor_size = tuple(self._voxels.shape[-2:])
+        self.length = len(self._voxels)
+        if max_length is not None:
+            self.length = min(self.length, max_length + 1)
+        # first frame with ts >= voxel ts (reference dataset.py pairing)
+        self.frame_idx = np.searchsorted(self.frame_stamps, self.event_ts[: self.length])
+        self.frame_idx = np.clip(self.frame_idx, 0, len(self.frame_stamps) - 1)
+        self.reader = self  # driver closes seq.reader
+
+    def __len__(self):
+        return self.length
+
+    def voxels(self, start: int = 0, stop: Optional[int] = None, batch: int = 64):
+        stop = self.length if stop is None else min(stop, self.length)
+        v = jnp.asarray(np.asarray(self._voxels[start:stop], np.float32))
+        if self.normalize:
+            v = jax.jit(jax.vmap(legacy_norm))(v)
+        return v
+
+    def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
+        stop = self.length if stop is None else min(stop, self.length)
+        idx = self.frame_idx[start:stop]
+        out = np.asarray(self._frames[idx], np.float32)
+        if out.dtype == np.uint8 or out.max() > 1.5:
+            out = out / 255.0
+        return out.astype(np.float32)
+
+    def close(self):
+        pass

@@ -138,6 +138,89 @@ def h5_to_memmap(h5_path: str, out_dir: str) -> None:
             )
 
 
+class NPYEventReader:
+    """Raw-NPY event layout reader (reference SynchronizedNPYDataset,
+    data_loader/dataset.py:207-376): base/{event_folder}/{xs,ys,ts,ps}.npy,
+    base/{frame_folder}/frames.npy + frame_ts.txt + frame_event_idxes.txt."""
+
+    def __init__(self, path: str, event_folder: str = "events", frame_folder: str = "frames"):
+        self.path = path
+        ef = os.path.join(path, event_folder)
+        ff = os.path.join(path, frame_folder)
+        self.xs = np.load(os.path.join(ef, "xs.npy"), mmap_mode="r")
+        self.ys = np.load(os.path.join(ef, "ys.npy"), mmap_mode="r")
+        self.t = np.load(os.path.join(ef, "ts.npy"), mmap_mode="r")
+        self.p = np.load(os.path.join(ef, "ps.npy"), mmap_mode="r")
+        self.images = np.load(os.path.join(ff, "frames.npy"), mmap_mode="r")
+        self.frame_ts = np.loadtxt(os.path.join(ff, "frame_ts.txt")).reshape(-1)
+        self._event_idxes = np.loadtxt(
+            os.path.join(ff, "frame_event_idxes.txt"), dtype=np.int64
+        ).reshape(-1, 2)
+        self.sensor_size = tuple(self.images.shape[-2:])
+        self.t0 = float(self.t[0]) if len(self.t) else 0.0
+
+    @property
+    def num_events(self) -> int:
+        return len(self.t)
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.frame_ts)
+
+    @property
+    def frame_timestamps(self) -> np.ndarray:
+        return np.asarray(self.frame_ts, np.float64) - self.t0
+
+    @property
+    def frame_event_indices(self) -> np.ndarray:
+        # window ends; the pipeline re-derives [start, end) pairs
+        return self._event_idxes[:, 1]
+
+    @property
+    def frame_windows(self) -> np.ndarray:
+        """Explicit per-frame [idx0, idx1) pairs (this layout stores both)."""
+        return self._event_idxes
+
+    @property
+    def num_flow(self) -> int:
+        return 0
+
+    def raw_events(self, i0: int, i1: int):
+        return (
+            np.asarray(self.xs[i0:i1], np.int16),
+            np.asarray(self.ys[i0:i1], np.int16),
+            np.asarray(self.t[i0:i1], np.float64),
+            np.asarray(self.p[i0:i1], np.uint8),
+        )
+
+    def events(self, i0: int, i1: int):
+        from bde2vid_tpu.events.h5_io import EventSlice
+
+        return EventSlice(
+            xs=np.asarray(self.xs[i0:i1], np.int32),
+            ys=np.asarray(self.ys[i0:i1], np.int32),
+            ts=(np.asarray(self.t[i0:i1]) - self.t0).astype(np.float32),
+            ps=np.asarray(self.p[i0:i1], np.float32) * 2.0 - 1.0,
+        )
+
+    def search_time(self, t: float, side: str = "left") -> int:
+        return int(np.searchsorted(np.asarray(self.t) - self.t0, t, side=side))
+
+    def frame(self, i: int) -> np.ndarray:
+        img = np.asarray(self.images[i])
+        if img.ndim == 3:
+            img = img[..., 0]
+        if img.dtype == np.uint8:
+            img = img / 255.0
+        return img.astype(np.float32)
+
+    def flow(self, i: int):
+        raise IndexError("raw-NPY dataset has no flow")
+
+    def close(self):
+        pass
+
+
 class MemMapEventReader:
     """Random-access reader over the RPG memmap layout, matching the
     H5EventReader surface (reference MemMapDataset, h5_dataset.py:568-665)."""

@@ -332,3 +332,44 @@ def hot_event_mask(
         hot = np.argpartition(img, -num_hot)[-num_hot:]
         mask[hot] = 0.0
     return mask.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Flow warping
+# ---------------------------------------------------------------------------
+
+
+def warp_events_by_flow(
+    xs: Array,
+    ys: Array,
+    ts: Array,
+    flow: Array,
+    t0: Array | float | None = None,
+    n_events: Array | int | None = None,
+) -> Tuple[Array, Array]:
+    """Warp event positions along a per-pixel flow field
+    (reference warp_events_flow_torch, event_utils.py:576-618):
+    the flow is bilinearly sampled at each event's (x, y) — align_corners
+    grid like the reference — and positions advance by flow * (t - t0).
+
+    flow: (H, W, 2) [fx, fy]; t0 defaults to the last valid timestamp.
+    Returns (warped_xs, warped_ys) as float arrays.
+    """
+    from bde2vid_tpu.nn.sampling import grid_sample_bilinear
+
+    h, w = flow.shape[0], flow.shape[1]
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    if t0 is None:
+        n = (
+            jnp.maximum(jnp.sum(_valid_mask(ts.shape[0], n_events)), 1).astype(jnp.int32)
+            if n_events is not None
+            else ts.shape[0]
+        )
+        t0 = ts[n - 1]
+    gx = xs / (w - 1) * 2.0 - 1.0
+    gy = ys / (h - 1) * 2.0 - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)[None, None]  # (1, 1, N, 2)
+    flow_at = grid_sample_bilinear(flow[None], grid, align_corners=True)[0, 0]  # (N, 2)
+    dt = ts.astype(jnp.float32) - t0
+    return xs + flow_at[:, 0] * dt, ys + flow_at[:, 1] * dt

@@ -87,3 +87,24 @@ def structural_similarity(
         in_axes=(0, 0),
     )(pred, target)  # (N, C)
     return jnp.mean(per_channel)
+
+
+class MseMetric:
+    """Streaming length-weighted MSE aggregator (reference mmengine Mse
+    Metric, evaluate/metrics.py:14-39): per-call mean MSE weighted by the
+    number of steps, reduced to one value."""
+
+    def __init__(self, prefix: str = "MSE"):
+        self.prefix = prefix
+        self.results = []
+
+    def process(self, preds: Array, gts: Array, seq_name: str = "unknown", dataset: str = "unknown"):
+        l = preds.shape[0]
+        self.results.append(
+            {self.prefix: float(mse(preds, gts)), "L": l, "seq_name": seq_name, "dataset": dataset}
+        )
+
+    def compute_metrics(self):
+        total = sum(r[self.prefix] * r["L"] for r in self.results)
+        n = sum(r["L"] for r in self.results)
+        return {self.prefix: total / max(n, 1)}
