@@ -134,7 +134,13 @@ def main(argv=None) -> int:
             print(f"skipping {ckpt} (result exists)")
             continue
         print(f"loading {ckpt} ...")
-        spec = load_model_from_torch(ckpt, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        if ckpt.endswith(".msgpack"):
+            from bde2vid_tpu.train import load_checkpoint
+
+            spec = load_checkpoint(ckpt, dtype=dtype)
+        else:
+            spec = load_model_from_torch(ckpt, dtype=dtype)
         if args.pallas and spec.name == "BDE2VID":
             from bde2vid_tpu.models import build_model
 

@@ -1,0 +1,162 @@
+"""Training CLI.
+
+    python -m bde2vid_tpu.train --config config.json [--data_dir D] [--steps N]
+
+The reference ships no training loop — only the config surface
+(parse_config.py) and the in-model loss plumbing (V5:210-241). This driver
+completes the path: json config -> model + losses + optimizer -> training
+windows sampled from h5 sequences (with the reference's pause/noise
+augmentation semantics) -> jitted train step (optionally data-parallel over
+the device mesh) -> msgpack checkpoints.
+
+Config schema (see utils/config.py):
+{
+  "name": "bde2vid_run",
+  "model": {"type": "BDE2VID", "args": {...model config...}},
+  "losses": [{"type": "L1Loss"}, ...],
+  "loss_inds": null,
+  "optimizer": {"lr": 1e-4},
+  "data": {"sequence_length": 8, "num_bins": 5,
+           "proba_pause_when_running": 0.05, "proba_pause_when_paused": 0.9,
+           "noise_std": 0.1, "noise_fraction": 0.05},
+  "train": {"steps": 1000, "ckpt_every": 200, "remat": false}
+}
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, seed=0):
+    """Yield (voxels (L,1,H,W,B), frames (L,1,H,W,1)) windows from all h5
+    sequences under data_dir, with Markov pause augmentation (zeroed events +
+    repeated frame — reference SequenceDataset, h5_dataset.py:668-756)."""
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.data.transforms import sample_pause_mask
+
+    rng = np.random.default_rng(seed)
+    files = sorted(glob.glob(os.path.join(data_dir, "**", "*.h5"), recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no h5 sequences under {data_dir}")
+    while True:
+        path = files[int(rng.integers(len(files)))]
+        seq = load_sequence(path, num_bins=num_bins)
+        if len(seq) < seq_len + 1:
+            seq.reader.close()
+            continue
+        start = int(rng.integers(0, len(seq) - seq_len))
+        idx, paused = sample_pause_mask(
+            seq_len,
+            rng,
+            pause_cfg.get("proba_pause_when_running", 0.0),
+            pause_cfg.get("proba_pause_when_paused", 0.0),
+        )
+        vox = np.asarray(seq.voxels(start, start + seq_len))  # (L, B, H, W)
+        frames = seq.frames(start, start + seq_len)  # (L, H, W)
+        vox = vox[idx]
+        frames = frames[idx]
+        vox[paused] = 0.0
+        seq.reader.close()
+        voxels = jnp.asarray(vox.transpose(0, 2, 3, 1))[:, None]  # (L,1,H,W,B)
+        gts = jnp.asarray(frames)[:, None, :, :, None]
+        yield voxels, gts
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="train reconstruction models")
+    p.add_argument("--config", required=True)
+    p.add_argument("--data_dir", default="data/train")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--resume", default=None, help="msgpack checkpoint to resume")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bde2vid_tpu.data.transforms import add_noise_to_voxel
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.train import (
+        SequenceLossComputer,
+        load_checkpoint,
+        make_train_step,
+        save_checkpoint,
+    )
+    from bde2vid_tpu.utils.config import Config
+
+    cfg = Config.from_json(args.config, make_run_dir=args.out_dir is None)
+    out_dir = args.out_dir or cfg.run_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    model_cfg = dict(cfg["model"].get("args", {}))
+    model_name = cfg["model"]["type"]
+    model = build_model(model_name, model_cfg, train=True)
+    is_seq = bool(getattr(model, "is_sequence_model", False))
+
+    data_cfg = cfg.get("data", {})
+    seq_len = int(data_cfg.get("sequence_length", 8))
+    num_bins = int(data_cfg.get("num_bins", 5))
+    noise_std = float(data_cfg.get("noise_std", 0.0))
+    noise_fraction = float(data_cfg.get("noise_fraction", 0.0))
+
+    it = iterate_training_windows(args.data_dir, seq_len, num_bins, data_cfg)
+    voxels, gts = next(it)
+
+    if args.resume:
+        spec = load_checkpoint(args.resume)
+        params = spec.params
+    else:
+        rngs = {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}
+        if is_seq:
+            params = model.init(rngs, voxels)
+        else:
+            n, h, w = voxels.shape[1], voxels.shape[2], voxels.shape[3]
+            params = model.init(rngs, voxels[0], model.initial_state(n, h, w))
+
+    tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
+    opt_state = tx.init(params)
+
+    comp = SequenceLossComputer(
+        cfg.get("losses", [{"type": "L1Loss"}]), cfg.get("loss_inds")
+    )
+    step_fn = make_train_step(
+        model,
+        tx,
+        comp,
+        is_sequence_model=is_seq,
+        remat=bool(cfg.get("train", {}).get("remat", False)),
+    )
+
+    steps = args.steps or int(cfg.get("train", {}).get("steps", 1000))
+    ckpt_every = int(cfg.get("train", {}).get("ckpt_every", 200))
+    key = jax.random.PRNGKey(42)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, k1, k2 = jax.random.split(key, 3)
+        if noise_std > 0:
+            voxels = add_noise_to_voxel(voxels, k2, noise_std, noise_fraction)
+        params, opt_state, loss_dict = step_fn(params, opt_state, k1, voxels, gts, None)
+        if i % 20 == 0:
+            loss = float(loss_dict["loss"])
+            rate = (i + 1) / (time.perf_counter() - t0)
+            print(f"step {i}: loss={loss:.5f} ({rate:.2f} steps/s)", flush=True)
+        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+            path = os.path.join(out_dir, f"epoch_{i + 1}.msgpack")
+            save_checkpoint(path, params, model_name, model_cfg)
+            print(f"saved {path}", flush=True)
+        voxels, gts = next(it)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,6 +9,8 @@ from bde2vid_tpu.utils.norm import (
     robust_1_99,
 )
 from bde2vid_tpu.utils.timers import Timer, CudaTimer, timer_summary
+from bde2vid_tpu.utils.config import Config, read_json, write_json
+from bde2vid_tpu.utils.flow_viz import flow2rgb
 
 __all__ = [
     "optimal_crop_size",
@@ -21,4 +23,8 @@ __all__ = [
     "Timer",
     "CudaTimer",
     "timer_summary",
+    "Config",
+    "read_json",
+    "write_json",
+    "flow2rgb",
 ]

@@ -71,3 +71,21 @@ def _print_summary():  # pragma: no cover
     if _timers and _enabled:
         print("== timer summary ==")
         print(timer_summary())
+
+
+class DeviceTrace:
+    """Context manager around jax.profiler.trace: writes a TensorBoard-
+    compatible device trace (the jax analog of the reference's CUDA-event
+    timing infra, utils_func/timers.py)."""
+
+    def __init__(self, log_dir: str = "/tmp/bde2vid_trace"):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        if _enabled:
+            print(f"device trace written to {self.log_dir}")
