@@ -69,6 +69,81 @@ def txt_to_h5(
             w.sensor_size = (max_y + 1, max_x + 1)
 
 
+def zip_to_h5(
+    zip_path: str,
+    output_path: str,
+    zero_timestamps: bool = False,
+    sensor_size: Optional[Tuple[int, int]] = None,
+) -> None:
+    """Convert a zip of frames + an events text stream to the canonical h5
+    format (reference zip_to_h5.py:26+): the archive holds 'frame*' image
+    files, an 'images.txt' (t, filename) listing, and an 'events*' text
+    stream of ``t x y pol`` lines."""
+    import zipfile
+
+    zf = zipfile.ZipFile(zip_path, "r")
+    names = zf.namelist()
+    imgfiles = sorted(n for n in names if "frame" in n)
+    evtfile = next((n for n in names if "events" in n), None)
+    imgtsfile = next((n for n in names if "images.txt" in n), None)
+    if evtfile is None:
+        raise ValueError("zip contains no events file")
+
+    first_ts = None
+    with H5EventWriter(output_path, sensor_size=sensor_size or (180, 240)) as w:
+        if imgtsfile is not None:
+            lines = zf.read(imgtsfile).decode().strip().splitlines()
+            for i, line in enumerate(lines[: len(imgfiles)]):
+                ts = float(line.split()[0])
+                if first_ts is None:
+                    first_ts = ts
+                if zero_timestamps:
+                    ts -= first_ts
+                img = _decode_gray_image(zf.read(imgfiles[i]))
+                w.add_image(img, ts)
+                if sensor_size is None:
+                    w.sensor_size = img.shape[:2]
+        ts_l, xs_l, ys_l, ps_l = [], [], [], []
+        for raw in zf.read(evtfile).decode().strip().splitlines():
+            t, x, y, pol = raw.split()
+            ts_l.append(float(t))
+            xs_l.append(int(x))
+            ys_l.append(int(y))
+            ps_l.append(int(pol) > 0)
+            if len(ts_l) >= 100_000:
+                _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps)
+                ts_l, xs_l, ys_l, ps_l = [], [], [], []
+        if ts_l:
+            _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps)
+
+
+def _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps):
+    ts = np.asarray(ts_l, np.float64)
+    if zero_timestamps and first_ts is not None:
+        ts = ts - first_ts
+    w.append_events(
+        np.asarray(xs_l, np.int16), np.asarray(ys_l, np.int16), ts, np.asarray(ps_l)
+    )
+
+
+def _decode_gray_image(data: bytes) -> np.ndarray:
+    """Decode an image to grayscale uint8; OpenCV if present, else PNG via
+    the standard library for the common case."""
+    try:
+        import cv2
+
+        return cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+    except ImportError as err:
+        raise ImportError("no image decoder available (cv2/PIL)") from err
+
+
 def h5_cut(
     input_path: str, output_path: str, t_start: float, t_end: float
 ) -> None:

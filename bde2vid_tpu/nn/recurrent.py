@@ -148,6 +148,80 @@ class RecurrentConvLayer(nn.Module):
         return gru_initial_state(batch, oh, ow, self.features, dtype)
 
 
+class RecurrentUpConv(nn.Module):
+    """Recurrent cell -> bilinear x2 -> conv -> norm -> act
+    (reference model/submodules.py:226-264). Explicit state."""
+
+    features: int
+    kernel_size: int = 5
+    padding: int = 0
+    recurrent_block_type: str = "convlstm"
+    activation: Optional[str] = "relu"
+    norm: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, state):
+        from bde2vid_tpu.nn.layers import _make_norm, get_activation, resize_bilinear_2x
+
+        if self.recurrent_block_type == "convlstm":
+            cell = ConvLSTMCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
+        else:
+            cell = ConvGRUCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
+        y, new_state = cell(x, state)
+        y = resize_bilinear_2x(y)
+        k, p = self.kernel_size, self.padding
+        y = nn.Conv(
+            self.features,
+            (k, k),
+            padding=((p, p), (p, p)),
+            use_bias=self.norm != "BN",
+            dtype=self.dtype,
+            name="conv",
+        )(y)
+        norm = _make_norm(self.norm, self.features, self.dtype, self.train)
+        if norm is not None:
+            y = norm(y)
+        return get_activation(self.activation)(y), new_state
+
+    def initial_state(self, batch, height, width, dtype=jnp.float32):
+        if self.recurrent_block_type == "convlstm":
+            return lstm_initial_state(batch, height, width, self.features, dtype)
+        return gru_initial_state(batch, height, width, self.features, dtype)
+
+
+class DownsampleRecurrentConvLayer(nn.Module):
+    """Recurrent cell -> bilinear x0.5 -> activation
+    (reference model/submodules.py:303-321)."""
+
+    features: int
+    kernel_size: int = 3
+    recurrent_block_type: str = "convlstm"
+    activation: Optional[str] = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, state):
+        from bde2vid_tpu.nn.layers import get_activation, resize_bilinear_half
+
+        if self.recurrent_block_type == "convlstm":
+            cell = ConvLSTMCell(
+                self.features, self.kernel_size, dtype=self.dtype, name="recurrent_block"
+            )
+        else:
+            cell = ConvGRUCell(
+                self.features, self.kernel_size, dtype=self.dtype, name="recurrent_block"
+            )
+        y, new_state = cell(x, state)
+        return get_activation(self.activation)(resize_bilinear_half(y)), new_state
+
+    def initial_state(self, batch, height, width, dtype=jnp.float32):
+        if self.recurrent_block_type == "convlstm":
+            return lstm_initial_state(batch, height, width, self.features, dtype)
+        return gru_initial_state(batch, height, width, self.features, dtype)
+
+
 class RecurrentResidualLayer(nn.Module):
     """ResidualBlock + recurrent cell (reference :350-373, used by FireNetOrg)."""
 

@@ -69,3 +69,21 @@ def abs_norm(x: Array) -> Array:
     y = x - jnp.min(x)
     m = jnp.max(y)
     return jnp.where(m != 0, y / jnp.where(m == 0, 1.0, m), y)
+
+
+def to_uint8_image(img) -> "np.ndarray":
+    """[0,1] float array -> uint8 image (reference torch2cv2,
+    inference_utils.py:12-17): squeeze, clip, scale."""
+    import numpy as _np
+
+    arr = _np.asarray(img).squeeze()
+    return (_np.clip(arr, 0.0, 1.0) * 255).astype(_np.uint8)
+
+
+def from_uint8_image(img) -> Array:
+    """uint8 image -> [0,1] float (1, 1, H, W)-style device array (reference
+    cv2torch, inference_utils.py:19-23), returned as (1, H, W, 1) NHWC."""
+    import numpy as _np
+
+    arr = _np.asarray(img).astype(_np.float32) / 255.0
+    return jnp.asarray(arr)[None, :, :, None]
