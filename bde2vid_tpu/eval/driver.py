@@ -169,10 +169,19 @@ def evaluate_sequence(
         )
         for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
-            if piece.shape[0] == chunk:
+            tail = chunk - piece.shape[0]
+            if tail > 0:
+                # forward-only recurrence: zero-padding the END of a chunk
+                # cannot affect earlier outputs, so the tail reuses the one
+                # compiled chunk shape (a ragged BDE2VID tail cannot — its
+                # backward sweep would see the padding — and keeps its own
+                # compile in the sequence-model branch above)
+                piece = jnp.concatenate(
+                    [piece, jnp.zeros((tail, *piece.shape[1:]), piece.dtype)]
+                )
+                imgs = run(piece)[: chunk - tail]
+            else:
                 imgs = run(piece)
-            else:  # ragged tail: separate compile, still scanned
-                imgs, _ = run_sequence(spec.module, spec.params, piece, state0)
             preds.append(imgs)
     preds = jnp.concatenate(preds, axis=0)  # (T, 1, H', W', 1)
 

@@ -233,3 +233,24 @@ def load_lpips_params(
             }
 
     return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+# ---------------------------------------------------------------------------
+# Non-learned baseline "fake" metrics (reference networks_basic.py:223-259)
+# ---------------------------------------------------------------------------
+
+
+def l2_distance(in0: Array, in1: Array) -> Array:
+    """Per-example mean squared distance (FakeNet 'L2', inputs [-1,1])."""
+    d = (in0 - in1) ** 2
+    return jnp.mean(d, axis=tuple(range(1, d.ndim)))
+
+
+def dssim_distance(in0: Array, in1: Array) -> Array:
+    """(1 - SSIM) / 2 per example on [-1,1] inputs (FakeNet 'DSSIM')."""
+    from bde2vid_tpu.metrics.basic import structural_similarity
+
+    def one(a, b):
+        return (1.0 - structural_similarity(a[None], b[None], data_range=2.0)) / 2.0
+
+    return jax.vmap(one)(in0, in1)

@@ -327,3 +327,34 @@ def test_bde2vid_t_invariance_of_step(rng):
     a, _ = m.apply(params, v)
     b, _ = m.apply(params, v)
     np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_bde2vid_concat_and_no_rc(rng):
+    """Config variants: skip_type='concat' (fusion convs in decode) and
+    useRC=False (plain conv encoders) must build and run."""
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [1, 1], "num_heads": 2, "window_size": [4, 4],
+                         "skip_type": "concat", "useRC": False}}
+    m = build_model("BDE2VID", cfg)
+    v = jnp.asarray(rng.normal(size=(3, 1, 16, 16, 5)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), v)
+    out, _ = m.apply(params, v)
+    assert out["image"].shape == (3, 1, 16, 16, 1)
+    assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_bde2vid_depth0_fallback_resblocks(rng):
+    """depths all zero: the last level substitutes norm-free resblocks on
+    buffer frame 0 (reference V5:82-85 ParseLayer + ResidualBlockNoBN)."""
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 2, "buffer_index": [-1, 0, 1],
+                         "depths": [0, 0], "num_heads": 2, "window_size": [4, 4]}}
+    m = build_model("BDE2VID", cfg)
+    v = jnp.asarray(rng.normal(size=(3, 1, 16, 16, 5)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), v)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = "/".join(str(p) for p, _ in flat)
+    assert "res1" in names and "res2" in names  # fallback blocks exist
+    out, _ = m.apply(params, v)
+    assert np.isfinite(np.asarray(out["image"])).all()

@@ -171,3 +171,16 @@ def test_lpips_distance_gray_replication(rng):
     b = rng.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
     d_diff = float(lpips_distance(module, params, jnp.asarray(a), jnp.asarray(b)))
     assert d_diff > 0.0
+
+
+def test_fake_net_metrics(rng):
+    from bde2vid_tpu.metrics.lpips import dssim_distance, l2_distance
+
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 1)).astype(np.float32))
+    l2 = np.asarray(l2_distance(a, b))
+    assert l2.shape == (2,) and (l2 > 0).all()
+    np.testing.assert_allclose(np.asarray(l2_distance(a, a)), 0, atol=1e-7)
+    ds = np.asarray(dssim_distance(a, b))
+    assert ds.shape == (2,) and (ds >= 0).all() and (ds <= 1).all()
+    np.testing.assert_allclose(np.asarray(dssim_distance(a, a)), 0, atol=1e-6)

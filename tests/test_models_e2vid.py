@@ -98,3 +98,16 @@ def test_sequence_is_jittable(rng):
 def test_registry_contents():
     for name in ("E2VID", "E2VIDRecurrent", "FireNet", "FireNetOrg", "FlowNet"):
         assert name in MODEL_REGISTRY
+
+
+def test_concat_skip_and_no_upsample_conv(rng):
+    """Checkpoint-config variants: skip_type='concat' and transposed-conv
+    decoders must build and run."""
+    cfg = dict(CFG, skip_type="concat", use_upsample_conv=False)
+    model = build_model("E2VIDRecurrent", cfg)
+    state = model.initial_state(1, H, W)
+    voxel = jnp.asarray(rng.normal(size=(1, H, W, B)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), voxel, state)
+    out, _ = model.apply(params, voxel, state)
+    assert out["image"].shape == (1, H, W, 1)
+    assert np.isfinite(np.asarray(out["image"])).all()
