@@ -9,7 +9,6 @@ device against device voxels). Norms live in utils.norm.
 
 from __future__ import annotations
 
-import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

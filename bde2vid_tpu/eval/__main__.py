@@ -11,8 +11,6 @@ The reference hard-codes ~20 config attrs in __main__ (eval_models_seq.py:
 from __future__ import annotations
 
 import argparse
-import copy
-import functools
 import os
 import re
 import sys

@@ -25,8 +25,6 @@ parity killer.
 
 from __future__ import annotations
 
-import io
-import re
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -23,7 +23,6 @@ import collections
 import dataclasses
 import json
 import os
-import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax

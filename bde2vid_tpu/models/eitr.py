@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bde2vid_tpu.models.api import register_model
-from bde2vid_tpu.models.e2vid import _recurrent_unet_state
 from bde2vid_tpu.nn.layers import ConvLayer, UpsampleConvLayer
 from bde2vid_tpu.nn.recurrent import RecurrentConvLayer, lstm_initial_state
 from bde2vid_tpu.nn.transformer import (

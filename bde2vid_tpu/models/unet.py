@@ -29,7 +29,6 @@ from bde2vid_tpu.nn.layers import (
     skip_sum,
 )
 from bde2vid_tpu.nn.recurrent import (
-    ConvGRUCell,
     RecurrentConvLayer,
     RecurrentResidualLayer,
     gru_initial_state,

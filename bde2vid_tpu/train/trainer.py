@@ -15,7 +15,6 @@ Loss semantics follow the reference BDE2VID in-loop computation
 from __future__ import annotations
 
 import json
-import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
