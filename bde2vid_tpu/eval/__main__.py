@@ -85,6 +85,10 @@ def read_datafiles(data_dir: str, datasets):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    from bde2vid_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bde2vid_tpu.eval.checkpoint import load_model_from_torch
     from bde2vid_tpu.eval.driver import EvalConfig, evaluate_all
     from bde2vid_tpu.metrics.lpips import LPIPS, load_lpips_params

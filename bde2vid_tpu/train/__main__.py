@@ -84,6 +84,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     import optax
 
+    from bde2vid_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bde2vid_tpu.data.transforms import add_noise_to_voxel
     from bde2vid_tpu.models import build_model
     from bde2vid_tpu.train import (

@@ -11,6 +11,7 @@ from bde2vid_tpu.utils.norm import (
 from bde2vid_tpu.utils.timers import Timer, CudaTimer, timer_summary
 from bde2vid_tpu.utils.config import Config, read_json, write_json
 from bde2vid_tpu.utils.flow_viz import flow2rgb
+from bde2vid_tpu.utils.compile_cache import enable_compilation_cache
 
 __all__ = [
     "optimal_crop_size",
@@ -27,4 +28,5 @@ __all__ = [
     "read_json",
     "write_json",
     "flow2rgb",
+    "enable_compilation_cache",
 ]

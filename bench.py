@@ -33,6 +33,10 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    from bde2vid_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from __graft_entry__ import _FLAGSHIP_CFG
     from bde2vid_tpu.models import build_model
 

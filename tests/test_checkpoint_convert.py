@@ -220,3 +220,134 @@ def test_bn_stats_mapping():
     assert tree["params"]["m"]["norm_layer"]["scale"].shape == (4,)
     np.testing.assert_array_equal(tree["batch_stats"]["m"]["norm_layer"]["mean"], 0.5)
     np.testing.assert_array_equal(tree["batch_stats"]["m"]["norm_layer"]["var"], 2.0)
+
+
+class TFireNet(torch.nn.Module):
+    """Key-compatible refactored FireNet (reference e2vid/model.py:120-168)."""
+
+    def __init__(self, nbins=5, c=8, k=3):
+        super().__init__()
+        mkc = lambda ci, co, kk: torch.nn.Conv2d(ci, co, kk, padding=kk // 2)
+        head = torch.nn.Module(); head.conv2d = mkc(nbins, c, k); self.head = head
+        for g in ("G1", "G2"):
+            gm = torch.nn.Module()
+            gm.reset_gate = mkc(2 * c, c, k)
+            gm.update_gate = mkc(2 * c, c, k)
+            gm.out_gate = mkc(2 * c, c, k)
+            setattr(self, g, gm)
+        for r in ("R1", "R2"):
+            rm = torch.nn.Module()
+            rm.conv1 = torch.nn.Conv2d(c, c, 3, padding=1)
+            rm.conv2 = torch.nn.Conv2d(c, c, 3, padding=1)
+            setattr(self, r, rm)
+        pred = torch.nn.Module(); pred.conv2d = torch.nn.Conv2d(c, 1, 1); self.pred = pred
+
+    def gru(self, g, x, h):
+        z = torch.sigmoid(g.update_gate(torch.cat([x, h], 1)))
+        r = torch.sigmoid(g.reset_gate(torch.cat([x, h], 1)))
+        cand = torch.tanh(g.out_gate(torch.cat([x, h * r], 1)))
+        return h * (1 - z) + cand * z
+
+    def res(self, r, x):
+        return torch.relu(r.conv2(torch.relu(r.conv1(x))) + x)
+
+    def forward(self, x, h1, h2):
+        x = torch.relu(self.head.conv2d(x))
+        h1 = self.gru(self.G1, x, h1)
+        x = self.res(self.R1, h1)
+        h2 = self.gru(self.G2, x, h2)
+        x = self.res(self.R2, h2)
+        return self.pred.conv2d(x), h1, h2
+
+
+def test_firenet_checkpoint_parity(rng, tmp_path):
+    """FireNet uses the kwargs-style dialect (arch == 'FireNet' is called
+    with **model_args, eval_models_seq.py:82-83)."""
+    torch.manual_seed(0)
+    tnet = TFireNet().eval()
+    ckpt = {
+        "arch": "FireNet",
+        "config": {"arch": {"args": {"unet_kwargs": {
+            "num_bins": 5, "base_num_channels": 8, "kernel_size": 3}}}},
+        "state_dict": tnet.state_dict(),
+    }
+    path = str(tmp_path / "firenet.pth")
+    torch.save(ckpt, path)
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(path)
+    assert spec.name == "FireNet" and spec.num_encoders == 0
+
+    H, W = 24, 32
+    voxel = rng.normal(size=(1, H, W, 5)).astype(np.float32)
+    state = spec.module.initial_state(1, H, W)
+    out, state = spec.module.apply(spec.params, jnp.asarray(voxel), state)
+    out2, _ = spec.module.apply(spec.params, jnp.asarray(voxel), state)
+
+    with torch.no_grad():
+        h1 = torch.zeros(1, 8, H, W); h2 = torch.zeros(1, 8, H, W)
+        tx = torch.from_numpy(voxel.transpose(0, 3, 1, 2))
+        w1, h1, h2 = tnet(tx, h1, h2)
+        w2, h1, h2 = tnet(tx, h1, h2)
+    np.testing.assert_allclose(
+        np.asarray(out["image"])[0, :, :, 0], w1[0, 0].numpy(), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2["image"])[0, :, :, 0], w2[0, 0].numpy(), atol=5e-5
+    )
+
+
+def test_firenet_1000_dialect(rng, tmp_path):
+    """The firenet_1000.pth special case reads config['model'] and builds
+    FireNetOrg (eval_models_seq.py:46-50)."""
+    import torch.nn as nn
+
+    c, k = 8, 3
+
+    class TUNetFire(nn.Module):
+        def __init__(self):
+            super().__init__()
+            head = nn.Module()
+            conv = nn.Module(); conv.conv2d = nn.Conv2d(5, c, k, padding=1)
+            head.conv = conv
+            rec = nn.Module()
+            rec.reset_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            rec.update_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            rec.out_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            head.recurrent_block = rec
+            self.head = head
+            rb = nn.Module()
+            inner = nn.Module()
+            inner.conv1 = nn.Conv2d(c, c, 3, padding=1)
+            inner.conv2 = nn.Conv2d(c, c, 3, padding=1)
+            rb.conv = inner
+            rec2 = nn.Module()
+            rec2.reset_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            rec2.update_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            rec2.out_gate = nn.Conv2d(2 * c, c, 3, padding=1)
+            rb.recurrent_block = rec2
+            rb2 = nn.Module()
+            rb2.conv1 = nn.Conv2d(c, c, 3, padding=1)
+            rb2.conv2 = nn.Conv2d(c, c, 3, padding=1)
+            self.resblocks = nn.ModuleList([rb, rb2])
+            pred = nn.Module(); pred.conv2d = nn.Conv2d(c, 1, 1)
+            self.pred = pred
+
+    torch.manual_seed(0)
+    tnet = TUNetFire()
+    wrapper_sd = {f"net.{kk}": v for kk, v in tnet.state_dict().items()}
+    ckpt = {
+        "config": {"model": {"num_bins": 5, "base_num_channels": c,
+                             "kernel_size": 3, "num_residual_blocks": 2,
+                             "recurrent_blocks": {"resblock": [0]}}},
+        "state_dict": wrapper_sd,
+    }
+    path = str(tmp_path / "firenet_1000.pth")
+    torch.save(ckpt, path)
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(path)
+    assert spec.name == "FireNetOrg"
+    voxel = jnp.asarray(rng.normal(size=(1, 16, 16, 5)).astype(np.float32))
+    out, _ = spec.module.apply(spec.params, voxel, spec.module.initial_state(1, 16, 16))
+    assert np.isfinite(np.asarray(out["image"])).all()
