@@ -119,6 +119,25 @@ def relative_position_index(wd: int, wh: int, ww: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+class _ParamHolder(nn.Module):
+    """Creates named params matching a flax child module's tree without
+    applying it — lets the fused Pallas path own the exact checkpoint
+    layout (norm_q/scale, q/kernel, ...)."""
+
+    specs: Tuple[Tuple[str, Tuple[int, ...], str], ...]  # (name, shape, init)
+
+    @nn.compact
+    def __call__(self):
+        inits = {
+            "ones": nn.initializers.ones,
+            "zeros": nn.initializers.zeros,
+            "lecun": nn.initializers.lecun_normal(),
+        }
+        return tuple(
+            self.param(n, inits[i], shape, jnp.float32) for n, shape, i in self.specs
+        )
+
+
 class WindowAttention3D(nn.Module):
     """Cross-frame window attention: q from the center frame, kv from all D.
 
@@ -141,6 +160,9 @@ class WindowAttention3D(nn.Module):
         q_ind = wd // 2 if self.q_ind is None else self.q_ind
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
+
+        if self.use_pallas and self.nwin_size is None:
+            return self._fused_pallas(x, q_ind)
 
         if self.nwin_size is not None:
             # grouped-conv KV token reduction (reference :129,172-176). NOTE:
@@ -185,25 +207,72 @@ class WindowAttention3D(nn.Module):
         bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
 
-        if self.use_pallas:
-            # fused VMEM kernel: never materializes (B_, H, M, N) in HBM
-            from bde2vid_tpu.ops.window_attn_pallas import fused_window_attention
+        def heads(t):
+            return t.reshape(b_, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-            interpret = jax.devices()[0].platform != "tpu"
-            out = fused_window_attention(
-                q, k, v, bias, self.num_heads, interpret=interpret
-            )
-        else:
-            def heads(t):
-                return t.reshape(b_, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-            qh, kh, vh = heads(q) * scale, heads(k), heads(v)
-            attn = jnp.einsum("bhmd,bhnd->bhmn", qh, kh)
-            attn = attn + bias[None].astype(attn.dtype)
-            attn = jax.nn.softmax(attn, axis=-1)
-            out = jnp.einsum("bhmn,bhnd->bhmd", attn, vh)
-            out = out.transpose(0, 2, 1, 3).reshape(b_, m, c)
+        qh, kh, vh = heads(q) * scale, heads(k), heads(v)
+        attn = jnp.einsum("bhmd,bhnd->bhmn", qh, kh)
+        attn = attn + bias[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhmn,bhnd->bhmd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, m, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return out.reshape(b_, h, w, c)
+
+    def _fused_pallas(self, x: Array, q_ind: int) -> Array:
+        """Fully fused path: LN + projections + attention + out-proj in ONE
+        Pallas kernel (ops.fused_window_block). Params are declared via
+        holders with the exact tree layout of the flax modules above, so
+        checkpoints load identically on both paths."""
+        from bde2vid_tpu.ops.window_attn_pallas import fused_window_block
+
+        wd, wh0, ww0 = self.window_size
+        d, b_, h, w, c = x.shape
+        m = h * w
+        n = d * m
+
+        ln_q = _ParamHolder(
+            (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm_q"
+        )()
+        ln_kv = _ParamHolder(
+            (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm_kv"
+        )()
+        wq, bq = _ParamHolder(
+            (("kernel", (c, c), "lecun"), ("bias", (c,), "zeros")), name="q"
+        )()
+        wkv, bkv = _ParamHolder(
+            (("kernel", (c, 2 * c), "lecun"), ("bias", (2 * c,), "zeros")), name="kv"
+        )()
+        wp, bp = _ParamHolder(
+            (("kernel", (c, c), "lecun"), ("bias", (c,), "zeros")), name="proj"
+        )()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wd - 1) * (2 * wh0 - 1) * (2 * ww0 - 1), self.num_heads),
+            jnp.float32,
+        )
+        idx = relative_position_index(wd, wh0, ww0)
+        qs = q_ind * wh0 * ww0
+        rows = idx[qs : qs + wh0 * ww0, :n][:m].reshape(-1)
+        bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
+
+        x_tok = x.reshape(d, b_, m, c).astype(self.dtype)
+        interpret = jax.devices()[0].platform != "tpu"
+        out = fused_window_block(
+            x_tok,
+            ln_q,
+            ln_kv,
+            (wq, bq),
+            (wkv[:, :c], bkv[:c]),
+            (wkv[:, c:], bkv[c:]),
+            (wp, bp),
+            bias,
+            self.num_heads,
+            q_ind,
+            interpret=interpret,
+        )
         return out.reshape(b_, h, w, c)
 
 

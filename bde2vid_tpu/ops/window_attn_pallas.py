@@ -125,3 +125,148 @@ def fused_window_attention(
             transcendentals=b_ * num_heads * m * n,
         ),
     )(q, k, v, bias_rows, masks_rows)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused block: LayerNorms + projections + attention in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _ln(x, g, b, eps=1e-5):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean((x - m) ** 2, axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + eps) * g + b
+
+
+def _fused_block_kernel(
+    x_ref,  # (D, wb, M, C) window stacks
+    gq_ref, bqln_ref, gkv_ref, bkvln_ref,  # (1, C) LN affines
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,  # projections
+    wp_ref, bp_ref,
+    bias_ref,  # (H*M, N)
+    masks_ref,  # (H*M, C)
+    out_ref,  # (wb, M, C)
+    *, num_heads, scale, wb, m, q_ind,
+):
+    d = x_ref.shape[0]
+    masks_rows = masks_ref[:]
+    bias_rows = bias_ref[:].astype(jnp.float32)
+    in_dtype = x_ref.dtype
+    for w in range(wb):
+        # concatenate frames instead of reshaping (D, M, C) -> (N, C): M is
+        # not sublane-tile aligned, so the reshape is Mosaic-illegal
+        toks = jnp.concatenate(
+            [x_ref[i, w] for i in range(d)], axis=0
+        ).astype(jnp.float32)  # (N, C)
+        c = toks.shape[-1]
+        kvt = _ln(toks, gkv_ref[0], bkvln_ref[0])
+        k = (
+            jax.lax.dot_general(
+                kvt.astype(in_dtype), wk_ref[:].astype(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bk_ref[0]
+        ).astype(in_dtype)
+        v = (
+            jax.lax.dot_general(
+                kvt.astype(in_dtype), wv_ref[:].astype(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bv_ref[0]
+        ).astype(in_dtype)
+        qt = _ln(x_ref[q_ind, w].astype(jnp.float32), gq_ref[0], bqln_ref[0])
+        q = (
+            jax.lax.dot_general(
+                qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bq_ref[0]
+        ).astype(in_dtype)
+
+        q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
+        qm = masks_rows.astype(in_dtype) * q_rep
+        scores = jax.lax.dot_general(
+            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale + bias_rows
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
+        outs = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        outs = outs * masks_rows
+        acc = outs[0:m]
+        for h in range(1, num_heads):
+            acc = acc + outs[h * m : (h + 1) * m]
+        out = (
+            jax.lax.dot_general(
+                acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bp_ref[0]
+        )
+        out_ref[w] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "q_ind", "interpret"))
+def fused_window_block(
+    x: Array,  # (D, B_, M, C) raw window token stacks
+    ln_q: Tuple[Array, Array],
+    ln_kv: Tuple[Array, Array],
+    w_q: Tuple[Array, Array],  # (C, C), (C,)
+    w_k: Tuple[Array, Array],
+    w_v: Tuple[Array, Array],
+    w_proj: Tuple[Array, Array],
+    bias: Array,  # (H, M, N)
+    num_heads: int,
+    q_ind: int,
+    interpret: bool = False,
+) -> Array:
+    """The whole WindowAttention3D body fused: norm_q/norm_kv -> q/k/v
+    projections -> masked-stacked-head attention -> out projection. One
+    HBM read of the window stack, one write of the output."""
+    d, b_, m, c = x.shape
+    n = d * m
+    head_dim = c // num_heads
+    scale = head_dim**-0.5
+
+    masks = np.zeros((num_heads, c), np.float32)
+    for h in range(num_heads):
+        masks[h, h * head_dim : (h + 1) * head_dim] = 1.0
+    masks_rows = jnp.asarray(np.repeat(masks, m, axis=0))
+    bias_rows = bias.reshape(num_heads * m, n)
+
+    wb = 1
+    for cand in (8, 4, 2):
+        if b_ % cand == 0:
+            wb = cand
+            break
+
+    row = lambda a: a.reshape(1, -1)
+    args = [
+        x,
+        row(ln_q[0]), row(ln_q[1]), row(ln_kv[0]), row(ln_kv[1]),
+        w_q[0], row(w_q[1]), w_k[0], row(w_k[1]), w_v[0], row(w_v[1]),
+        w_proj[0], row(w_proj[1]),
+        bias_rows, masks_rows,
+    ]
+    vec = lambda: pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda r, cc: pl.BlockSpec((r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _fused_block_kernel,
+            num_heads=num_heads, scale=scale, wb=wb, m=m, q_ind=q_ind,
+        ),
+        grid=(b_ // wb,),
+        in_specs=[
+            pl.BlockSpec((d, wb, m, c), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), vec(),
+            mat(c, c), vec(), mat(c, c), vec(), mat(c, c), vec(),
+            mat(c, c), vec(),
+            mat(num_heads * m, n), mat(num_heads * m, c),
+        ],
+        out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_, m, c), x.dtype),
+        interpret=interpret,
+    )(*args)
