@@ -1,0 +1,51 @@
+"""Golden-metric regression test (SURVEY §4(c)).
+
+The reference's de-facto integration test is golden numbers from a
+deterministic eval run. This pins the full pipeline (h5 write/read ->
+windowing -> device voxelization -> padded scan forward -> crop -> metrics)
+to values computed at framework build time with fixed seeds. A drift here
+means a silent numeric change somewhere in the stack.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bde2vid_tpu.data import load_sequence
+from bde2vid_tpu.eval import EvalConfig, evaluate_sequence
+from bde2vid_tpu.events import H5EventWriter
+from bde2vid_tpu.models import build_model
+from bde2vid_tpu.models.api import ModelSpec
+from tests.conftest import make_events
+
+SENSOR = (36, 44)
+GOLDEN = {"mse": 0.08551601320505142, "ssim": 0.04388384893536568}
+
+
+def test_golden_eval_metrics(tmp_path):
+    rng = np.random.default_rng(1234)
+    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
+    path = str(tmp_path / "g.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(6):
+            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
+    seq = load_sequence(path, num_bins=5)
+    model = build_model(
+        "E2VIDRecurrent",
+        {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+         "num_residual_blocks": 1},
+    )
+    params = model.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 5)), model.initial_state(1, 64, 64)
+    )
+    spec = ModelSpec("E2VIDRecurrent", model, params, 5, 2)
+    result, _ = evaluate_sequence(
+        spec, seq, EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    )
+    assert result["mse"] == pytest.approx(GOLDEN["mse"], rel=1e-4)
+    assert result["ssim"] == pytest.approx(GOLDEN["ssim"], rel=1e-4)
