@@ -358,3 +358,20 @@ def test_bde2vid_depth0_fallback_resblocks(rng):
     assert "res1" in names and "res2" in names  # fallback blocks exist
     out, _ = m.apply(params, v)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_parallel_attention_equals_sequential_when_buffer_is_self(rng):
+    """With buffer_index=[0] every frame attends only to itself, so the
+    sequential in-place semantics and the parallel fast mode coincide."""
+    base = {"num_bins": 5, "basechannels": 4, "num_encoders": 2, "ks": 3,
+            "num_res_blocks": 1, "buffer_index": [0], "q_idx": 0,
+            "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}
+    m_seq = build_model("BDE2VID", {"generator": dict(base)})
+    m_par = build_model("BDE2VID", {"generator": dict(base, parallel_attention=True)})
+    v = jnp.asarray(rng.normal(size=(4, 1, 16, 16, 5)).astype(np.float32))
+    params = m_seq.init(jax.random.PRNGKey(0), v)
+    a, _ = m_seq.apply(params, v)
+    b, _ = m_par.apply(params, v)
+    np.testing.assert_allclose(
+        np.asarray(a["image"]), np.asarray(b["image"]), atol=1e-5
+    )
