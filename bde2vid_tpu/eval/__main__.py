@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_length", default=111200, type=int)
     p.add_argument("--pause_st", default=None, type=int)
     p.add_argument("--pause_ed", default=None, type=int)
+    p.add_argument("--loader_type", default="H5",
+                   choices=["H5", "SpadeH5", "MMP", "NPY", "ENPY"],
+                   help="dataset backend (reference ltype)")
+    p.add_argument("--separate_polarity", action="store_true",
+                   help="2B-channel pos/neg voxel grids instead of combined")
     p.add_argument("--filter_hot_events", action="store_true")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--eq", action="store_true")
@@ -68,18 +73,29 @@ def read_checkpoints(weights_dir: str, st: int, ed: int):
     return files
 
 
-def read_datafiles(data_dir: str, datasets):
-    listing = os.path.join(data_dir, "h5", "eval_data.txt")
+def read_datafiles(data_dir: str, datasets, loader_type: str = "H5"):
+    subdir = "h5" if loader_type in ("H5", "SpadeH5") else "npy" if loader_type in ("NPY", "ENPY") else "mmp"
+    root = os.path.join(data_dir, subdir)
+    listing = os.path.join(root, "eval_data.txt")
     if os.path.exists(listing):
         with open(listing) as f:
             files = [l for l in f.read().split("\n") if l]
-    else:  # fall back to walking the tree
+    elif loader_type in ("H5", "SpadeH5"):  # fall back to walking the tree
         files = [
-            os.path.relpath(p, os.path.join(data_dir, "h5"))
-            for p in glob(os.path.join(data_dir, "h5", "**", "*.h5"), recursive=True)
+            os.path.relpath(p, root)
+            for p in glob(os.path.join(root, "**", "*.h5"), recursive=True)
         ]
+    else:  # directory-per-sequence backends
+        files = sorted(
+            os.path.relpath(os.path.dirname(p), root)
+            for p in glob(os.path.join(root, "**", "t.npy"), recursive=True)
+        ) or sorted(
+            os.path.relpath(d, root)
+            for d in glob(os.path.join(root, "*", "*"))
+            if os.path.isdir(d)
+        )
     keep = lambda f: any(d in f for d in datasets)
-    return [f for f in files if keep(f)], os.path.join(data_dir, "h5")
+    return [f for f in files if keep(f)], root
 
 
 def main(argv=None) -> int:
@@ -110,7 +126,7 @@ def main(argv=None) -> int:
         print("warning: dropping p_loss (no --lpips_lin provided)")
         metrics = tuple(m for m in metrics if m != "p_loss")
 
-    datafiles, data_root = read_datafiles(args.data_dir, args.datasets)
+    datafiles, data_root = read_datafiles(args.data_dir, args.datasets, args.loader_type)
     if not datafiles:
         print(f"no datafiles found under {args.data_dir}")
         return 1
@@ -152,6 +168,8 @@ def main(argv=None) -> int:
                 "BDE2VID", cfg2, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
             )
         cfg = EvalConfig(
+            ltype=args.loader_type,
+            combined_voxel_channels=not args.separate_polarity,
             subseq_L=subseq,
             max_length=args.max_length,
             pause_st=args.pause_st,

@@ -40,6 +40,8 @@ from bde2vid_tpu.utils.padding import CropParameters
 @dataclasses.dataclass
 class EvalConfig:
     num_bins: int = 5
+    ltype: str = "H5"
+    combined_voxel_channels: bool = True
     subseq_L: Optional[int] = 1000
     max_length: Optional[int] = 111200
     pause_st: Optional[int] = None
@@ -263,12 +265,16 @@ def evaluate_all(
         dataset_name, filename = os.path.split(datafile)
         dataset_name = os.path.basename(dataset_name) or "unknown"
         filename = filename.split(".h5")[0]
+        ltype = cfg.ltype
+        if spec.name == "SPADEE2VID" and ltype == "H5":
+            ltype = "SpadeH5"  # reference pairs SPADE with ev_rate splitting
         seq = load_sequence(
             os.path.join(data_dir, datafile),
             num_bins=cfg.num_bins,
+            combined_voxel_channels=cfg.combined_voxel_channels,
             hot_filter=cfg.filter_hot_events,
             normalize=cfg.normalize,
-            ltype="SpadeH5" if spec.name == "SPADEE2VID" else "H5",
+            ltype=ltype,
         )
         result, detail = evaluate_sequence(spec, seq, cfg)
         seq.reader.close()

@@ -34,19 +34,10 @@ import time
 import numpy as np
 
 
-def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, seed=0):
-    """Yield (voxels (L,1,H,W,B), frames (L,1,H,W,1)) windows from all h5
-    sequences under data_dir, with Markov pause augmentation (zeroed events +
-    repeated frame — reference SequenceDataset, h5_dataset.py:668-756)."""
-    import jax.numpy as jnp
-
+def _one_window(files, rng, seq_len, num_bins, pause_cfg):
     from bde2vid_tpu.data import load_sequence
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
-    rng = np.random.default_rng(seed)
-    files = sorted(glob.glob(os.path.join(data_dir, "**", "*.h5"), recursive=True))
-    if not files:
-        raise FileNotFoundError(f"no h5 sequences under {data_dir}")
     while True:
         path = files[int(rng.integers(len(files)))]
         seq = load_sequence(path, num_bins=num_bins)
@@ -62,13 +53,29 @@ def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, seed=0):
         )
         vox = np.asarray(seq.voxels(start, start + seq_len))  # (L, B, H, W)
         frames = seq.frames(start, start + seq_len)  # (L, H, W)
+        seq.reader.close()
         vox = vox[idx]
         frames = frames[idx]
         vox[paused] = 0.0
-        seq.reader.close()
-        voxels = jnp.asarray(vox.transpose(0, 2, 3, 1))[:, None]  # (L,1,H,W,B)
-        gts = jnp.asarray(frames)[:, None, :, :, None]
-        yield voxels, gts
+        return vox.transpose(0, 2, 3, 1), frames[..., None]
+
+
+def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0):
+    """Yield (voxels (L,N,H,W,B), frames (L,N,H,W,1)) batches of independent
+    windows from all h5 sequences under data_dir, with Markov pause
+    augmentation (zeroed events + repeated frame — reference
+    SequenceDataset, h5_dataset.py:668-756)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    files = sorted(glob.glob(os.path.join(data_dir, "**", "*.h5"), recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no h5 sequences under {data_dir}")
+    while True:
+        vs, fs = zip(
+            *(_one_window(files, rng, seq_len, num_bins, pause_cfg) for _ in range(batch))
+        )
+        yield jnp.asarray(np.stack(vs, axis=1)), jnp.asarray(np.stack(fs, axis=1))
 
 
 def main(argv=None) -> int:
@@ -78,6 +85,9 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--out_dir", default=None)
     p.add_argument("--resume", default=None, help="msgpack checkpoint to resume")
+    p.add_argument("--batch", type=int, default=1,
+                   help="independent windows per step; sharded over the "
+                        "device mesh 'data' axis when divisible")
     args = p.parse_args(argv)
 
     import jax
@@ -113,8 +123,19 @@ def main(argv=None) -> int:
     noise_std = float(data_cfg.get("noise_std", 0.0))
     noise_fraction = float(data_cfg.get("noise_fraction", 0.0))
 
-    it = iterate_training_windows(args.data_dir, seq_len, num_bins, data_cfg)
+    it = iterate_training_windows(
+        args.data_dir, seq_len, num_bins, data_cfg, batch=args.batch
+    )
     voxels, gts = next(it)
+
+    # data-parallel sharding when the batch divides the device count
+    shard = None
+    if args.batch > 1 and args.batch % jax.device_count() == 0:
+        from bde2vid_tpu.parallel.mesh import make_mesh, data_sharding
+
+        mesh = make_mesh(jax.device_count(), 1)
+        shard = data_sharding(mesh, 5, batch_axis=1)
+        print(f"sharding batch {args.batch} over {jax.device_count()} devices")
 
     if args.resume:
         spec = load_checkpoint(args.resume)
@@ -149,6 +170,9 @@ def main(argv=None) -> int:
         key, k1, k2 = jax.random.split(key, 3)
         if noise_std > 0:
             voxels = add_noise_to_voxel(voxels, k2, noise_std, noise_fraction)
+        if shard is not None:
+            voxels = jax.device_put(voxels, shard)
+            gts = jax.device_put(gts, shard)
         params, opt_state, loss_dict = step_fn(params, opt_state, k1, voxels, gts, None)
         if i % 20 == 0:
             loss = float(loss_dict["loss"])
