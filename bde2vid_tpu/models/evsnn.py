@@ -296,12 +296,15 @@ class _SNNBase(nn.Module):
         return x_in, x1, x2, x3, r1, u1, u2, u3, new
 
 
-def _bin_fold(one_bin, voxel, state):
+def _bin_fold(one_bin, voxel, state, normalize_input=True):
     """Normalize the voxel (LegacyNorm, rec_snn_forward:34-35) then fold its
     B bins through the net (rec_snn_forward:37-44). The bin count is small
     and static (default 5) so the loop is unrolled — flax module creation
-    inside lax.scan is not allowed, and XLA fuses the unrolled steps."""
-    voxel = legacy_norm(voxel)
+    inside lax.scan is not allowed, and XLA fuses the unrolled steps.
+    ``normalize_input=False`` lets callers that pre-normalize (the rec_snn
+    CLI feeds single bins) skip the per-call LegacyNorm."""
+    if normalize_input:
+        voxel = legacy_norm(voxel)
     img = None
     for j in range(voxel.shape[-1]):
         img, state = one_bin(voxel[..., j:j + 1], state)
@@ -325,7 +328,10 @@ class EVSNN(_SNNBase):
             mem = temporalflat(jnp.concatenate([u3, x_in], -1), st["mp"])
             return mem, {"lif": new_lif, "mp": mem}
 
-        img, new_state = _bin_fold(one_bin, voxel, state)
+        img, new_state = _bin_fold(
+            one_bin, voxel, state,
+            (self.config or {}).get("normalize_input", True),
+        )
         return {"image": img}, new_state
 
     def initial_state(self, batch, height, width, dtype=None):
@@ -375,7 +381,10 @@ class PAEVSNN(_SNNBase):
             new_mp = (s0, s1, s2, s3, up1mp, up2mp, up3mp, mem)
             return img, {"lif": new_lif, "mp": new_mp}
 
-        img, new_state = _bin_fold(one_bin, voxel, state)
+        img, new_state = _bin_fold(
+            one_bin, voxel, state,
+            (self.config or {}).get("normalize_input", True),
+        )
         return {"image": img}, new_state
 
     def initial_state(self, batch, height, width, dtype=None):
