@@ -180,3 +180,16 @@ def sample_pause_mask(
         idx[t] = k
         paused[t] = is_paused
     return idx, paused
+
+
+def subsample_events(xs, ys, ts, ps, rng: np.random.Generator, min_event_num: int):
+    """Random event-count subsampling (reference SynchronizedNPYDataset,
+    dataset.py:309-314): when a window holds more than ``min_event_num``
+    events, keep a random sorted subset of uniform size in
+    [min_event_num, len]."""
+    n = len(xs)
+    if n <= min_event_num:
+        return xs, ys, ts, ps
+    keep = int(rng.integers(min_event_num, n + 1))
+    idx = np.sort(rng.choice(n, keep, replace=False))
+    return xs[idx], ys[idx], ts[idx], ps[idx]

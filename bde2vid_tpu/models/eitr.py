@@ -91,13 +91,16 @@ class EITR(nn.Module):
         hs0 = enc("trans_encoder0")(words0, pos)
         hs1 = enc("trans_encoder1")(words1, pos)
         hs2 = enc("trans_encoder2")(words2, pos)
-        hc0 = dec("trans_decoder0")(tgt=hs0, memory=hs0)
-        hc1 = dec("trans_decoder1")(tgt=hs1, memory=hs0)
-        hc2 = dec("trans_decoder2")(tgt=hs2, memory=hs1)
-
-        hs = (hs0 + hs1 + hs2 + hc0 + hc1 + hc2) / 6.0
+        if self.config.get("use_trans_decoder", True):
+            hc0 = dec("trans_decoder0")(tgt=hs0, memory=hs0)
+            hc1 = dec("trans_decoder1")(tgt=hs1, memory=hs0)
+            hc2 = dec("trans_decoder2")(tgt=hs2, memory=hs1)
+            hs = (hs0 + hs1 + hs2 + hc0 + hc1 + hc2) / 6.0
+        else:
+            # encoder-only variant (reference mls_tpa_wo_transde,
+            # u_trans.py:118-206)
+            hs = (hs0 + hs1 + hs2) / 3.0
         hs = hs.reshape(nb, h8, w8, d)
-
         # --- conv decoder with skip sums ------------------------------------
         for i, ch in enumerate((chans[2], chans[1], chans[0])):
             hs = UpsampleConvLayer(
