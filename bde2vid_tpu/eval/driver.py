@@ -136,6 +136,11 @@ def evaluate_sequence(
     frames = seq.frames(0, T)  # (T, H, W) float32
 
     if cfg.pause_st is not None and cfg.pause_ed is not None:
+        if seq.item_last is not None:
+            raise ValueError(
+                "the pause experiment is not defined for ev_rate-split "
+                "(SpadeH5) sequences — the reference never combines them"
+            )
         t_idx = np.arange(T)
         paused = (t_idx > cfg.pause_st) & (t_idx <= cfg.pause_ed)
         # repeat the last real item with zeroed events
