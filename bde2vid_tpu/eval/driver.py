@@ -73,6 +73,11 @@ def _equalize_hist(img: np.ndarray) -> np.ndarray:
     return lut[u8].astype(np.float32) / 255.0
 
 
+_mse_batch = jax.jit(jax.vmap(mse))
+_ssim_batch = jax.jit(jax.vmap(lambda a, b: structural_similarity(a[None], b[None])))
+_lpips_cache: Dict[int, Callable] = {}
+
+
 def _metric_batch(
     preds: jax.Array,  # (T, H, W) in [0,1]
     gts: jax.Array,  # (T, H, W)
@@ -80,19 +85,15 @@ def _metric_batch(
     lpips_pair,
     lpips_chunk: int = 32,
 ) -> Dict[str, np.ndarray]:
-    """Per-step metric values, computed batched on device."""
+    """Per-step metric values, batched on device (jit singletons: re-wrapping
+    per call would re-trace for every sequence)."""
     out: Dict[str, np.ndarray] = {}
     p4 = preds[..., None]  # (T, H, W, 1)
     g4 = gts[..., None]
     if "mse" in names:
-        out["mse"] = np.asarray(
-            jax.jit(jax.vmap(mse))(p4, g4)
-        )
+        out["mse"] = np.asarray(_mse_batch(p4, g4))
     if "ssim" in names:
-        ssim_one = jax.jit(
-            jax.vmap(lambda a, b: structural_similarity(a[None], b[None]))
-        )
-        out["ssim"] = np.asarray(ssim_one(p4, g4))
+        out["ssim"] = np.asarray(_ssim_batch(p4, g4))
     if "p_loss" in names:
         if lpips_pair is None:
             raise ValueError(
@@ -101,16 +102,41 @@ def _metric_batch(
                 "drop p_loss from metrics"
             )
         module, params = lpips_pair
-        dist_fn = jax.jit(
-            lambda a, b: jax.vmap(
-                lambda x, y: lpips_distance(module, params, x[None], y[None])
-            )(a, b)
-        )
+        key = id(params)
+        if key not in _lpips_cache:
+            _lpips_cache[key] = jax.jit(
+                lambda a, b: jax.vmap(
+                    lambda x, y: lpips_distance(module, params, x[None], y[None])
+                )(a, b)
+            )
+        dist_fn = _lpips_cache[key]
         vals = []
         for s in range(0, p4.shape[0], lpips_chunk):
             vals.append(np.asarray(dist_fn(p4[s : s + lpips_chunk], g4[s : s + lpips_chunk])))
         out["p_loss"] = np.concatenate(vals)
     return out
+
+
+def _cached_run_fn(spec: ModelSpec, padded_hw, for_sequence_model: bool):
+    """One jitted forward per (spec, padded size): jit wrappers recreated per
+    sequence would re-trace the whole model each time (minutes for the
+    flagship) even when the persistent compile cache hits."""
+    cache = getattr(spec, "_run_cache", None)
+    if cache is None:
+        cache = {}
+        spec._run_cache = cache
+    key = (padded_hw, for_sequence_model)
+    if key not in cache:
+        if for_sequence_model:
+            cache[key] = jax.jit(
+                lambda v: spec.module.apply(spec.params, v)[0]["image"]
+            )
+        else:
+            state0 = spec.module.initial_state(1, *padded_hw)
+            cache[key] = jax.jit(
+                lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
+            )
+    return cache[key]
 
 
 def evaluate_sequence(
@@ -156,23 +182,21 @@ def evaluate_sequence(
     n_steps = voxels.shape[0]  # == T except in ev_rate (sub-voxel) mode
     chunk = cfg.subseq_L or n_steps
     preds = []
+    padded_hw = (x.shape[2], x.shape[3])
     if spec.is_sequence_model:
         # BDE2VID-style: the whole (sub)sequence is one forward; the
         # reference resets state per call (bde2vid.py:31), so chunks are
         # independent (eval_models_seq.py:216-219)
-        run = jax.jit(lambda v: spec.module.apply(spec.params, v)[0]["image"])
+        run = _cached_run_fn(spec, padded_hw, True)
         for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
-            preds.append(
-                run(piece)
-                if piece.shape[0] == chunk
-                else spec.module.apply(spec.params, piece)[0]["image"]
-            )
+            if piece.shape[0] == chunk:
+                preds.append(run(piece))
+            else:
+                preds.append(spec.module.apply(spec.params, piece)[0]["image"])
     else:
-        state0 = spec.module.initial_state(1, x.shape[2], x.shape[3])
-        run = jax.jit(
-            lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
-        )
+        state0 = spec.module.initial_state(1, *padded_hw)
+        run = _cached_run_fn(spec, padded_hw, False)
         for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
             tail = chunk - piece.shape[0]
