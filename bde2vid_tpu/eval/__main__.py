@@ -167,6 +167,7 @@ def main(argv=None) -> int:
             spec.module = build_model(
                 "BDE2VID", cfg2, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
             )
+        print(f"{spec.name}: {spec.num_params / 1e6:.2f}M parameters")
         cfg = EvalConfig(
             ltype=args.loader_type,
             combined_voxel_channels=not args.separate_polarity,

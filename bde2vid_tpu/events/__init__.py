@@ -14,6 +14,7 @@ from bde2vid_tpu.events.voxel import (
     pad_events,
 )
 from bde2vid_tpu.events.h5_io import H5EventReader, H5EventWriter
+from bde2vid_tpu.events.voxel import warp_events_by_flow
 
 __all__ = [
     "events_to_image",
@@ -25,4 +26,5 @@ __all__ = [
     "pad_events",
     "H5EventReader",
     "H5EventWriter",
+    "warp_events_by_flow",
 ]

@@ -52,6 +52,15 @@ class ModelSpec:
     num_encoders: int = 0  # for Croper spatial padding (2^num_encoders)
     is_sequence_model: bool = False  # BDE2VID-style whole-sequence forward
 
+    @property
+    def num_params(self) -> int:
+        """Trainable parameter count (reference models log this at load,
+        e2vid/base_model.py:28-35)."""
+        import numpy as np
+
+        leaves = jax.tree_util.tree_leaves(self.params.get("params", self.params))
+        return int(sum(np.prod(l.shape) for l in leaves))
+
     def initial_state(self, batch: int, height: int, width: int):
         return self.module.initial_state(batch, height, width)
 
