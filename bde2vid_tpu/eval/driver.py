@@ -282,6 +282,24 @@ def evaluate_all(
         return {}
     results = collections.defaultdict(dict)
     details = collections.defaultdict(dict)
+    ltype = cfg.ltype
+    if spec.name == "SPADEE2VID" and ltype == "H5":
+        ltype = "SpadeH5"  # reference pairs SPADE with ev_rate splitting
+
+    def open_seq(datafile):
+        return load_sequence(
+            os.path.join(data_dir, datafile),
+            num_bins=cfg.num_bins,
+            combined_voxel_channels=cfg.combined_voxel_channels,
+            hot_filter=cfg.filter_hot_events,
+            normalize=cfg.normalize,
+            ltype=ltype,
+        )
+
+    # overlap the NEXT sequence's host-side open/index work with the current
+    # device compute (the torch DataLoader-workers analog at sequence level)
+    from concurrent.futures import ThreadPoolExecutor
+
     it = datafiles
     if progress:
         try:
@@ -290,25 +308,20 @@ def evaluate_all(
             it = tqdm(datafiles)
         except ImportError:
             pass
-    for datafile in it:
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(open_seq, datafiles[0]) if datafiles else None
+    for i, datafile in enumerate(it):
         dataset_name, filename = os.path.split(datafile)
         dataset_name = os.path.basename(dataset_name) or "unknown"
         filename = filename.split(".h5")[0]
-        ltype = cfg.ltype
-        if spec.name == "SPADEE2VID" and ltype == "H5":
-            ltype = "SpadeH5"  # reference pairs SPADE with ev_rate splitting
-        seq = load_sequence(
-            os.path.join(data_dir, datafile),
-            num_bins=cfg.num_bins,
-            combined_voxel_channels=cfg.combined_voxel_channels,
-            hot_filter=cfg.filter_hot_events,
-            normalize=cfg.normalize,
-            ltype=ltype,
-        )
+        seq = pending.result()
+        if i + 1 < len(datafiles):
+            pending = pool.submit(open_seq, datafiles[i + 1])
         result, detail = evaluate_sequence(spec, seq, cfg)
         seq.reader.close()
         results[dataset_name][filename] = result
         details[dataset_name][filename] = detail
+    pool.shutdown()
 
     os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
     with open(result_file, "w") as fp:
