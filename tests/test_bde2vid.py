@@ -375,3 +375,20 @@ def test_parallel_attention_equals_sequential_when_buffer_is_self(rng):
     np.testing.assert_allclose(
         np.asarray(a["image"]), np.asarray(b["image"]), atol=1e-5
     )
+
+
+def test_bde2vid_nwindow_kv_reduction(rng):
+    """nwindow_size KV token reduction (reference WindowAttention3D
+    reduction_conv, DTransformer.py:129,172-176) builds and runs; the
+    grouped conv reduces each window's kv to nwin tokens."""
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [1, 1], "num_heads": 2, "window_size": [4, 4],
+                         "nwindow_size": [2, 2]}}
+    m = build_model("BDE2VID", cfg)
+    v = jnp.asarray(rng.normal(size=(3, 1, 16, 16, 5)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), v)
+    names = "/".join(str(p) for p, _ in jax.tree_util.tree_leaves_with_path(params))
+    assert "reduction_conv" in names
+    out, _ = m.apply(params, v)
+    assert np.isfinite(np.asarray(out["image"])).all()
