@@ -12,6 +12,8 @@ from bde2vid_tpu.train.trainer import (
     make_train_step,
     save_checkpoint,
     load_checkpoint,
+    save_checkpoint_orbax,
+    load_checkpoint_orbax,
 )
 
 __all__ = [
@@ -19,4 +21,6 @@ __all__ = [
     "make_train_step",
     "save_checkpoint",
     "load_checkpoint",
+    "save_checkpoint_orbax",
+    "load_checkpoint_orbax",
 ]

@@ -15,6 +15,7 @@ Loss semantics follow the reference BDE2VID in-loop computation
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -146,6 +147,48 @@ def make_train_step(
 
 
 # ------------------------------ checkpoints ----------------------------------
+
+
+def save_checkpoint_orbax(path: str, params, model_name: str, config: Dict) -> None:
+    """Orbax checkpoint (async-capable, sharded-array-aware) — the
+    production alternative to the msgpack format; same sidecar config."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(params))
+    with open(path + ".json", "w") as fp:
+        json.dump({"model": model_name, "config": config}, fp)
+
+
+def load_checkpoint_orbax(path: str, dtype=jnp.float32):
+    """Load an orbax checkpoint -> ModelSpec (mirror of load_checkpoint)."""
+    import orbax.checkpoint as ocp
+
+    from bde2vid_tpu.models.api import ModelSpec, build_model
+
+    path = os.path.abspath(path)
+    with open(path + ".json") as fp:
+        meta = json.load(fp)
+    name, config = meta["model"], meta["config"]
+    model = build_model(name, config, dtype=dtype)
+    is_seq = bool(getattr(model, "is_sequence_model", False))
+    h = w = 64
+    nb = int(config.get("num_bins", config.get("generator", {}).get("num_bins", 5)))
+    voxel = jnp.zeros((2, 1, h, w, nb)) if is_seq else jnp.zeros((1, h, w, nb))
+    target = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(path, jax.device_get(target))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    gen_cfg = config.get("generator", config)
+    return ModelSpec(
+        name=name,
+        module=model,
+        params=params,
+        num_bins=nb,
+        num_encoders=int(gen_cfg.get("num_encoders", 3)),
+        is_sequence_model=is_seq,
+    )
 
 
 def save_checkpoint(path: str, params, model_name: str, config: Dict) -> None:

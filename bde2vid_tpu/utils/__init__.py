@@ -12,6 +12,7 @@ from bde2vid_tpu.utils.timers import Timer, CudaTimer, timer_summary
 from bde2vid_tpu.utils.config import Config, read_json, write_json
 from bde2vid_tpu.utils.flow_viz import flow2rgb
 from bde2vid_tpu.utils.compile_cache import enable_compilation_cache
+from bde2vid_tpu.utils.profiling import model_cost_summary
 
 __all__ = [
     "optimal_crop_size",
@@ -29,4 +30,5 @@ __all__ = [
     "write_json",
     "flow2rgb",
     "enable_compilation_cache",
+    "model_cost_summary",
 ]

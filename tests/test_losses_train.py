@@ -148,3 +148,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(out_a["image"]), np.asarray(out_b["image"]), atol=1e-6
     )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    from bde2vid_tpu.train import load_checkpoint_orbax, save_checkpoint_orbax
+
+    cfg = {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+           "num_residual_blocks": 1}
+    model = build_model("FireNet", cfg)
+    st = model.initial_state(1, 16, 16)
+    v = jnp.asarray(rng.normal(size=(1, 16, 16, 5)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), v, st)
+    path = str(tmp_path / "ck")
+    save_checkpoint_orbax(path, params, "FireNet", cfg)
+    spec = load_checkpoint_orbax(path)
+    a, _ = model.apply(params, v, st)
+    b, _ = spec.module.apply(spec.params, v, spec.module.initial_state(1, 16, 16))
+    np.testing.assert_allclose(
+        np.asarray(a["image"]), np.asarray(b["image"]), atol=1e-6
+    )
