@@ -74,6 +74,7 @@ def _equalize_hist(img: np.ndarray) -> np.ndarray:
 
 
 _mse_batch = jax.jit(jax.vmap(mse))
+_robust_norm_batch = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))
 _ssim_batch = jax.jit(jax.vmap(lambda a, b: structural_similarity(a[None], b[None])))
 _lpips_cache: Dict[int, Callable] = {}
 
@@ -224,7 +225,7 @@ def evaluate_sequence(
 
     # ---- postprocessing ----------------------------------------------------
     if cfg.robust_norm_output:
-        preds = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))(preds)
+        preds = _robust_norm_batch(preds)
     gts = jnp.asarray(frames)
     if cfg.eq:
         preds = jnp.asarray(
@@ -234,7 +235,10 @@ def evaluate_sequence(
 
     if cfg.save_images_to:
         os.makedirs(cfg.save_images_to, exist_ok=True)
-        ev_frame = np.asarray(jnp.sum(voxels, axis=1))
+        ev = voxels
+        if seq.item_last is not None:  # align sub-voxel frames with items
+            ev = ev[jnp.asarray(seq.item_last[:T])]
+        ev_frame = np.asarray(jnp.sum(ev, axis=1))
         _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), frames)
 
     # ---- metrics -----------------------------------------------------------
