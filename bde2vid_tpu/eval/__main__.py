@@ -64,8 +64,10 @@ def read_checkpoints(weights_dir: str, st: int, ed: int):
         if "epoch_" in x:
             m = re.search(r"\d+", x.split("epoch_")[-1])
             if m:
-                return m[0]
-        return x
+                # numeric sort (epoch_9 before epoch_10); tuple keys keep
+                # numeric and non-numeric names mutually sortable
+                return (0, int(m[0]), x)
+        return (1, 0, x)
 
     files.sort(key=parse_num)
     if st > 0 or ed > -1:
