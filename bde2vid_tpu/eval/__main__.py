@@ -61,13 +61,15 @@ def read_checkpoints(weights_dir: str, st: int, ed: int):
     )
 
     def parse_num(x):
-        if "epoch_" in x:
-            m = re.search(r"\d+", x.split("epoch_")[-1])
+        # parse the BASENAME: the directory path may itself contain "epoch_"
+        name = os.path.basename(x)
+        if "epoch_" in name:
+            m = re.search(r"\d+", name.split("epoch_")[-1])
             if m:
                 # numeric sort (epoch_9 before epoch_10); tuple keys keep
                 # numeric and non-numeric names mutually sortable
-                return (0, int(m[0]), x)
-        return (1, 0, x)
+                return (0, int(m[0]), name)
+        return (1, 0, name)
 
     files.sort(key=parse_num)
     if st > 0 or ed > -1:
