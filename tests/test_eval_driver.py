@@ -92,3 +92,13 @@ def test_p_loss_without_weights_raises(tmp_path, rng):
     cfg = EvalConfig(metrics=("p_loss",), subseq_L=None, max_length=None)
     with pytest.raises(ValueError, match="LPIPS"):
         evaluate_sequence(spec, seq, cfg)
+
+
+def test_equalize_hist_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    from bde2vid_tpu.eval.driver import _equalize_hist
+
+    img = rng.uniform(0, 1, (36, 44)).astype(np.float32)
+    got = (_equalize_hist(img) * 255).round().astype(np.int32)
+    want = cv2.equalizeHist((img * 255).clip(0, 255).astype(np.uint8)).astype(np.int32)
+    assert (np.abs(got - want) <= 1).mean() > 0.999
