@@ -392,3 +392,21 @@ def test_bde2vid_nwindow_kv_reduction(rng):
     assert "reduction_conv" in names
     out, _ = m.apply(params, v)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_bf16_pallas_fast_path_drift(rng):
+    """The throughput config (bf16 + fused Pallas attention) must stay within
+    bf16 noise of the f32 parity path on shared params."""
+    base = {"num_bins": 5, "basechannels": 8, "num_encoders": 2, "ks": 3,
+            "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+            "depths": [1, 1], "num_heads": 4, "window_size": [7, 7]}
+    m32 = build_model("BDE2VID", {"generator": dict(base)})
+    m16 = build_model(
+        "BDE2VID", {"generator": dict(base, use_pallas_attention=True)},
+        dtype=jnp.bfloat16,
+    )
+    v = jnp.asarray(rng.normal(size=(3, 1, 28, 28, 5)).astype(np.float32))
+    params = m32.init(jax.random.PRNGKey(0), v)
+    a = np.asarray(m32.apply(params, v)[0]["image"], np.float32)
+    b = np.asarray(m16.apply(params, v)[0]["image"], np.float32)
+    assert np.abs(a - b).max() < 0.05  # sigmoid-output scale, bf16 noise
