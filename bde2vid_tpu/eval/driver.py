@@ -118,26 +118,34 @@ def _metric_batch(
     return out
 
 
+_RUN_FN_CACHE: Dict = {}
+
+
 def _cached_run_fn(spec: ModelSpec, padded_hw, for_sequence_model: bool):
-    """One jitted forward per (spec, padded size): jit wrappers recreated per
-    sequence would re-trace the whole model each time (minutes for the
-    flagship) even when the persistent compile cache hits."""
-    cache = getattr(spec, "_run_cache", None)
-    if cache is None:
-        cache = {}
-        spec._run_cache = cache
-    key = (padded_hw, for_sequence_model)
-    if key not in cache:
+    """One traced+jitted forward per (architecture, padded size). Params are
+    a jit ARGUMENT (not a closure), so a checkpoint sweep over many .pth
+    files of the same architecture traces the model once — re-wrapping per
+    spec would re-trace (minutes for the flagship) even with the persistent
+    compile cache."""
+    arch_key = (
+        spec.module.__class__.__name__,
+        repr(getattr(spec.module, "config", None)),
+        repr(spec.module.dtype),
+        padded_hw,
+        for_sequence_model,
+    )
+    if arch_key not in _RUN_FN_CACHE:
+        module = spec.module
         if for_sequence_model:
-            cache[key] = jax.jit(
-                lambda v: spec.module.apply(spec.params, v)[0]["image"]
-            )
+            fn = jax.jit(lambda params, v: module.apply(params, v)[0]["image"])
         else:
-            state0 = spec.module.initial_state(1, *padded_hw)
-            cache[key] = jax.jit(
-                lambda v: run_sequence(spec.module, spec.params, v, state0)[0]
+            state0 = module.initial_state(1, *padded_hw)
+            fn = jax.jit(
+                lambda params, v: run_sequence(module, params, v, state0)[0]
             )
-    return cache[key]
+        _RUN_FN_CACHE[arch_key] = fn
+    fn = _RUN_FN_CACHE[arch_key]
+    return lambda v: fn(spec.params, v)
 
 
 def evaluate_sequence(
