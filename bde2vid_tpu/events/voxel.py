@@ -373,3 +373,54 @@ def warp_events_by_flow(
     flow_at = grid_sample_bilinear(flow[None], grid, align_corners=True)[0, 0]  # (N, 2)
     dt = ts.astype(jnp.float32) - t0
     return xs + flow_at[:, 0] * dt, ys + flow_at[:, 1] * dt
+
+
+def voxel_grids_fixed_n(
+    xs, ys, ts, ps, num_bins: int, n: int,
+    sensor_size: Tuple[int, int] = (180, 240),
+):
+    """List of voxel grids over consecutive fixed-count event windows
+    (reference voxel_grids_fixed_n_torch, event_utils.py:377-410).
+    Host-level convenience over the windowing + device voxelizer."""
+    from bde2vid_tpu.data.windowing import k_events_windows
+
+    windows = k_events_windows(len(xs), n)
+    out = []
+    for i0, i1 in windows:
+        px, py, pt, pp, nv = pad_events(
+            np.asarray(xs[i0:i1]), np.asarray(ys[i0:i1]),
+            np.asarray(ts[i0:i1]) - np.asarray(ts[i0]), np.asarray(ps[i0:i1]),
+            capacity=_bucket_capacity(n),
+        )
+        out.append(
+            events_to_voxel(px, py, pt, pp, nv, num_bins=num_bins,
+                            sensor_size=sensor_size)
+        )
+    return out
+
+
+def voxel_grids_fixed_t(
+    xs, ys, ts, ps, num_bins: int, t: float,
+    sensor_size: Tuple[int, int] = (180, 240),
+):
+    """List of voxel grids over consecutive fixed-duration windows
+    (reference voxel_grids_fixed_t_torch, event_utils.py:412-460)."""
+    ts_np = np.asarray(ts)
+    out = []
+    start = float(ts_np[0])
+    end = float(ts_np[-1])
+    i0 = 0
+    while start < end:
+        i1 = int(np.searchsorted(ts_np, start + t))
+        if i1 > i0:
+            px, py, pt, pp, nv = pad_events(
+                np.asarray(xs[i0:i1]), np.asarray(ys[i0:i1]),
+                ts_np[i0:i1] - ts_np[i0], np.asarray(ps[i0:i1]),
+            )
+            out.append(
+                events_to_voxel(px, py, pt, pp, nv, num_bins=num_bins,
+                                sensor_size=sensor_size)
+            )
+        i0 = i1
+        start += t
+    return out

@@ -154,3 +154,28 @@ def test_pad_events_bucketing():
         np.ones(3000, np.float32),
     )
     assert len(px2) == 4096
+
+
+def test_voxel_grids_fixed_n(rng):
+    from bde2vid_tpu.events.voxel import voxel_grids_fixed_n
+
+    xs, ys, ts, ps = make_events(rng, n=5000, sensor_size=SENSOR)
+    grids = voxel_grids_fixed_n(xs, ys, ts, ps, 5, 1000, sensor_size=SENSOR)
+    assert len(grids) == 5
+    for i, g in enumerate(grids):
+        want = events_to_voxel_np(
+            xs[i * 1000:(i + 1) * 1000], ys[i * 1000:(i + 1) * 1000],
+            ts[i * 1000:(i + 1) * 1000] - ts[i * 1000],
+            ps[i * 1000:(i + 1) * 1000], 5, SENSOR,
+        )
+        np.testing.assert_allclose(np.asarray(g), want, atol=1e-3)
+
+
+def test_voxel_grids_fixed_t(rng):
+    from bde2vid_tpu.events.voxel import voxel_grids_fixed_t
+
+    xs, ys, ts, ps = make_events(rng, n=5000, sensor_size=SENSOR, t1=1.0)
+    grids = voxel_grids_fixed_t(xs, ys, ts, ps, 5, 0.25, sensor_size=SENSOR)
+    assert 3 <= len(grids) <= 5
+    total = sum(float(np.asarray(g).sum()) for g in grids)
+    assert total == pytest.approx(float(ps.sum()), abs=0.5)
