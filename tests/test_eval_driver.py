@@ -102,3 +102,26 @@ def test_equalize_hist_matches_cv2(rng):
     got = (_equalize_hist(img) * 255).round().astype(np.int32)
     want = cv2.equalizeHist((img * 255).clip(0, 255).astype(np.uint8)).astype(np.int32)
     assert (np.abs(got - want) <= 1).mean() > 0.999
+
+
+def test_separate_polarity_eval(tmp_path, rng):
+    """combined_voxel_channels=False feeds 2B-channel pos/neg voxels."""
+    _write_seq(tmp_path / "a.h5", rng)
+    seq = load_sequence(
+        str(tmp_path / "a.h5"), num_bins=5, combined_voxel_channels=False
+    )
+    vox = np.asarray(seq.voxels(stop=2))
+    assert vox.shape[1] == 10  # 2 * num_bins
+    model = build_model(
+        "FireNet", {"num_bins": 10, "base_num_channels": 8}
+    )
+    voxel = jnp.zeros((1, 64, 64, 10))
+    params = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, 64, 64))
+    spec = ModelSpec("FireNet", model, params, num_bins=10, num_encoders=0)
+    cfg = EvalConfig(
+        num_bins=5, combined_voxel_channels=False,
+        metrics=("mse",), subseq_L=None, max_length=None,
+    )
+    result, detail = evaluate_sequence(spec, seq, cfg)
+    assert np.isfinite(result["mse"])
+    assert len(detail["mse"]) == len(seq)
