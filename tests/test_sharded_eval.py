@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from bde2vid_tpu.models import build_model
-from bde2vid_tpu.models.api import ModelSpec, run_sequence_chunked
+from bde2vid_tpu.models.api import ModelSpec, run_sequence, run_sequence_chunked
 from bde2vid_tpu.parallel.mesh import make_mesh, shard_batch
 from bde2vid_tpu.parallel.sharded_eval import eval_chunks_sharded
 
@@ -75,3 +75,32 @@ def test_shard_batch_places_data():
     # sharded over 'data' (4), replicated over 'spatial' (2) -> all 8 devices
     assert len(sharded.sharding.device_set) == 8
     assert sharded.sharding.spec[0] == "data"
+
+
+def test_spatial_sharding_matches_unsharded(rng):
+    """Sharding the sensor-height axis over the 'spatial' mesh axis must be
+    numerically inert — XLA inserts the conv halo exchanges."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bde2vid_tpu.parallel.mesh import make_mesh, spatial_sharding
+
+    spec = _spec()
+    T, H, W = 4, 64, 32
+    voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, 5)).astype(np.float32))
+    state0 = spec.module.initial_state(1, H, W)
+    want, _ = run_sequence(spec.module, spec.params, voxels, state0)
+
+    mesh = make_mesh(1, 4)  # pure 4-way spatial split of H=64 (batch is 1)
+    sh = spatial_sharding(mesh, 5, batch_axis=1, h_axis=2)
+    voxels_sharded = jax.device_put(voxels, sh)
+
+    @jax.jit
+    def run(v):
+        imgs, _ = run_sequence(spec.module, spec.params, v, state0)
+        return imgs
+
+    with mesh:
+        got = run(voxels_sharded)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
