@@ -274,7 +274,13 @@ def load_sequence(
         )
         has_frames = False
     elif method == "t_seconds":
-        duration = float(reader.f.attrs.get("duration", 0.0))
+        try:
+            duration = float(reader.f.attrs.get("duration", 0.0))
+        except AttributeError:  # non-h5 backends have no .f
+            duration = 0.0
+        if duration <= 0.0 and reader.num_events:
+            sl = reader.events(reader.num_events - 1, reader.num_events)
+            duration = float(sl.ts[-1])
         windows = t_seconds_windows(
             reader.search_time,
             0.0,

@@ -130,3 +130,26 @@ def test_prefetch_roundtrip(seq_file):
     items = list(prefetch_to_device((seq.item(i).frame for i in range(3)), size=2))
     assert len(items) == 3
     np.testing.assert_allclose(np.asarray(items[1]), seq.item(1).frame)
+
+
+def test_t_seconds_sequence(seq_file):
+    path, _ = seq_file
+    seq = load_sequence(
+        path, num_bins=5, voxel_method={"method": "t_seconds", "t": 0.5}
+    )
+    assert len(seq) == 4  # 2.0s / 0.5s
+    vox = np.asarray(seq.voxels())
+    assert vox.shape == (4, 5, *SENSOR)
+    assert np.abs(vox).sum() > 0
+
+
+def test_t_seconds_on_memmap(tmp_path, seq_file):
+    from bde2vid_tpu.events.tools import h5_to_memmap
+
+    path, _ = seq_file
+    out = str(tmp_path / "mm2")
+    h5_to_memmap(path, out)
+    seq = load_sequence(
+        out, num_bins=5, ltype="MMP", voxel_method={"method": "t_seconds", "t": 0.5}
+    )
+    assert len(seq) == 4
