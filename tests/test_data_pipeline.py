@@ -137,9 +137,11 @@ def test_t_seconds_sequence(seq_file):
     seq = load_sequence(
         path, num_bins=5, voxel_method={"method": "t_seconds", "t": 0.5}
     )
-    assert len(seq) == 4  # 2.0s / 0.5s
+    # duration is tk - t0 (slightly under the 2.0s sampling range), so the
+    # reference length formula int(duration / t) gives 3
+    assert len(seq) == 3
     vox = np.asarray(seq.voxels())
-    assert vox.shape == (4, 5, *SENSOR)
+    assert vox.shape == (3, 5, *SENSOR)
     assert np.abs(vox).sum() > 0
 
 
@@ -152,4 +154,4 @@ def test_t_seconds_on_memmap(tmp_path, seq_file):
     seq = load_sequence(
         out, num_bins=5, ltype="MMP", voxel_method={"method": "t_seconds", "t": 0.5}
     )
-    assert len(seq) == 4
+    assert len(seq) == 3
