@@ -134,7 +134,12 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    fps = bench_tpu()
+    try:
+        fps = bench_tpu()
+    except Exception:
+        # transient remote-compile failures happen on the tunneled TPU;
+        # one retry before failing loudly
+        fps = bench_tpu()
     try:
         cpu_fps = bench_torch_cpu()
     except Exception:
