@@ -7,7 +7,16 @@ scaled to [-1,1] with gray replicated to 3 channels.
 """
 
 from bde2vid_tpu.metrics.basic import mse, structural_similarity
-from bde2vid_tpu.metrics.lpips import LPIPS, load_lpips_params, lpips_distance
+from bde2vid_tpu.metrics.lpips import (
+    LPIPS,
+    load_lpips_params,
+    lpips_distance,
+    score_2afc,
+    score_2afc_dataset,
+    score_jnd,
+    score_jnd_dataset,
+    voc_ap,
+)
 
 __all__ = [
     "mse",
@@ -15,4 +24,9 @@ __all__ = [
     "LPIPS",
     "load_lpips_params",
     "lpips_distance",
+    "score_2afc",
+    "score_2afc_dataset",
+    "score_jnd",
+    "score_jnd_dataset",
+    "voc_ap",
 ]

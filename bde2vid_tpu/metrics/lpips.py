@@ -254,3 +254,87 @@ def dssim_distance(in0: Array, in1: Array) -> Array:
         return (1.0 - structural_similarity(a[None], b[None], data_range=2.0)) / 2.0
 
     return jax.vmap(one)(in0, in1)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-study scorers (reference LPIPS/models/dist_model.py:254-330,
+# LPIPS/util/util.py:426-457). Pure numpy: the reference iterates torch
+# data loaders, but the math is loader-agnostic, so these take arrays (or an
+# iterable yielding dict batches for the drop-in variants below).
+# ---------------------------------------------------------------------------
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray, use_07_metric: bool = False) -> float:
+    """VOC average precision (reference util.voc_ap :426-457).
+
+    Default: exact area under the precision envelope; ``use_07_metric``
+    switches to the 11-point interpolation.
+    """
+    rec = np.asarray(rec, np.float64)
+    prec = np.asarray(prec, np.float64)
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            p = 0.0 if not (rec >= t).any() else float(prec[rec >= t].max())
+            ap += p / 11.0
+        return ap
+    mrec = np.concatenate(([0.0], rec, [1.0]))
+    mpre = np.concatenate(([0.0], prec, [0.0]))
+    for i in range(mpre.size - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def score_2afc(d0s: np.ndarray, d1s: np.ndarray, gts: np.ndarray):
+    """Two-alternative-forced-choice score (reference :254-290).
+
+    ``d0s``/``d1s`` are distances ref→p0 / ref→p1; ``gts`` in [0,1] is the
+    fraction of humans preferring p1. Returns (mean score, detail dict);
+    ties score 0.5.
+    """
+    d0s = np.asarray(d0s, np.float64)
+    d1s = np.asarray(d1s, np.float64)
+    gts = np.asarray(gts, np.float64)
+    scores = (d0s < d1s) * (1.0 - gts) + (d1s < d0s) * gts + (d1s == d0s) * 0.5
+    return float(scores.mean()), dict(d0s=d0s, d1s=d1s, gts=gts, scores=scores)
+
+
+def score_jnd(ds: np.ndarray, sames: np.ndarray):
+    """Just-noticeable-difference mAP score (reference :292-330).
+
+    ``ds`` are patch-pair distances, ``sames`` the fraction of humans who
+    judged the pair identical. Sorting by distance yields a PR curve over
+    "same" as the positive class; the score is its VOC AP.
+    """
+    ds = np.asarray(ds, np.float64)
+    sames = np.asarray(sames, np.float64)
+    order = np.argsort(ds)
+    sames_sorted = sames[order]
+    tps = np.cumsum(sames_sorted)
+    fps = np.cumsum(1.0 - sames_sorted)
+    fns = sames_sorted.sum() - tps
+    precs = tps / np.maximum(tps + fps, 1e-12)
+    recs = tps / np.maximum(tps + fns, 1e-12)
+    return voc_ap(recs, precs), dict(ds=ds, sames=sames)
+
+
+def score_2afc_dataset(batches, func):
+    """Drop-in for the reference loop: ``batches`` yields dicts with
+    'ref'/'p0'/'p1'/'judge' arrays, ``func(a, b) -> per-item distances``."""
+    d0s, d1s, gts = [], [], []
+    for data in batches:
+        d0s += np.asarray(func(data["ref"], data["p0"])).ravel().tolist()
+        d1s += np.asarray(func(data["ref"], data["p1"])).ravel().tolist()
+        gts += np.asarray(data["judge"]).ravel().tolist()
+    return score_2afc(np.array(d0s), np.array(d1s), np.array(gts))
+
+
+def score_jnd_dataset(batches, func):
+    """Drop-in for the reference loop: ``batches`` yields dicts with
+    'p0'/'p1'/'same' arrays."""
+    ds, sames = [], []
+    for data in batches:
+        ds += np.asarray(func(data["p0"], data["p1"])).ravel().tolist()
+        sames += np.asarray(data["same"]).ravel().tolist()
+    return score_jnd(np.array(ds), np.array(sames))

@@ -274,6 +274,9 @@ class PixelShufflePack(nn.Module):
             self.features * self.scale_factor**2,
             (k, k),
             padding=((p, p), (p, p)),
+            # reference init_weights -> default_init_weights kaiming
+            # (model/submodules.py:20-36,76-81)
+            kernel_init=nn.initializers.kaiming_normal(),
             dtype=self.dtype,
             name="upsample_conv",
         )(x)

@@ -184,3 +184,63 @@ def test_fake_net_metrics(rng):
     ds = np.asarray(dssim_distance(a, b))
     assert ds.shape == (2,) and (ds >= 0).all() and (ds <= 1).all()
     np.testing.assert_allclose(np.asarray(dssim_distance(a, a)), 0, atol=1e-6)
+
+
+# --- perceptual-study scorers (reference dist_model.py:254-330) -----------
+
+
+def test_voc_ap_perfect_and_07():
+    from bde2vid_tpu.metrics import voc_ap
+
+    rec = np.array([0.25, 0.5, 0.75, 1.0])
+    prec = np.ones(4)
+    assert voc_ap(rec, prec) == pytest.approx(1.0)
+    # 11-point metric on the same perfect curve is also 1.0
+    assert voc_ap(rec, prec, use_07_metric=True) == pytest.approx(1.0)
+    # half-precision everywhere halves the area
+    assert voc_ap(rec, 0.5 * prec) == pytest.approx(0.5)
+
+
+def test_score_2afc_agreement_and_ties():
+    from bde2vid_tpu.metrics import score_2afc
+
+    d0s = np.array([0.1, 0.9, 0.5])
+    d1s = np.array([0.9, 0.1, 0.5])
+    gts = np.array([0.0, 1.0, 1.0])  # humans prefer p0, p1, p1
+    score, detail = score_2afc(d0s, d1s, gts)
+    # item0: d0<d1 and gt=0 -> 1; item1: d1<d0 and gt=1 -> 1; item2 tie -> 0.5
+    assert score == pytest.approx((1.0 + 1.0 + 0.5) / 3)
+    np.testing.assert_allclose(detail["scores"], [1.0, 1.0, 0.5])
+
+
+def test_score_jnd_perfect_separation():
+    from bde2vid_tpu.metrics import score_jnd
+
+    # identical pairs (same=1) all at small distance, different at large
+    ds = np.array([0.1, 0.2, 0.9, 1.0])
+    sames = np.array([1.0, 1.0, 0.0, 0.0])
+    score, _ = score_jnd(ds, sames)
+    assert score == pytest.approx(1.0)
+    # inverted distances -> poor AP
+    bad, _ = score_jnd(ds[::-1].copy(), sames)
+    assert bad < 0.75
+
+
+def test_scorer_dataset_wrappers():
+    from bde2vid_tpu.metrics import score_2afc_dataset, score_jnd_dataset
+
+    def l2(a, b):
+        return ((np.asarray(a) - np.asarray(b)) ** 2).mean(axis=(1, 2, 3))
+
+    rng = np.random.default_rng(0)
+    ref = rng.normal(size=(4, 8, 8, 3))
+    near = ref + 0.01 * rng.normal(size=ref.shape)
+    far = ref + 1.0 * rng.normal(size=ref.shape)
+    batches = [dict(ref=ref, p0=near, p1=far, judge=np.zeros(4))]
+    score, _ = score_2afc_dataset(batches, l2)
+    assert score == pytest.approx(1.0)  # humans+metric both prefer the near patch
+
+    jnd_batches = [dict(p0=ref, p1=near, same=np.ones(4)),
+                   dict(p0=ref, p1=far, same=np.zeros(4))]
+    jscore, _ = score_jnd_dataset(jnd_batches, l2)
+    assert jscore == pytest.approx(1.0)
