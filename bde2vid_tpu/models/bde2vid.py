@@ -449,13 +449,7 @@ class BDE2VIDGenerator(nn.Module):
                 all_lvl_feats.append(merged)
             all_lvl_feats.append(merged)
 
-        decode = nn.scan(
-            _DecodeStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-        )(
+        decode = _DecodeStep(
             basechannels=self.basechannels,
             num_encoders=self.num_encoders,
             kernel_size=self.ks,
@@ -467,8 +461,15 @@ class BDE2VIDGenerator(nn.Module):
             train=self.train,
             name="decode",
         )
-        _, images = decode((), (head, tuple(all_lvl_feats)))
-        return images
+        # The decoder has no temporal recurrence, norm, or stochastic layers
+        # (reference :183-197 runs it per-t only because the features arrive
+        # per-t), so fold T into the batch axis: one (T*N)-batched conv stack
+        # keeps the MXU full instead of T small per-step convs. The param
+        # tree is identical to the scanned form (params were broadcast).
+        t, n = head.shape[:2]
+        fold = lambda a: a.reshape(t * n, *a.shape[2:])
+        _, images = decode((), (fold(head), tuple(fold(f) for f in all_lvl_feats)))
+        return images.reshape(t, n, *images.shape[1:])
 
 
 @register_model("BDE2VID")
