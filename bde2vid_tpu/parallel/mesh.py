@@ -29,9 +29,17 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_spatial
-    if n_data * n_spatial != len(devices):
-        devices = devices[: n_data * n_spatial]
-    arr = np.asarray(devices).reshape(n_data, n_spatial)
+    need = n_data * n_spatial
+    if need <= 0 or len(devices) < need:
+        raise ValueError(
+            f"make_mesh needs {n_data}x{n_spatial}={need} devices, found "
+            f"{len(devices)} ({[d.platform for d in devices[:4]]}...). Hint: "
+            "a virtual CPU mesh requires forcing the CPU platform "
+            "(jax.config.update('jax_platforms', 'cpu')) AND setting "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N before the "
+            "backend initializes; see __graft_entry__._provision_virtual_mesh."
+        )
+    arr = np.asarray(devices[:need]).reshape(n_data, n_spatial)
     return Mesh(arr, axis_names=("data", "spatial"))
 
 
