@@ -1,0 +1,160 @@
+"""Multi-device TRAINING proofs on the 8-device virtual CPU mesh.
+
+The reference has no distributed backend (SURVEY §2.5/§5.8); these tests
+prove the build's own multi-chip plan for the training path:
+
+- DP train step == single-device train step on the concatenated batch,
+- spatially-sharded (H-axis) train step fwd+bwd+update == unsharded,
+- orbax save/restore round-trips mesh-sharded params.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bde2vid_tpu.models import build_model
+from bde2vid_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicate,
+    spatial_sharding,
+)
+from bde2vid_tpu.train.trainer import (
+    SequenceLossComputer,
+    load_checkpoint_orbax,
+    make_train_step,
+    save_checkpoint_orbax,
+)
+
+CFG = {
+    "num_bins": 5,
+    "num_encoders": 2,
+    "base_num_channels": 8,
+    "num_residual_blocks": 1,
+}
+
+
+def _model_and_params(h=32, w=32, n=1):
+    model = build_model("E2VIDRecurrent", CFG)
+    v = jnp.zeros((n, h, w, 5))
+    params = model.init(jax.random.PRNGKey(0), v, model.initial_state(n, h, w))
+    return model, params
+
+
+def _batch(rng, t, n, h, w):
+    voxels = jnp.asarray(rng.normal(size=(t, n, h, w, 5)).astype(np.float32))
+    frames = jnp.asarray(
+        rng.uniform(size=(t, n, h, w, 1)).astype(np.float32)
+    )
+    return voxels, frames
+
+
+def _step_fn(model):
+    tx = optax.adam(1e-3)
+    comp = SequenceLossComputer([{"type": "L1Loss"}])
+    step = make_train_step(model, tx, comp, is_sequence_model=False)
+    return tx, step
+
+
+def _tree_allclose(a, b, atol=1e-5):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for la, lb in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=atol, rtol=1e-5
+        )
+
+
+def test_dp_train_step_matches_single_device(rng):
+    """Batch sharded over the 'data' axis must produce the same updated
+    params/opt state as the unsharded step on the full concatenated batch
+    (XLA inserts the gradient psum; math identical up to reduction order)."""
+    T, N, H, W = 3, 8, 32, 32
+    model, params = _model_and_params(H, W, N)
+    tx, step = _step_fn(model)
+    voxels, frames = _batch(rng, T, N, H, W)
+    key = jax.random.PRNGKey(7)
+
+    opt0 = tx.init(params)
+    want_p, want_o, want_loss = step(params, opt0, key, voxels, frames, None)
+
+    mesh = make_mesh(8, 1)
+    dsh = data_sharding(mesh, 5, batch_axis=1)
+    rep = replicate(mesh)
+    params_s = jax.device_put(params, rep)
+    opt_s = jax.device_put(tx.init(params), rep)
+    with mesh:
+        got_p, got_o, got_loss = step(
+            params_s,
+            opt_s,
+            key,
+            jax.device_put(voxels, dsh),
+            jax.device_put(frames, dsh),
+            None,
+        )
+    np.testing.assert_allclose(
+        float(got_loss["loss"]), float(want_loss["loss"]), atol=1e-6
+    )
+    _tree_allclose(got_p, want_p)
+    _tree_allclose(got_o, want_o)
+
+
+def test_spatial_sharded_train_step_matches_unsharded(rng):
+    """Sharding the sensor-height axis through fwd+bwd+update must be
+    numerically inert (conv halos + their transposes become collective
+    permutes inserted by XLA)."""
+    T, N, H, W = 3, 2, 64, 32
+    model, params = _model_and_params(H, W, N)
+    tx, step = _step_fn(model)
+    voxels, frames = _batch(rng, T, N, H, W)
+    key = jax.random.PRNGKey(11)
+
+    opt0 = tx.init(params)
+    want_p, _, want_loss = step(params, opt0, key, voxels, frames, None)
+
+    mesh = make_mesh(2, 4)
+    ssh = spatial_sharding(mesh, 5, batch_axis=1, h_axis=2)
+    rep = replicate(mesh)
+    with mesh:
+        got_p, _, got_loss = step(
+            jax.device_put(params, rep),
+            jax.device_put(tx.init(params), rep),
+            key,
+            jax.device_put(voxels, ssh),
+            jax.device_put(frames, ssh),
+            None,
+        )
+    np.testing.assert_allclose(
+        float(got_loss["loss"]), float(want_loss["loss"]), atol=1e-6
+    )
+    _tree_allclose(got_p, want_p)
+
+
+def test_orbax_roundtrip_sharded_params(rng, tmp_path):
+    """Params living sharded on the mesh must save/restore losslessly and
+    still drive the same forward after re-placement."""
+    H = W = 32
+    model, params = _model_and_params(H, W)
+    mesh = make_mesh(4, 2)
+    params_sharded = jax.device_put(params, replicate(mesh))
+
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, params_sharded, "E2VIDRecurrent", CFG)
+    spec = load_checkpoint_orbax(path)
+
+    _tree_allclose(spec.params, params, atol=0)
+
+    voxels = jnp.asarray(rng.normal(size=(1, H, W, 5)).astype(np.float32))
+    state0 = model.initial_state(1, H, W)
+    want, _ = model.apply(params, voxels, state0)
+
+    restored = jax.device_put(spec.params, replicate(mesh))
+    with mesh:
+        got, _ = jax.jit(model.apply)(restored, voxels, state0)
+    np.testing.assert_allclose(
+        np.asarray(got["image"]), np.asarray(want["image"]), atol=1e-6
+    )
