@@ -45,9 +45,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default=None, type=str,
                    help="where result files go (default: weights_dir)")
     p.add_argument("--lpips_lin", default=None, type=str,
-                   help="torch .pth with LPIPS lin heads (v0.1 alex layout)")
+                   help="torch .pth with LPIPS lin heads (v0.1 alex layout); "
+                   "auto-discovered ($BDE2VID_LPIPS_LIN, weights/lpips/, "
+                   "reference mirror) when omitted")
     p.add_argument("--lpips_backbone", default=None, type=str,
-                   help="torch state dict with torchvision alexnet features.*")
+                   help="torch state dict with torchvision alexnet features.* "
+                   "(required for paper-parity p_loss; lin heads alone use a "
+                   "randomly initialized backbone)")
     p.add_argument("--bf16", action="store_true", help="run models in bfloat16")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas window-attention kernel (BDE2VID)")
@@ -111,13 +115,23 @@ def main(argv=None) -> int:
 
     from bde2vid_tpu.eval.checkpoint import load_model_from_torch
     from bde2vid_tpu.eval.driver import EvalConfig, evaluate_all
-    from bde2vid_tpu.metrics.lpips import LPIPS, load_lpips_params
+    from bde2vid_tpu.metrics.lpips import (
+        LPIPS,
+        find_default_lpips_lin,
+        load_lpips_params,
+    )
+
+    lpips_lin = args.lpips_lin
+    if lpips_lin is None and "p_loss" in args.metrics:
+        lpips_lin = find_default_lpips_lin()
+        if lpips_lin:
+            print(f"lpips: using discovered lin weights {lpips_lin}")
 
     lpips_pair = None
-    if args.lpips_lin:
+    if lpips_lin:
         from bde2vid_tpu.eval.checkpoint import load_torch_file, _to_numpy_state
 
-        lin = _to_numpy_state(load_torch_file(args.lpips_lin))
+        lin = _to_numpy_state(load_torch_file(lpips_lin))
         backbone = (
             _to_numpy_state(load_torch_file(args.lpips_backbone))
             if args.lpips_backbone

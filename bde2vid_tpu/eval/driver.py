@@ -76,7 +76,10 @@ def _equalize_hist(img: np.ndarray) -> np.ndarray:
 _mse_batch = jax.jit(jax.vmap(mse))
 _robust_norm_batch = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))
 _ssim_batch = jax.jit(jax.vmap(lambda a, b: structural_similarity(a[None], b[None])))
-_lpips_cache: Dict[int, Callable] = {}
+# keyed by the (frozen, hashable) LPIPS module; params are a jit ARGUMENT so
+# a fresh params tree never aliases a stale traced closure (an id(params) key
+# can be recycled by the GC and serve the wrong weights)
+_lpips_cache: Dict[object, Callable] = {}
 
 
 def _metric_batch(
@@ -103,17 +106,20 @@ def _metric_batch(
                 "drop p_loss from metrics"
             )
         module, params = lpips_pair
-        key = id(params)
-        if key not in _lpips_cache:
-            _lpips_cache[key] = jax.jit(
-                lambda a, b: jax.vmap(
-                    lambda x, y: lpips_distance(module, params, x[None], y[None])
+        if module not in _lpips_cache:
+            _lpips_cache[module] = jax.jit(
+                lambda prm, a, b: jax.vmap(
+                    lambda x, y: lpips_distance(module, prm, x[None], y[None])
                 )(a, b)
             )
-        dist_fn = _lpips_cache[key]
+        dist_fn = _lpips_cache[module]
         vals = []
         for s in range(0, p4.shape[0], lpips_chunk):
-            vals.append(np.asarray(dist_fn(p4[s : s + lpips_chunk], g4[s : s + lpips_chunk])))
+            vals.append(
+                np.asarray(
+                    dist_fn(params, p4[s : s + lpips_chunk], g4[s : s + lpips_chunk])
+                )
+            )
         out["p_loss"] = np.concatenate(vals)
     return out
 

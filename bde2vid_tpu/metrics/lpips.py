@@ -32,6 +32,32 @@ ALEX_CHNS = [64, 192, 384, 256, 256]
 VGG_CHNS = [64, 128, 256, 512, 512]
 
 
+def find_default_lpips_lin(net: str = "alex") -> Optional[str]:
+    """Locate the vendored v0.1 lin-head weights without an explicit flag.
+
+    Search order: $BDE2VID_LPIPS_LIN, a repo-local ``weights/lpips/{net}.pth``
+    drop-in, then the reference mirror's vendored copy
+    (LPIPS/weights/v0.1/{net}.pth — the exact file the reference metric is
+    built from, dist_model.py:30-163). Returns None when nothing is found.
+
+    Note: the lin heads alone give the learned per-channel weighting; full
+    paper-parity LPIPS additionally needs the torchvision backbone state
+    dict supplied via ``--lpips_backbone`` (not redistributable here).
+    """
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.environ.get("BDE2VID_LPIPS_LIN"),
+        os.path.join(repo_root, "weights", "lpips", f"{net}.pth"),
+        f"/root/reference/LPIPS/weights/v0.1/{net}.pth",
+    ]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
 def _maxpool_3x3_s2(x: Array) -> Array:
     """MaxPool2d(kernel=3, stride=2), VALID — torch default (no padding)."""
     return jax.lax.reduce_window(
