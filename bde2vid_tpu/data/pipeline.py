@@ -259,6 +259,10 @@ def load_sequence(
         reader = NPYEventReader(path)
     elif ltype == "NPY":
         return PrevoxelizedSequence(path, normalize=normalize, max_length=max_length)
+    elif ltype == "H5VOX":
+        return H5VoxelCacheSequence(
+            path, num_bins=num_bins, normalize=normalize, max_length=max_length
+        )
     else:
         raise ValueError(f"unknown loader type {ltype!r}")
     method = voxel_method["method"]
@@ -378,3 +382,55 @@ class PrevoxelizedSequence:
 
     def close(self):
         pass
+
+
+class H5VoxelCacheSequence:
+    """Sequence backed by in-h5 precomputed voxels (the layout written by
+    events.tools.h5_precompute_voxels — the reference h5_to_between_frames
+    cache: ``events_voxels_{B}/event{:09d}`` datasets with ``dt`` attrs,
+    read by its DynamicH5Dataset.get_event_voxel :407-409). Duck-types the
+    EventSequence surface the eval driver needs."""
+
+    item_last = None
+
+    def __init__(
+        self,
+        path: str,
+        num_bins: int = 5,
+        normalize: bool = False,
+        max_length: Optional[int] = None,
+    ):
+        self.reader = H5EventReader(path)
+        self.group = f"events_voxels_{num_bins}"
+        if self.group not in self.reader.f:
+            raise ValueError(
+                f"{path} has no '{self.group}' cache; run "
+                "events.tools.h5_precompute_voxels first"
+            )
+        self._grp = self.reader.f[self.group]
+        self.normalize = normalize
+        self.sensor_size = self.reader.sensor_size
+        self.length = min(len(self._grp), max(self.reader.num_frames - 1, 0))
+        if max_length is not None:
+            self.length = min(self.length, max_length + 1)
+
+    def __len__(self):
+        return self.length
+
+    def voxels(self, start: int = 0, stop: Optional[int] = None, batch: int = 64):
+        stop = self.length if stop is None else min(stop, self.length)
+        v = jnp.asarray(
+            np.stack(
+                [np.asarray(self._grp[f"event{i:09d}"]) for i in range(start, stop)]
+            ).astype(np.float32)
+        )
+        if self.normalize:
+            v = jax.jit(jax.vmap(legacy_norm))(v)
+        return v
+
+    def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
+        stop = self.length if stop is None else min(stop, self.length)
+        return np.stack([self.reader.frame(i) for i in range(start, stop)])
+
+    def close(self):
+        self.reader.close()

@@ -34,8 +34,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pause_st", default=None, type=int)
     p.add_argument("--pause_ed", default=None, type=int)
     p.add_argument("--loader_type", default="H5",
-                   choices=["H5", "SpadeH5", "MMP", "NPY", "ENPY"],
-                   help="dataset backend (reference ltype)")
+                   choices=["H5", "SpadeH5", "MMP", "NPY", "ENPY", "H5VOX"],
+                   help="dataset backend (reference ltype; H5VOX reads the "
+                   "in-h5 voxel cache written by h5_precompute_voxels)")
     p.add_argument("--separate_polarity", action="store_true",
                    help="2B-channel pos/neg voxel grids instead of combined")
     p.add_argument("--filter_hot_events", action="store_true")
@@ -82,13 +83,17 @@ def read_checkpoints(weights_dir: str, st: int, ed: int):
 
 
 def read_datafiles(data_dir: str, datasets, loader_type: str = "H5"):
-    subdir = "h5" if loader_type in ("H5", "SpadeH5") else "npy" if loader_type in ("NPY", "ENPY") else "mmp"
+    subdir = (
+        "h5"
+        if loader_type in ("H5", "SpadeH5", "H5VOX")
+        else "npy" if loader_type in ("NPY", "ENPY") else "mmp"
+    )
     root = os.path.join(data_dir, subdir)
     listing = os.path.join(root, "eval_data.txt")
     if os.path.exists(listing):
         with open(listing) as f:
             files = [l for l in f.read().split("\n") if l]
-    elif loader_type in ("H5", "SpadeH5"):  # fall back to walking the tree
+    elif loader_type in ("H5", "SpadeH5", "H5VOX"):  # fall back to walking the tree
         files = [
             os.path.relpath(p, root)
             for p in glob(os.path.join(root, "**", "*.h5"), recursive=True)

@@ -380,3 +380,128 @@ class MemMapEventReader:
 
     def close(self):
         pass
+
+
+# --------------------- between-frames voxel precompute -----------------------
+
+
+def _between_frames_voxel(sl, num_bins: int, sensor_size, combined: bool):
+    """One window -> (C, H, W) float32 voxel + dt, reference item semantics
+    (h5_to_between_frames.py make_event_voxel :110-130: <3 events -> zeros,
+    timestamps shifted to the window start, combined or pos/neg-concat)."""
+    from bde2vid_tpu.events.voxel_np import (
+        events_to_neg_pos_voxel_np,
+        events_to_voxel_np,
+    )
+
+    channels = num_bins if combined else 2 * num_bins
+    if len(sl.xs) < 3:
+        return np.zeros((channels, *sensor_size), np.float32), 0.0
+    ts = sl.ts - sl.ts[0]
+    dt = float(ts[-1])
+    if combined:
+        vox = events_to_voxel_np(sl.xs, sl.ys, ts, sl.ps, num_bins, sensor_size)
+    else:
+        vp, vn = events_to_neg_pos_voxel_np(sl.xs, sl.ys, ts, sl.ps, num_bins, sensor_size)
+        vox = np.concatenate([vp, vn], axis=0)
+    return vox.astype(np.float32), dt
+
+
+def h5_precompute_voxels(
+    path: str,
+    num_bins: int = 5,
+    combined_voxel_channels: bool = True,
+    overwrite: bool = False,
+) -> int:
+    """Cache between-frames voxel grids INSIDE the h5 file.
+
+    This is the reference ``h5_to_between_frames`` tool's (intended) on-disk
+    format: per-interval datasets ``events_voxels_{B}/event{:09d}`` with a
+    ``dt`` attribute, read back by its DynamicH5Dataset.get_event_voxel
+    (h5_to_between_frames.py:407-409). NOTE the reference file as shipped is
+    bitrotted — it calls self.make_event_voxels() (:176) which is defined
+    nowhere — so this implements the format its reader consumes. Existing
+    datasets are skipped (:111-113) unless ``overwrite``.
+
+    Returns the number of voxels written.
+    """
+    import h5py
+
+    written = 0
+    with H5EventReader(path) as r:
+        from bde2vid_tpu.data.windowing import between_frames_windows
+
+        windows = between_frames_windows(r.frame_event_indices)
+        length = max(r.num_frames - 1, 0)  # reference __len__ (:306-307)
+        items = []
+        for i in range(length):
+            idx0, idx1 = (int(v) for v in windows[i])
+            items.append(_between_frames_voxel(
+                r.events(idx0, idx1), num_bins, r.sensor_size,
+                combined_voxel_channels,
+            ))
+    with h5py.File(path, "r+") as f:
+        grp = f.require_group(f"events_voxels_{num_bins}")
+        for i, (vox, dt) in enumerate(items):
+            name = f"event{i:09d}"
+            if name in grp:
+                if not overwrite:
+                    continue
+                del grp[name]
+            d = grp.create_dataset(name, data=vox)
+            d.attrs["dt"] = dt
+            written += 1
+    return written
+
+
+def h5_to_prevoxelized_npy(
+    h5_path: str,
+    out_dir: str,
+    num_bins: int = 5,
+    combined_voxel_channels: bool = True,
+    event_folder: Optional[str] = None,
+    frame_folder: str = "frames",
+) -> None:
+    """Export an h5 sequence to the pre-voxelized NPY tree consumed by
+    PrevoxelizedSequence (reference VoxelGridDataset layout,
+    event_dataset.py:111-158):
+
+        out/{VoxelGrid-betweenframes-B}/voxels.npy   (L, C, H, W) float32
+        out/{...}/timestamps.txt                     "idx ts" per voxel
+        out/frames/frames.npy                        (F, H, W) uint8
+        out/frames/timestamps.txt                    "idx ts" per frame
+
+    Voxel i covers the events before frame i; its timestamp is frame i's,
+    so the first-frame-at-or-after-ts pairing reproduces the h5 item pairing.
+    """
+    event_folder = event_folder or f"VoxelGrid-betweenframes-{num_bins}"
+    ef = os.path.join(out_dir, event_folder)
+    ff = os.path.join(out_dir, frame_folder)
+    os.makedirs(ef, exist_ok=True)
+    os.makedirs(ff, exist_ok=True)
+    with H5EventReader(h5_path) as r:
+        from bde2vid_tpu.data.windowing import between_frames_windows
+
+        windows = between_frames_windows(r.frame_event_indices)
+        length = max(r.num_frames - 1, 0)
+        voxels = []
+        for i in range(length):
+            idx0, idx1 = (int(v) for v in windows[i])
+            vox, _ = _between_frames_voxel(
+                r.events(idx0, idx1), num_bins, r.sensor_size,
+                combined_voxel_channels,
+            )
+            voxels.append(vox)
+        fts = r.frame_timestamps + r.t0  # absolute, like the source files
+        frames = np.stack(
+            [np.asarray(r.f["images"][k]) for k in r._frame_keys]
+        ).astype(np.uint8)
+    np.save(os.path.join(ef, "voxels.npy"), np.stack(voxels) if voxels else
+            np.zeros((0, num_bins, *frames.shape[-2:]), np.float32))
+    with open(os.path.join(ef, "timestamps.txt"), "w") as fp:
+        for i in range(length):
+            fp.write(f"{i} {fts[i]:.9f}\n")
+    np.save(os.path.join(ff, "frames.npy"), frames)
+    with open(os.path.join(ff, "timestamps.txt"), "w") as fp:
+        for i, t in enumerate(fts):
+            fp.write(f"{i} {t:.9f}\n")

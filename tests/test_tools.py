@@ -109,3 +109,82 @@ def test_hfr_windows(h5_file):
     # HFR windows end at the same frame indices but start later (shorter span)
     assert (seq2.windows[:, 1] == seq1.windows[: len(seq2), 1]).all()
     assert (seq2.windows[1:, 0] >= seq1.windows[1 : len(seq2), 0]).all()
+
+
+def test_h5_precompute_voxels_roundtrip(h5_file, rng):
+    """h5 -> in-h5 voxel cache -> eval equals on-the-fly h5 eval
+    (reference h5_to_between_frames cache format)."""
+    import jax
+
+    from bde2vid_tpu.eval import EvalConfig, evaluate_sequence
+    from bde2vid_tpu.events.tools import h5_precompute_voxels
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.models.api import ModelSpec
+
+    written = h5_precompute_voxels(h5_file, num_bins=5)
+    assert written == 5  # num_frames - 1
+    # idempotent: existing datasets are skipped (reference :111-113)
+    assert h5_precompute_voxels(h5_file, num_bins=5) == 0
+
+    seq_h5 = load_sequence(h5_file, num_bins=5)
+    seq_vox = load_sequence(h5_file, num_bins=5, ltype="H5VOX")
+    np.testing.assert_allclose(
+        np.asarray(seq_vox.voxels()),
+        np.asarray(seq_h5.voxels())[: len(seq_vox)],
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(seq_vox.frames(), seq_h5.frames()[: len(seq_vox)])
+
+    cfg_m = {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+             "num_residual_blocks": 1}
+    import jax.numpy as jnp
+
+    model = build_model("E2VIDRecurrent", cfg_m)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)), model.initial_state(1, 64, 64)
+    )
+    spec = ModelSpec("E2VIDRecurrent", model, params, 5, 2)
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    res_h5, _ = evaluate_sequence(spec, load_sequence(h5_file, num_bins=5), cfg)
+    res_vox, _ = evaluate_sequence(
+        spec, load_sequence(h5_file, num_bins=5, ltype="H5VOX"), cfg
+    )
+    for k in res_h5:
+        assert res_vox[k] == pytest.approx(res_h5[k], rel=1e-3, abs=1e-5)
+
+
+def test_h5_to_prevoxelized_npy_roundtrip(h5_file, tmp_path, rng):
+    """h5 -> NPY voxel/frame tree -> eval equals h5 -> eval."""
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.eval import EvalConfig, evaluate_sequence
+    from bde2vid_tpu.events.tools import h5_to_prevoxelized_npy
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.models.api import ModelSpec
+
+    out = str(tmp_path / "npytree")
+    h5_to_prevoxelized_npy(h5_file, out, num_bins=5)
+
+    seq_h5 = load_sequence(h5_file, num_bins=5)
+    seq_npy = load_sequence(out, num_bins=5, ltype="NPY")
+    assert len(seq_npy) == len(seq_h5)
+    np.testing.assert_allclose(
+        np.asarray(seq_npy.voxels()), np.asarray(seq_h5.voxels()), atol=1e-4
+    )
+    np.testing.assert_allclose(seq_npy.frames(), seq_h5.frames(), atol=1e-6)
+
+    cfg_m = {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+             "num_residual_blocks": 1}
+    model = build_model("E2VIDRecurrent", cfg_m)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 5)), model.initial_state(1, 64, 64)
+    )
+    spec = ModelSpec("E2VIDRecurrent", model, params, 5, 2)
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    res_h5, _ = evaluate_sequence(spec, load_sequence(h5_file, num_bins=5), cfg)
+    res_npy, _ = evaluate_sequence(
+        spec, load_sequence(out, num_bins=5, ltype="NPY"), cfg
+    )
+    for k in res_h5:
+        assert res_npy[k] == pytest.approx(res_h5[k], rel=1e-3, abs=1e-5)
