@@ -146,6 +146,26 @@ class VIPLoss:
         new_state = (outsx, outsy)
         return jnp.mean(dist) * self.w, new_state
 
+    def step(self, params, pred, target, state, seen):
+        """Scan-friendly variant: ``state`` always has the full feature
+        structure and the temporal term is gated by the traced boolean
+        ``seen`` (False reproduces the ``state=None`` semantics of
+        ``__call__``). Features are extracted once."""
+        x = _to_pm1_3ch(pred, self.normalize)
+        y = _to_pm1_3ch(target, self.normalize)
+        outsx = self._feats(params, x)
+        outsy = self._feats(params, y)
+        outsu, outsz = state
+        dist = 0.0
+        temporal = 0.0
+        for kk in range(len(outsx)):
+            dist = dist + (1.0 - _cos_sim(outsx[kk], outsy[kk]))
+            temporal = temporal + (
+                1.0 - _cos_sim(outsx[kk] - outsu[kk], outsy[kk] - outsz[kk])
+            )
+        total = dist + jnp.where(seen, temporal, jnp.zeros_like(temporal))
+        return jnp.mean(total) * self.w, (outsx, outsy)
+
 
 def temporal_consistency_loss(
     image0: Array,

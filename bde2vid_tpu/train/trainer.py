@@ -31,11 +31,21 @@ class SequenceLossComputer:
     """Builds losses from a config list and evaluates them over an image
     sequence, functionally (explicit VIP feature state)."""
 
-    def __init__(self, losses_cfg: Sequence[Dict], loss_inds: Optional[Any] = None):
+    def __init__(
+        self,
+        losses_cfg: Sequence[Dict],
+        loss_inds: Optional[Any] = None,
+        unroll_threshold: int = 64,
+    ):
         self.losses = {cfg["type"]: build_loss(cfg) for cfg in losses_cfg}
         if loss_inds is not None and not isinstance(loss_inds, (list, tuple)):
             loss_inds = [t for t in range(40) if t % int(loss_inds) == 0]
         self.loss_inds = loss_inds
+        # more evaluated steps than this switches from the python unroll
+        # (cheap graph, skips ungated steps entirely — right for the
+        # reference's T<=40 loss_inds regime) to a lax.scan (O(1) graph size
+        # for arbitrary T; guards against a T=1000 config tracing for minutes)
+        self.unroll_threshold = int(unroll_threshold)
 
     def _gate(self, T: int) -> np.ndarray:
         if self.loss_inds is None:
@@ -55,6 +65,8 @@ class SequenceLossComputer:
     ) -> Tuple[Array, Dict[str, Array]]:
         T = preds.shape[0]
         gate = self._gate(T)
+        if int(gate.sum()) > self.unroll_threshold:
+            return self._call_scan(lpips_params, preds, gts, flows, gate)
         sums: Dict[str, Array] = {}
         counts: Dict[str, Array] = {}
         vip_state = None
@@ -87,6 +99,94 @@ class SequenceLossComputer:
         total = jnp.zeros(())
         for name in self.losses:
             mean = sums[name] / jnp.maximum(counts[name], 1.0)
+            short = "L_" + "".join(c for c in name if c.isupper())
+            loss_dict[short] = mean
+            total = total + mean
+        loss_dict["loss"] = total
+        return total, loss_dict
+
+    def _call_scan(
+        self,
+        lpips_params,
+        preds: Array,
+        gts: Array,
+        flows: Optional[Array],
+        gate,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """lax.scan form of __call__: identical semantics, O(1) trace size.
+
+        VIP state threads through the carry (updated only at gated steps,
+        temporal term suppressed until the first gated step — matching the
+        state=None behavior of the unrolled loop); TemporalConsistency gets
+        its own gate (t > L0, t >= 1)."""
+        T = preds.shape[0]
+        names = list(self.losses)
+        gate_f = jnp.asarray(gate, jnp.float32)
+        prev_preds = jnp.concatenate([preds[:1], preds[:-1]])
+        prev_gts = jnp.concatenate([gts[:1], gts[:-1]])
+
+        tc = self.losses.get("TemporalConsistencyLoss")
+        if tc is not None:
+            if flows is None:
+                raise ValueError("TemporalConsistencyLoss requires flows")
+            t_idx = np.arange(T)
+            gate_tc = gate_f * jnp.asarray(
+                (t_idx > tc.L0) & (t_idx >= 1), jnp.float32
+            )
+        else:
+            gate_tc = gate_f
+            flows = jnp.zeros((T, 1, 1, 1, 2), preds.dtype)
+
+        vip = self.losses.get("VIPLoss")
+        if vip is not None:
+            ph = jax.eval_shape(
+                lambda p, a, b: vip(p, a, b, None)[1], lpips_params, preds[0], gts[0]
+            )
+            vip_state0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), ph
+            )
+        else:
+            vip_state0 = ()
+
+        def body(carry, x):
+            vip_state, vip_seen, sums, counts = carry
+            pd, gt, ppd, pgt, fl, g, g_tc = x
+            new_sums, new_counts = [], []
+            for j, name in enumerate(names):
+                fn = self.losses[name]
+                if name in ("PerceptualLoss", "L1Loss"):
+                    v, _ = fn(lpips_params, pd, gt)
+                    gj = g
+                elif name == "VIPLoss":
+                    v, new_state = fn.step(lpips_params, pd, gt, vip_state, vip_seen)
+                    vip_state = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(g > 0, n, o), new_state, vip_state
+                    )
+                    vip_seen = jnp.logical_or(vip_seen, g > 0)
+                    gj = g
+                elif name == "TemporalConsistencyLoss":
+                    v, _ = fn(lpips_params, pgt, gt, ppd, pd, fl)
+                    gj = g_tc
+                else:
+                    raise ValueError(f"unknown loss {name}")
+                new_sums.append(sums[j] + gj * v)
+                new_counts.append(counts[j] + gj)
+            return (vip_state, vip_seen, jnp.stack(new_sums), jnp.stack(new_counts)), None
+
+        carry0 = (
+            vip_state0,
+            jnp.asarray(False),
+            jnp.zeros((len(names),)),
+            jnp.zeros((len(names),)),
+        )
+        (_, _, sums, counts), _ = jax.lax.scan(
+            body, carry0, (preds, gts, prev_preds, prev_gts, flows, gate_f, gate_tc)
+        )
+
+        loss_dict = {}
+        total = jnp.zeros(())
+        for j, name in enumerate(names):
+            mean = sums[j] / jnp.maximum(counts[j], 1.0)
             short = "L_" + "".join(c for c in name if c.isupper())
             loss_dict[short] = mean
             total = total + mean

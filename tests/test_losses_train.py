@@ -167,3 +167,53 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(a["image"]), np.asarray(b["image"]), atol=1e-6
     )
+
+
+def test_sequence_loss_scan_matches_unroll(rng):
+    """The lax.scan path must reproduce the python unroll exactly for all
+    four losses (VIP state threading, TC's t>L0 gate, loss_inds gating)."""
+    losses = [
+        {"type": "L1Loss"},
+        {"type": "PerceptualLoss"},
+        {"type": "VIPLoss", "net": "alex"},
+        {"type": "TemporalConsistencyLoss", "L0": 2},
+    ]
+    params = _lpips_params()
+    T, N, H, W = 9, 1, 32, 32
+    preds = jnp.asarray(rng.uniform(0, 1, (T, N, H, W, 1)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(0, 1, (T, N, H, W, 1)).astype(np.float32))
+    flows = jnp.asarray(rng.normal(0, 1.0, (T, N, H, W, 2)).astype(np.float32))
+
+    for loss_inds in (None, 2):
+        unrolled = SequenceLossComputer(losses, loss_inds=loss_inds,
+                                        unroll_threshold=1000)
+        scanned = SequenceLossComputer(losses, loss_inds=loss_inds,
+                                       unroll_threshold=0)
+        tu, du = unrolled(params, preds, gts, flows)
+        ts_, ds = scanned(params, preds, gts, flows)
+        assert float(ts_) == pytest.approx(float(tu), rel=1e-5), loss_inds
+        for k in du:
+            assert float(ds[k]) == pytest.approx(float(du[k]), rel=1e-5, abs=1e-7), (
+                k, loss_inds)
+
+
+def test_sequence_loss_large_T_traces_bounded(rng):
+    """A T=200 dense-gate loss graph must build via scan in bounded time
+    (the unroll would trace 200 copies of the loss)."""
+    import time
+
+    comp = SequenceLossComputer([{"type": "L1Loss"}])  # default threshold 64
+    T = 200
+    preds = jnp.asarray(rng.uniform(0, 1, (T, 1, 16, 16, 1)).astype(np.float32))
+    gts = jnp.zeros_like(preds)
+
+    t0 = time.monotonic()
+    jaxpr = jax.make_jaxpr(lambda p, g: comp(None, p, g)[0])(preds, gts)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 20.0, f"trace took {elapsed:.1f}s"
+    # O(1) graph: the scan body appears once, not 200 times
+    assert len(jaxpr.jaxpr.eqns) < 100
+
+    total, _ = comp(None, preds, gts)
+    want = float(np.abs(np.asarray(preds)).mean())
+    assert float(total) == pytest.approx(want, rel=1e-5)
