@@ -43,6 +43,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--eq", action="store_true")
     p.add_argument("--saveim", default=None, type=str, help="folder to dump triptych PNGs")
+    p.add_argument("--show", action="store_true",
+                   help="live [events|pred|gt] cv2 window; ESC quits")
+    p.add_argument("--wait_time", default=1, type=int,
+                   help="cv2.waitKey ms per frame for --show")
     p.add_argument("--output_dir", default=None, type=str,
                    help="where result files go (default: weights_dir)")
     p.add_argument("--lpips_lin", default=None, type=str,
@@ -205,6 +209,8 @@ def main(argv=None) -> int:
             lpips=lpips_pair,
             robust_norm_output="SNN" in name,
             save_images_to=args.saveim,
+            show=args.show,
+            wait_time=args.wait_time,
         )
         evaluate_all(spec, datafiles, data_root, result_file, cfg)
     return 0

@@ -54,6 +54,8 @@ class EvalConfig:
     lpips: Optional[Tuple[LPIPS, dict]] = None  # (module, params)
     robust_norm_output: bool = False  # SNN postprocessing
     save_images_to: Optional[str] = None
+    show: bool = False  # live cv2.imshow triptych (reference showim :272-276)
+    wait_time: int = 1  # cv2.waitKey ms per frame; ESC exits
 
 
 def _equalize_hist(img: np.ndarray) -> np.ndarray:
@@ -247,13 +249,16 @@ def evaluate_sequence(
         )
         gts = jnp.asarray(np.stack([_equalize_hist(g) for g in frames]))
 
-    if cfg.save_images_to:
-        os.makedirs(cfg.save_images_to, exist_ok=True)
+    if cfg.save_images_to or cfg.show:
         ev = voxels
         if seq.item_last is not None:  # align sub-voxel frames with items
             ev = ev[jnp.asarray(seq.item_last[:T])]
         ev_frame = np.asarray(jnp.sum(ev, axis=1))
-        _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), frames)
+        if cfg.save_images_to:
+            os.makedirs(cfg.save_images_to, exist_ok=True)
+            _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), frames)
+        if cfg.show:
+            _show_triptychs(ev_frame, np.asarray(preds), frames, cfg.wait_time)
 
     # ---- metrics -----------------------------------------------------------
     detail = _metric_batch(preds, gts, cfg.metrics, cfg.lpips)
@@ -262,18 +267,23 @@ def evaluate_sequence(
     return result, detail
 
 
+def _triptych(ev_i, pred_i, gt_i) -> np.ndarray:
+    """[event frame | prediction | ground truth] uint8 strip
+    (reference eval_models_seq.py:263-264)."""
+    rng = ev_i.max() - ev_i.min()
+    e = (ev_i - ev_i.min()) / (rng + 1e-6)
+    img = np.concatenate([e, pred_i, gt_i], axis=1)
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
 def _save_triptychs(folder, ev, pred, gt):
-    """[event frame | prediction | ground truth] PNGs (reference :260-270)."""
+    """Triptych PNG dump (reference saveim :266-270)."""
     try:
         import cv2
     except ImportError:
         cv2 = None
     for i in range(len(pred)):
-        e = ev[i]
-        rng = e.max() - e.min()
-        e = (e - e.min()) / (rng + 1e-6)
-        img = np.concatenate([e, pred[i], gt[i]], axis=1)
-        img = np.clip(img * 255, 0, 255).astype(np.uint8)
+        img = _triptych(ev[i], pred[i], gt[i])
         path = os.path.join(folder, f"frame_{i:010d}.png")
         if cv2 is not None:
             cv2.imwrite(path, img)
@@ -281,6 +291,32 @@ def _save_triptychs(folder, ev, pred, gt):
             from bde2vid_tpu.utils.png import write_gray_png
 
             write_gray_png(path, img)
+
+
+def _show_triptychs(ev, pred, gt, wait_time: int = 1):
+    """Live cv2.imshow loop, ESC quits the whole run (reference showim
+    :272-276 exits with code 0). Degrades to a warning when cv2 is missing
+    or no display is available (headless)."""
+    try:
+        import cv2
+    except ImportError:
+        print("warning: --show requested but cv2 is not available")
+        return
+    # Qt's headless failure is a hard abort() that except can't catch —
+    # check for a display up front instead.
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        print("warning: --show disabled (no display in this environment)")
+        return
+    for i in range(len(pred)):
+        img = _triptych(ev[i], pred[i], gt[i])
+        try:
+            cv2.imshow("result", img)
+            key = cv2.waitKey(wait_time) & 0xFF
+        except cv2.error as err:
+            print(f"warning: --show disabled ({err})")
+            return
+        if key == 27:  # ESC
+            raise SystemExit(0)
 
 
 def evaluate_all(

@@ -188,3 +188,89 @@ def test_h5_to_prevoxelized_npy_roundtrip(h5_file, tmp_path, rng):
     )
     for k in res_h5:
         assert res_npy[k] == pytest.approx(res_h5[k], rel=1e-3, abs=1e-5)
+
+
+def _ros_stamp(t):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(secs=int(t), nsecs=int(round((t - int(t)) * 1e9)))
+
+
+def test_bag_message_extractor_packages_canonical_h5(tmp_path, rng):
+    """Rosbag-free packaging core: synthetic ROS-shaped messages -> h5
+    (reference rosbag_to_h5.py:42-136 format semantics)."""
+    from types import SimpleNamespace
+
+    from bde2vid_tpu.events.rosbag import BagMessageExtractor
+
+    h, w = 20, 30
+    path = str(tmp_path / "bag.h5")
+    ex = BagMessageExtractor(
+        path, "/cam0/events", "/cam0/image_raw", zero_timestamps=True,
+        max_buffer=50,
+    )
+
+    t_base = 100.0
+    n = 200
+    ts = np.sort(rng.uniform(t_base, t_base + 1.0, n))
+    ts[0] = t_base
+    xs = rng.integers(0, w, n)
+    ys = rng.integers(0, h, n)
+    ps = rng.choice([True, False], n)
+    # events arrive in 4 EventArray messages of 50
+    for c in range(0, n, 50):
+        events = [
+            SimpleNamespace(x=int(xs[i]), y=int(ys[i]), ts=_ros_stamp(ts[i]),
+                            polarity=bool(ps[i]))
+            for i in range(c, c + 50)
+        ]
+        msg = SimpleNamespace(header=SimpleNamespace(stamp=_ros_stamp(ts[c])),
+                              events=events)
+        ex.consume("/cam0/events", msg)
+        # one mono8 image per chunk
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        imsg = SimpleNamespace(
+            header=SimpleNamespace(stamp=_ros_stamp(ts[min(c + 49, n - 1)])),
+            height=h, width=w, encoding="mono8", data=img.tobytes(),
+        )
+        ex.consume("/cam0/image_raw", imsg)
+    ex.consume("/other/topic", SimpleNamespace())  # ignored
+    ex.finish()
+
+    with H5EventReader(path) as r:
+        assert r.num_events == n
+        assert r.num_frames == 4
+        assert r.sensor_size == (h, w)
+        sl = r.events(0, n)
+        np.testing.assert_array_equal(sl.xs, xs)
+        np.testing.assert_array_equal(sl.ys, ys)
+        np.testing.assert_array_equal(sl.ps > 0, ps)
+        # zero_timestamps: stored ts start at 0 (within ROS nsec resolution)
+        assert abs(float(r.t0)) < 1e-6
+        np.testing.assert_allclose(sl.ts, ts - t_base, atol=1e-5)
+        # the file is loadable by the standard pipeline
+        seq = load_sequence(path, num_bins=5)
+        assert len(seq) >= 1
+        v = np.asarray(seq.voxels())
+        assert np.isfinite(v).all()
+
+
+def test_decode_image_msg_color_and_gray():
+    from types import SimpleNamespace
+
+    from bde2vid_tpu.events.rosbag import decode_image_msg
+
+    rgb = np.zeros((2, 3, 3), np.uint8)
+    rgb[..., 0] = 200  # red channel in rgb8
+    msg = SimpleNamespace(height=2, width=3, encoding="rgb8", data=rgb.tobytes())
+    bgr = decode_image_msg(msg, is_color=True)
+    assert bgr[0, 0, 2] == 200 and bgr[0, 0, 0] == 0  # channel-swapped
+    gray = decode_image_msg(msg, is_color=False)
+    assert gray.shape == (2, 3) and int(gray[0, 0]) == round(0.299 * 200)
+
+
+def test_rosbag_to_h5_raises_clean_importerror(tmp_path):
+    from bde2vid_tpu.events.rosbag import rosbag_to_h5
+
+    with pytest.raises(ImportError, match="BagMessageExtractor"):
+        rosbag_to_h5(str(tmp_path), str(tmp_path / "out"))
