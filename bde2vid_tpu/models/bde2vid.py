@@ -157,6 +157,7 @@ class _AttnParallel(nn.Module):
     drop_path: Tuple[float, ...]
     activation: str
     slab: int = 128  # frames attended per batch (memory bound)
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -176,6 +177,7 @@ class _AttnParallel(nn.Module):
                 q_ind=q_ind,
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
@@ -398,6 +400,7 @@ class BDE2VIDGenerator(nn.Module):
                     nwindow_size=self.nwindow_size,
                     drop_path=dpr,
                     activation=act_attn,
+                    use_pallas=self.use_pallas_attention,
                     dtype=self.dtype,
                     deterministic=not self.train,
                     name=f"feat_attns{lvl}",

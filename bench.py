@@ -3,23 +3,30 @@
 Measures the device path at the reference's native protocol (240x180
 sensor padded to /8, 5-bin voxels): the full bidirectional BDE2VID
 generator (basechannels 32, 3 levels, attention depths [4,0,6], 16 heads,
-7x7 windows) over a T-step sequence, one jitted program. Baseline = an
-E2VID-class recurrent CNN of the same backbone scale in PyTorch on CPU
-(the only hardware the reference runs on here); BASELINE.md's target is
->= 10x that.
+7x7 windows) over a T-step sequence, one jitted program. Baseline = the
+SAME architecture in PyTorch on CPU (the torch BDE2VID replica from
+tests/test_bde2vid.py at flagship scale — the only hardware the reference
+runs on here); BASELINE.md's target is >= 10x that.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+informational keys (gflops_per_frame from XLA cost analysis, mfu against
+the v5e 197-TFLOP/s bf16 peak).
+
+``python bench.py --families`` instead prints one JSON line per model
+family (frames/sec/chip on TPU), feeding docs/BENCHMARKS.md.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 H, W, BINS, T = 184, 240, 5, 16  # 180x240 padded to /8 (compile ~2min; scan makes T-throughput stable)
+V5E_BF16_PEAK_FLOPS = 197e12  # public TPU v5e (v5 lite) peak, bf16
 CFG = {
     "num_bins": BINS,
     "num_encoders": 3,
@@ -29,7 +36,7 @@ CFG = {
 }
 
 
-def bench_tpu() -> float:
+def bench_tpu():
     import jax
     import jax.numpy as jnp
 
@@ -61,90 +68,121 @@ def bench_tpu() -> float:
         imgs = run(voxels)
     jax.block_until_ready(imgs)
     dt = (time.perf_counter() - t0) / iters
-    return T / dt
+
+    # compiler-verified FLOPs of the exact benched program
+    gflops_per_frame = float("nan")
+    try:
+        cost = run.lower(voxels).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        gflops_per_frame = float(cost.get("flops", 0.0)) / T / 1e9
+    except Exception:
+        pass
+    return T / dt, gflops_per_frame
 
 
 def bench_torch_cpu() -> float:
-    """Same-architecture PyTorch model on CPU (few steps, extrapolated)."""
+    """The SAME architecture in PyTorch on CPU: the flagship-scale torch
+    BDE2VID replica (bidirectional LSTM sweeps + windowed cross-frame
+    attention) from the parity tests. Few steps, per-frame extrapolated."""
     import torch
 
-    class ConvLSTM(torch.nn.Module):
-        def __init__(self, c):
-            super().__init__()
-            self.g = torch.nn.Conv2d(2 * c, 4 * c, 3, padding=1)
+    import tests.test_bde2vid as tb
 
-        def forward(self, x, hc):
-            h, c = hc
-            i, f, o, g = self.g(torch.cat([x, h], 1)).chunk(4, 1)
-            c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
-            h = torch.sigmoid(o) * torch.tanh(c)
-            return h, (h, c)
+    # the replica reads its scale from module constants; pin them to the
+    # flagship config (bde2vid_cross_scale_propogation_V5.py:19-23 defaults)
+    tb.BASE, tb.ENC, tb.KS, tb.NRES = 32, 3, 5, 2
+    tb.BUF = [-3, -2, -1, 0, 1, 2, 3]
+    tb.DEPTHS = [4, 0, 6]
+    tb.HEADS = 16
+    tb.WIN = (7, 7)
+    net = tb.TV5().eval()
 
-    class Net(torch.nn.Module):
-        def __init__(self, base=32, enc=3, nres=2):
-            super().__init__()
-            self.head = torch.nn.Conv2d(BINS, base, 5, padding=2)
-            chans = [base * 2**i for i in range(enc + 1)]
-            self.enc = torch.nn.ModuleList(
-                torch.nn.Conv2d(chans[i], chans[i + 1], 5, 2, 2) for i in range(enc)
-            )
-            self.lstm = torch.nn.ModuleList(ConvLSTM(chans[i + 1]) for i in range(enc))
-            self.res = torch.nn.ModuleList(
-                torch.nn.Conv2d(chans[-1], chans[-1], 3, padding=1) for _ in range(2 * nres)
-            )
-            self.dec = torch.nn.ModuleList(
-                torch.nn.Conv2d(chans[enc - i], chans[enc - i] // 2, 5, padding=2)
-                for i in range(enc)
-            )
-            self.pred = torch.nn.Conv2d(base, 1, 1)
-
-        def forward(self, x, states):
-            x = torch.relu(self.head(x))
-            head = x
-            blocks, new_states = [], []
-            for conv, cell, st in zip(self.enc, self.lstm, states):
-                x = torch.relu(conv(x))
-                x, st = cell(x, st)
-                blocks.append(x)
-                new_states.append(st)
-            for r in self.res:
-                x = torch.relu(r(x))
-            for i, d in enumerate(self.dec):
-                x = torch.nn.functional.interpolate(x + blocks[-1 - i], scale_factor=2)
-                x = torch.relu(d(x))
-            return torch.sigmoid(self.pred(x + head)), new_states
-
-    net = Net().eval()
-    x = torch.randn(1, BINS, H, W)
-    states = []
-    h, w = H, W
-    for i in range(3):
-        h, w = h // 2, w // 2
-        c = 32 * 2 ** (i + 1)
-        z = torch.zeros(1, c, h, w)
-        states.append((z, z.clone()))
-    steps = 6
+    steps = 4
+    voxels = [torch.randn(1, BINS, H, W) for _ in range(steps)]
     with torch.no_grad():
-        net(x, states)  # warm-up
+        net(voxels[:2])  # warm-up
         t0 = time.perf_counter()
-        for _ in range(steps):
-            _, states = net(x, states)
+        net(voxels)
         dt = time.perf_counter() - t0
     return steps / dt
 
 
+FAMILY_CFGS = {
+    # reference eval-scale configs per family (SURVEY §2.2); value =
+    # (config, spatial padding multiple for the 184-high input)
+    "E2VIDRecurrent": ({"num_bins": 5, "num_encoders": 4, "base_num_channels": 32,
+                        "num_residual_blocks": 2,
+                        "recurrent_block_type": "convlstm"}, 16),
+    "FireNet": ({"num_bins": 5, "base_num_channels": 16}, 8),
+    "SPADEE2VID": ({"num_bins": 5}, 8),
+    "EITR": ({"num_bins": 5}, 8),
+    "EVSNN": ({"num_bins": 5}, 8),
+}
+
+
+def bench_family(name: str) -> float:
+    """frames/sec/chip for a per-step model family at the native protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.models.api import run_sequence
+
+    cfg, pad = FAMILY_CFGS[name]
+    model = build_model(name, cfg)
+    h = (H + pad - 1) // pad * pad
+    rng = np.random.default_rng(0)
+    voxels = jnp.asarray(rng.normal(size=(T, 1, h, W, BINS)).astype(np.float32))
+    state = model.initial_state(1, h, W)
+    params = model.init(jax.random.PRNGKey(0), voxels[0], state)
+
+    def run(v):
+        imgs, _ = run_sequence(model, params, v, state)
+        return imgs
+
+    run = jax.jit(run)
+    jax.block_until_ready(run(voxels))  # compile + warm-up
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        imgs = run(voxels)
+    jax.block_until_ready(imgs)
+    return T * iters / (time.perf_counter() - t0)
+
+
+def main_families() -> None:
+    from bde2vid_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    for name in FAMILY_CFGS:
+        try:
+            fps = bench_family(name)
+            print(json.dumps({
+                "metric": f"{name}_frames_per_sec_240x180",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+            }))
+        except Exception as err:  # keep the sweep going
+            print(json.dumps({"metric": f"{name}", "error": str(err)[:200]}))
+
+
 def main():
+    if "--families" in sys.argv:
+        main_families()
+        return
     try:
-        fps = bench_tpu()
+        fps, gflops = bench_tpu()
     except Exception:
         # transient remote-compile failures happen on the tunneled TPU;
         # one retry before failing loudly
-        fps = bench_tpu()
+        fps, gflops = bench_tpu()
     try:
         cpu_fps = bench_torch_cpu()
     except Exception:
         cpu_fps = float("nan")
     vs = fps / cpu_fps if cpu_fps == cpu_fps else float("nan")
+    mfu = fps * gflops * 1e9 / V5E_BF16_PEAK_FLOPS if gflops == gflops else float("nan")
     print(
         json.dumps(
             {
@@ -152,6 +190,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
+                "baseline": "torch-cpu BDE2VID replica (same arch)",
+                "gflops_per_frame": round(gflops, 1) if gflops == gflops else None,
+                "mfu": round(mfu, 4) if mfu == mfu else None,
             }
         )
     )

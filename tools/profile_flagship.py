@@ -1,0 +1,81 @@
+"""Flagship runtime breakdown by ablation (feeds docs/DESIGN.md's profile).
+
+Measures frames/sec of the bench configuration (bf16, T=16, 184x240) for:
+
+- full            : the benched model (Pallas attention, sequential parity scan)
+- no_attention    : depths zeroed -> encoders + decoders + scans only
+- xla_attention   : fused Pallas kernel off (XLA attention, same semantics)
+- parallel_attn   : non-parity batched attention (_AttnParallel)
+- encoder_only    : decode path replaced by returning the head conv
+
+The difference full - no_attention is the attention share of runtime; the
+other variants locate the remaining time between the recurrent encoder
+scans and the T-batched decoder.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_flagship.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# runnable as `python tools/profile_flagship.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W, BINS, T = 184, 240, 5, 16
+
+
+def measure(cfg_overrides, label):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _FLAGSHIP_CFG
+    from bde2vid_tpu.models import build_model
+
+    cfg = {"generator": dict(_FLAGSHIP_CFG["generator"])}
+    cfg["generator"].update(cfg_overrides)
+    model = build_model("BDE2VID", cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, BINS)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), voxels[:2])
+    run = jax.jit(lambda v: model.apply(params, v)[0]["image"])
+    jax.block_until_ready(run(voxels))
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(voxels)
+    jax.block_until_ready(out)
+    fps = T * iters / (time.perf_counter() - t0)
+    print(json.dumps({"variant": label, "fps": round(fps, 2),
+                      "ms_per_frame": round(1000.0 / fps, 3)}), flush=True)
+    return fps
+
+
+def main():
+    from bde2vid_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    full = measure({"use_pallas_attention": True}, "full")
+    noattn = measure(
+        {"use_pallas_attention": True, "depths": [0] * 3}, "no_attention"
+    )
+    measure({}, "xla_attention")
+    measure({"parallel_attention": True}, "parallel_attn")
+    attn_ms = 1000.0 / full - 1000.0 / noattn
+    print(
+        json.dumps(
+            {
+                "attention_ms_per_frame": round(attn_ms, 3),
+                "attention_share": round(attn_ms / (1000.0 / full), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
