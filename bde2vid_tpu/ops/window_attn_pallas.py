@@ -98,7 +98,7 @@ def fused_window_attention(
     # windows per program: amortize the bias/mask DMA without blowing VMEM
     # (per window: ~2*N*C*4B f32 operands + one (M, N) f32 score plane)
     wb = 1
-    for cand in (8, 4, 2):
+    for cand in (12, 8, 6, 4, 2):
         if b_ % cand == 0:
             wb = cand
             break
@@ -238,7 +238,7 @@ def fused_window_block(
     bias_rows = bias.reshape(num_heads * m, n)
 
     wb = 1
-    for cand in (8, 4, 2):
+    for cand in (12, 8, 6, 4, 2):
         if b_ % cand == 0:
             wb = cand
             break
