@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="torch state dict with torchvision alexnet features.* "
                    "(required for paper-parity p_loss; lin heads alone use a "
                    "randomly initialized backbone)")
+    p.add_argument("--shard_data", action="store_true",
+                   help="shard subseq_L chunks over all visible devices "
+                   "(exact: chunk state resets make them independent)")
     p.add_argument("--bf16", action="store_true", help="run models in bfloat16")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas window-attention kernel (BDE2VID)")
@@ -211,6 +214,7 @@ def main(argv=None) -> int:
             save_images_to=args.saveim,
             show=args.show,
             wait_time=args.wait_time,
+            shard_data=args.shard_data,
         )
         evaluate_all(spec, datafiles, data_root, result_file, cfg)
     return 0

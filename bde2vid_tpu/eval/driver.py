@@ -56,6 +56,7 @@ class EvalConfig:
     save_images_to: Optional[str] = None
     show: bool = False  # live cv2.imshow triptych (reference showim :272-276)
     wait_time: int = 1  # cv2.waitKey ms per frame; ESC exits
+    shard_data: bool = False  # shard subseq_L chunks over all devices
 
 
 def _equalize_hist(img: np.ndarray) -> np.ndarray:
@@ -200,7 +201,13 @@ def evaluate_sequence(
     chunk = cfg.subseq_L or n_steps
     preds = []
     padded_hw = (x.shape[2], x.shape[3])
-    if spec.is_sequence_model:
+    if cfg.shard_data and jax.device_count() > 1 and seq.item_last is None:
+        # chunks are state-reset-independent -> shard them over the mesh's
+        # 'data' axis (exactness proven in tests/test_sharded_eval.py)
+        from bde2vid_tpu.parallel.sharded_eval import eval_chunks_sharded
+
+        preds = [eval_chunks_sharded(spec, x, chunk)]
+    elif spec.is_sequence_model:
         # BDE2VID-style: the whole (sub)sequence is one forward; the
         # reference resets state per call (bde2vid.py:31), so chunks are
         # independent (eval_models_seq.py:216-219)

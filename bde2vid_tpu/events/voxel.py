@@ -424,3 +424,78 @@ def voxel_grids_fixed_t(
         i0 = i1
         start += t
     return out
+
+
+def events_to_voxel_timesync(
+    xs, ys, ts, ps, num_bins: int, t0: float, t1: float,
+    sensor_size: Tuple[int, int] = (180, 240),
+) -> Array:
+    """Voxelize only the events in [t0, t1) (reference
+    events_to_voxel_timesync_torch, event_utils.py:431-464: host searchsorted
+    to slice, then the standard voxelizer). ``t0 < t1`` and at least one
+    event in range are required, like the reference's asserts."""
+    ts_np = np.asarray(ts)
+    if not t1 > t0:
+        raise ValueError("t1 must be > t0")
+    i0 = int(np.searchsorted(ts_np, t0))
+    i1 = int(np.searchsorted(ts_np, t1))
+    if not i0 < i1:
+        raise ValueError("no events in [t0, t1)")
+    px, py, pt, pp, nv = pad_events(
+        np.asarray(xs[i0:i1]), np.asarray(ys[i0:i1]),
+        ts_np[i0:i1] - ts_np[i0], np.asarray(ps[i0:i1]),
+    )
+    return events_to_voxel(px, py, pt, pp, nv, num_bins=num_bins,
+                           sensor_size=sensor_size)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "sensor_size"))
+def events_to_voxel_accumulate(
+    xs: Array, ys: Array, ts: Array, ps: Array, n_events,
+    *, num_bins: int = 5, sensor_size: Tuple[int, int] = (180, 240),
+) -> Array:
+    """``temporal_bilinear=False`` voxel mode: each event lands wholly in
+    its time bin (hard binning) instead of splitting across the two nearest
+    bins. The reference's branch (event_utils.py:499-505) is bitrotted
+    (undefined ``t``, every bin spans the full window); this implements the
+    documented intent: bin i gets the events in
+    [t0 + i*dt/B, t0 + (i+1)*dt/B)."""
+    h, w = sensor_size
+    valid = _valid_mask(xs.shape[0], n_events)
+    ts = ts.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
+    t0 = ts[0]
+    dt = ts[n - 1] - t0
+    safe_dt = jnp.where(dt == 0, 1.0, dt)
+    binf = jnp.clip(
+        jnp.floor((ts - t0) / safe_dt * num_bins), 0, num_bins - 1
+    ).astype(jnp.int32)
+    bins = jnp.arange(num_bins, dtype=jnp.int32)[None, :]
+    weights = (binf[:, None] == bins).astype(jnp.float32) * (
+        ps.astype(jnp.float32) * valid
+    )[:, None]
+    xs = xs.astype(jnp.int32)
+    ys = ys.astype(jnp.int32)
+    inb = ((xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)).astype(jnp.float32)
+    weights = weights * inb[:, None]
+    flat = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)
+    acc = jnp.zeros((h * w, num_bins), jnp.float32).at[flat].add(
+        weights, mode="drop"
+    )
+    return jnp.transpose(acc, (1, 0)).reshape(num_bins, h, w)
+
+
+def unpack_batched_events(events: np.ndarray, batch_indices) -> np.ndarray:
+    """(N, 4) contiguous batched events + end indices -> (B, 1, M, 4) padded
+    per-item arrays, M = longest item (reference unpack_batched_events,
+    event_utils.py:545-574 — that implementation is bitrotted: it reads
+    ``event_batch_indices``/``start_dx`` which don't exist; this is the
+    documented intent)."""
+    events = np.asarray(events).reshape(-1, events.shape[-1])
+    ends = list(batch_indices)
+    starts = [0] + ends[:-1]
+    maxlen = max(e - s for s, e in zip(starts, ends)) if ends else 0
+    out = np.zeros((len(ends), 1, maxlen, events.shape[-1]), events.dtype)
+    for b, (s, e) in enumerate(zip(starts, ends)):
+        out[b, 0, : e - s] = events[s:e]
+    return out

@@ -104,3 +104,31 @@ def test_spatial_sharding_matches_unsharded(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_evaluate_sequence_shard_data_matches(tmp_path, rng):
+    """The driver's --shard_data path must produce identical metrics to the
+    sequential path on the 8-device mesh."""
+    import dataclasses
+
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.eval import EvalConfig, evaluate_sequence
+    from bde2vid_tpu.events import H5EventWriter
+    from tests.conftest import make_events
+
+    sensor = (36, 44)
+    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=sensor, t1=1.0)
+    path = str(tmp_path / "a.h5")
+    with H5EventWriter(path, sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(9):
+            w.add_image(rng.uniform(0, 255, sensor).astype(np.uint8), (i + 0.5) / 9)
+
+    spec = _spec()
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=2, max_length=None)
+    res_seq, det_seq = evaluate_sequence(spec, load_sequence(path, num_bins=5), cfg)
+    cfg_sh = dataclasses.replace(cfg, shard_data=True)
+    res_sh, det_sh = evaluate_sequence(spec, load_sequence(path, num_bins=5), cfg_sh)
+    for k in res_seq:
+        assert res_sh[k] == pytest.approx(res_seq[k], rel=1e-4, abs=1e-6), k
+    np.testing.assert_allclose(det_sh["mse"], det_seq["mse"], atol=1e-6)

@@ -179,3 +179,54 @@ def test_voxel_grids_fixed_t(rng):
     assert 3 <= len(grids) <= 5
     total = sum(float(np.asarray(g).sum()) for g in grids)
     assert total == pytest.approx(float(ps.sum()), abs=0.5)
+
+
+def test_voxel_timesync_slices_by_time(rng):
+    from bde2vid_tpu.events import events_to_voxel, events_to_voxel_timesync, pad_events
+
+    xs, ys, ts, ps = make_events(rng, n=4000, sensor_size=(32, 48), t1=1.0)
+    t0, t1 = 0.25, 0.75
+    got = np.asarray(
+        events_to_voxel_timesync(xs, ys, ts, ps, 5, t0, t1, sensor_size=(32, 48))
+    )
+    i0, i1 = np.searchsorted(ts, t0), np.searchsorted(ts, t1)
+    px, py, pt, pp, n = pad_events(xs[i0:i1], ys[i0:i1], ts[i0:i1] - ts[i0], ps[i0:i1])
+    want = np.asarray(events_to_voxel(px, py, pt, pp, n, num_bins=5, sensor_size=(32, 48)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        events_to_voxel_timesync(xs, ys, ts, ps, 5, 0.5, 0.5)
+
+
+def test_voxel_accumulate_hard_binning(rng):
+    """temporal_bilinear=False mode: every event lands wholly in one bin and
+    per-pixel mass is preserved."""
+    from bde2vid_tpu.events import events_to_voxel_accumulate, pad_events
+
+    h, w = 16, 24
+    xs, ys, ts, ps = make_events(rng, n=2000, sensor_size=(h, w), t1=0.5)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    vox = np.asarray(
+        events_to_voxel_accumulate(px, py, pt, pp, n, num_bins=5, sensor_size=(h, w))
+    )
+    # NumPy oracle: hard bin assignment
+    dt = ts[-1] - ts[0]
+    binf = np.clip(np.floor((ts - ts[0]) / dt * 5), 0, 4).astype(int)
+    want = np.zeros((5, h, w), np.float64)
+    np.add.at(want, (binf, ys, xs), ps)
+    np.testing.assert_allclose(vox, want, atol=1e-4)
+    # total signed mass preserved
+    np.testing.assert_allclose(vox.sum(), ps.sum(), atol=1e-3)
+
+
+def test_unpack_batched_events_roundtrip(rng):
+    from bde2vid_tpu.events import unpack_batched_events
+
+    a = rng.normal(size=(200, 4)).astype(np.float32)
+    b = rng.normal(size=(700, 4)).astype(np.float32)
+    packed = np.concatenate([a, b], axis=0)
+    out = unpack_batched_events(packed, [200, 900])
+    assert out.shape == (2, 1, 700, 4)
+    np.testing.assert_array_equal(out[0, 0, :200], a)
+    np.testing.assert_array_equal(out[0, 0, 200:], 0)
+    np.testing.assert_array_equal(out[1, 0], b)
