@@ -30,6 +30,7 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 ALEX_CHNS = [64, 192, 384, 256, 256]
 VGG_CHNS = [64, 128, 256, 512, 512]
+SQUEEZE_CHNS = [64, 128, 256, 384, 384, 512, 512]
 
 
 def find_default_lpips_lin(net: str = "alex") -> Optional[str]:
@@ -97,6 +98,86 @@ class AlexNetFeatures(nn.Module):
         return outs
 
 
+def _maxpool_3x3_s2_ceil(x: Array) -> Array:
+    """MaxPool2d(3, stride=2, ceil_mode=True) — torchvision squeezenet1_1.
+    Right/bottom -inf padding reproduces ceil semantics (padded lanes never
+    win the max; with stride 2 every kept window overlaps real pixels)."""
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - 3) // 2) + 1
+    out_w = -(-(w - 3) // 2) + 1
+    pad_h = max(0, (out_h - 1) * 2 + 3 - h)
+    pad_w = max(0, (out_w - 1) * 2 + 3 - w)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+    )
+
+
+class _Fire(nn.Module):
+    """SqueezeNet Fire: 1x1 squeeze -> relu -> parallel 1x1/3x3 expands,
+    concatenated (torchvision squeezenet1_1 Fire)."""
+
+    squeeze: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        s = jax.nn.relu(
+            nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x)
+        )
+        a = jax.nn.relu(
+            nn.Conv(self.expand, (1, 1), dtype=self.dtype, name="expand1x1")(s)
+        )
+        b = jax.nn.relu(
+            nn.Conv(
+                self.expand, (3, 3), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name="expand3x3",
+            )(s)
+        )
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """torchvision squeezenet1_1 ``features`` trunk, tapped at the 7 relu
+    slices LPIPS uses (pretrained_networks.py:11-60). Module names mirror
+    the torch indices (fire3..fire12) so the converter maps keys 1:1."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> List[Array]:
+        fire = lambda i, s, e: _Fire(s, e, dtype=self.dtype, name=f"fire{i}")
+        outs = []
+        h = jax.nn.relu(
+            nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv0")(x)
+        )
+        outs.append(h)  # slice1: [0, 1]
+        h = _maxpool_3x3_s2_ceil(h)
+        h = fire(3, 16, 64)(h)
+        h = fire(4, 16, 64)(h)
+        outs.append(h)  # slice2: [2..4]
+        h = _maxpool_3x3_s2_ceil(h)
+        h = fire(6, 32, 128)(h)
+        h = fire(7, 32, 128)(h)
+        outs.append(h)  # slice3: [5..7]
+        h = _maxpool_3x3_s2_ceil(h)
+        h = fire(9, 48, 192)(h)
+        outs.append(h)  # slice4: [8, 9]
+        h = fire(10, 48, 192)(h)
+        outs.append(h)  # slice5: [10]
+        h = fire(11, 64, 256)(h)
+        outs.append(h)  # slice6: [11]
+        h = fire(12, 64, 256)(h)
+        outs.append(h)  # slice7: [12]
+        return outs
+
+
 class VGG16Features(nn.Module):
     """torchvision VGG16 trunk tapped at relu{1_2,2_2,3_3,4_3,5_3}."""
 
@@ -142,6 +223,21 @@ def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
     return x / (norm + eps)
 
 
+def _make_backbone(net: str, dtype=jnp.float32):
+    if net == "alex":
+        return AlexNetFeatures(dtype=dtype, name="backbone")
+    if net in ("vgg", "vgg16"):
+        return VGG16Features(dtype=dtype, name="backbone")
+    if net == "squeeze":
+        return SqueezeNetFeatures(dtype=dtype, name="backbone")
+    raise ValueError(f"unsupported LPIPS net {net!r}")
+
+
+def _net_chns(net: str):
+    return {"alex": ALEX_CHNS, "vgg": VGG_CHNS, "vgg16": VGG_CHNS,
+            "squeeze": SQUEEZE_CHNS}[net]
+
+
 class LPIPS(nn.Module):
     """net-lin LPIPS distance. Inputs NHWC in [-1, 1], 3 channels.
 
@@ -161,14 +257,8 @@ class LPIPS(nn.Module):
             in0 = (in0 - shift) / scale
             in1 = (in1 - shift) / scale
         # v0.0 skips input scaling (original-release bug kept for parity)
-        if self.net == "alex":
-            backbone = AlexNetFeatures(dtype=self.dtype, name="backbone")
-            chns = ALEX_CHNS
-        elif self.net in ("vgg", "vgg16"):
-            backbone = VGG16Features(dtype=self.dtype, name="backbone")
-            chns = VGG_CHNS
-        else:
-            raise ValueError(f"unsupported LPIPS net {self.net!r}")
+        backbone = _make_backbone(self.net, self.dtype)
+        chns = _net_chns(self.net)
         f0 = backbone(in0)
         f1 = backbone(in1)
         total = 0.0
@@ -184,10 +274,7 @@ class LPIPS(nn.Module):
 def lpips_features(module: LPIPS, params, x: Array) -> List[Array]:
     """Unit-normalized backbone features of x (for VIP-style feature losses)."""
     def run(mdl, inp):
-        if mdl.net == "alex":
-            bb = AlexNetFeatures(dtype=mdl.dtype, name="backbone")
-        else:
-            bb = VGG16Features(dtype=mdl.dtype, name="backbone")
+        bb = _make_backbone(mdl.net, mdl.dtype)
         return [_normalize_tensor(f) for f in bb(inp)]
 
     return nn.apply(run, module)(
@@ -210,6 +297,31 @@ def lpips_distance(module: LPIPS, params, pred: Array, target: Array, normalize:
         target = jnp.repeat(target, 3, axis=-1)
     # reference calls forward_pair(target, pred) in that order
     return jnp.mean(module.apply(params, target, pred))
+
+
+class PNet(nn.Module):
+    """Unweighted perceptual distance: sum over slices of the spatial-mean
+    cosine distance between backbone features (reference PNet,
+    networks_basic.py:18-69 — all channels equally weighted, no lin heads).
+    Inputs NHWC in [-1, 1]; returns per-example distance (N,)."""
+
+    net: str = "vgg"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in0: Array, in1: Array) -> Array:
+        shift = jnp.asarray(_SHIFT, self.dtype)
+        scale = jnp.asarray(_SCALE, self.dtype)
+        in0 = (in0 - shift) / scale
+        in1 = (in1 - shift) / scale
+        backbone = _make_backbone(self.net, self.dtype)
+        f0 = backbone(in0)
+        f1 = backbone(in1)
+        val = 0.0
+        for a, b in zip(f0, f1):
+            cos = jnp.sum(_normalize_tensor(a) * _normalize_tensor(b), axis=-1)
+            val = val + jnp.mean(1.0 - cos, axis=(1, 2))  # util.cos_sim :82-89
+        return val
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +353,7 @@ def load_lpips_params(
     params = module.init(rng, dummy, dummy)
     params = jax.tree_util.tree_map(np.asarray, params)
 
-    for k in range(5):
+    for k in range(len(_net_chns(net))):
         key = f"lin{k}.model.1.weight"
         if key in lin_state:
             params["params"][f"lin{k}"] = np.asarray(lin_state[key]).reshape(-1).astype(
@@ -249,14 +361,33 @@ def load_lpips_params(
             )
 
     if backbone_state is not None:
-        ids = _ALEX_FEATURE_IDS if net == "alex" else _VGG_FEATURE_IDS
-        for j, i in enumerate(ids):
-            w = np.asarray(backbone_state[f"features.{i}.weight"])  # (O,I,kh,kw)
-            b = np.asarray(backbone_state[f"features.{i}.bias"])
-            params["params"]["backbone"][f"conv{j}"] = {
-                "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
-                "bias": b.astype(np.float32),
+        to_hwio = lambda w: np.asarray(w).transpose(2, 3, 1, 0).astype(np.float32)
+        if net == "squeeze":
+            # torchvision squeezenet1_1: features.0 conv + Fire modules at
+            # indices 3,4,6,7,9,10,11,12 with squeeze/expand1x1/expand3x3
+            params["params"]["backbone"]["conv0"] = {
+                "kernel": to_hwio(backbone_state["features.0.weight"]),
+                "bias": np.asarray(backbone_state["features.0.bias"], np.float32),
             }
+            for i in (3, 4, 6, 7, 9, 10, 11, 12):
+                fire = {}
+                for sub in ("squeeze", "expand1x1", "expand3x3"):
+                    fire[sub] = {
+                        "kernel": to_hwio(backbone_state[f"features.{i}.{sub}.weight"]),
+                        "bias": np.asarray(
+                            backbone_state[f"features.{i}.{sub}.bias"], np.float32
+                        ),
+                    }
+                params["params"]["backbone"][f"fire{i}"] = fire
+        else:
+            ids = _ALEX_FEATURE_IDS if net == "alex" else _VGG_FEATURE_IDS
+            for j, i in enumerate(ids):
+                params["params"]["backbone"][f"conv{j}"] = {
+                    "kernel": to_hwio(backbone_state[f"features.{i}.weight"]),
+                    "bias": np.asarray(
+                        backbone_state[f"features.{i}.bias"], np.float32
+                    ),
+                }
 
     return jax.tree_util.tree_map(jnp.asarray, params)
 

@@ -244,3 +244,124 @@ def test_scorer_dataset_wrappers():
                    dict(p0=ref, p1=far, same=np.zeros(4))]
     jscore, _ = score_jnd_dataset(jnd_batches, l2)
     assert jscore == pytest.approx(1.0)
+
+
+# -------------------------- squeeze backbone LPIPS ---------------------------
+
+
+class _TFire(torch.nn.Module):
+    def __init__(self, cin, s, e):
+        super().__init__()
+        self.squeeze = torch.nn.Conv2d(cin, s, 1)
+        self.expand1x1 = torch.nn.Conv2d(s, e, 1)
+        self.expand3x3 = torch.nn.Conv2d(s, e, 3, padding=1)
+
+    def forward(self, x):
+        s = torch.relu(self.squeeze(x))
+        return torch.cat(
+            [torch.relu(self.expand1x1(s)), torch.relu(self.expand3x3(s))], 1
+        )
+
+
+def _torch_squeeze_features():
+    """torchvision squeezenet1_1 features layout (same Sequential indices,
+    so state-dict keys match: features.0, features.{3,4,6,7,9,10,11,12}.*)."""
+    return torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, stride=2),
+        torch.nn.ReLU(inplace=False),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(64, 16, 64),
+        _TFire(128, 16, 64),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(128, 32, 128),
+        _TFire(256, 32, 128),
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),
+        _TFire(256, 48, 192),
+        _TFire(384, 48, 192),
+        _TFire(384, 64, 256),
+        _TFire(512, 64, 256),
+    )
+
+
+def _torch_squeeze_forward(feats, x):
+    outs = []
+    taps = {1, 4, 7, 9, 10, 11, 12}
+    h = x
+    for i, layer in enumerate(feats):
+        h = layer(h)
+        if i in taps:
+            outs.append(h)
+    return outs
+
+
+def test_lpips_squeeze_matches_torch_with_real_lin_weights(rng):
+    """7-slice SqueezeNet LPIPS vs a torch replica with shared random
+    backbone weights and the REAL vendored squeeze.pth lin heads."""
+    import os
+
+    from bde2vid_tpu.metrics.lpips import SQUEEZE_CHNS
+
+    vendored = "/root/reference/LPIPS/weights/v0.1/squeeze.pth"
+    if not os.path.isfile(vendored):
+        pytest.skip("vendored squeeze lin weights not present")
+
+    feats = _torch_squeeze_features().eval()
+    backbone_state = {
+        f"features.{k}": v.detach().numpy() for k, v in feats.state_dict().items()
+    }
+    lin_state = {k: v.numpy() for k, v in torch.load(vendored, map_location="cpu").items()}
+    lins = [torch.from_numpy(lin_state[f"lin{k}.model.1.weight"]).reshape(-1)
+            for k in range(7)]
+    assert [len(l) for l in lins] == SQUEEZE_CHNS
+
+    params = load_lpips_params(lin_state, backbone_state, net="squeeze")
+    module = LPIPS(net="squeeze")
+
+    in0 = rng.uniform(-1, 1, (2, 65, 67, 3)).astype(np.float32)  # odd: ceil pool
+    in1 = rng.uniform(-1, 1, (2, 65, 67, 3)).astype(np.float32)
+    got = np.asarray(module.apply(params, jnp.asarray(in0), jnp.asarray(in1)))
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    t = lambda x: torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        f0 = _torch_squeeze_forward(feats, (t(in0) - shift) / scale)
+        f1 = _torch_squeeze_forward(feats, (t(in1) - shift) / scale)
+        want = 0.0
+        for k, (a, b) in enumerate(zip(f0, f1)):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            want = want + (((na - nb) ** 2) * lins[k].view(1, -1, 1, 1)).sum(1).mean(dim=(1, 2))
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_pnet_unweighted_matches_torch(rng):
+    """PNet (no lin heads, equal channel weighting) vs torch cosine math
+    (reference networks_basic.py:18-69 + util.cos_sim)."""
+    from bde2vid_tpu.metrics.lpips import PNet
+
+    convs = _torch_alex_features()
+    backbone_state = {}
+    for j, i in enumerate([0, 3, 6, 8, 10]):
+        backbone_state[f"features.{i}.weight"] = convs[j].weight.detach().numpy()
+        backbone_state[f"features.{i}.bias"] = convs[j].bias.detach().numpy()
+    lpips_params = load_lpips_params({}, backbone_state, net="alex")
+    pnet_params = {"params": {"backbone": lpips_params["params"]["backbone"]}}
+
+    module = PNet(net="alex")
+    in0 = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    in1 = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    got = np.asarray(module.apply(pnet_params, jnp.asarray(in0), jnp.asarray(in1)))
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    t = lambda x: torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        f0 = _torch_alex_forward(convs, (t(in0) - shift) / scale)
+        f1 = _torch_alex_forward(convs, (t(in1) - shift) / scale)
+        want = 0.0
+        for a, b in zip(f0, f1):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            want = want + (1.0 - (na * nb).sum(1)).mean(dim=(1, 2))
+    np.testing.assert_allclose(got, want.numpy(), atol=1e-5, rtol=1e-4)
