@@ -49,3 +49,39 @@ def test_golden_eval_metrics(tmp_path):
     )
     assert result["mse"] == pytest.approx(GOLDEN["mse"], rel=1e-4)
     assert result["ssim"] == pytest.approx(GOLDEN["ssim"], rel=1e-4)
+
+
+GOLDEN_BDE2VID = {"mse": 0.08264881372451782, "ssim": 0.04553176090121269}
+BDE2VID_CFG = {
+    "generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                  "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                  "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}
+}
+
+
+def _golden_seq(tmp_path):
+    rng = np.random.default_rng(1234)
+    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
+    path = str(tmp_path / "g.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(6):
+            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
+    return load_sequence(path, num_bins=5)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_golden_bde2vid(tmp_path, use_pallas):
+    """Flagship-family golden incl. the fused Pallas attention path
+    (interpret mode on CPU) — kernel regressions change these numbers."""
+    seq = _golden_seq(tmp_path)
+    cfg = {"generator": dict(BDE2VID_CFG["generator"])}
+    cfg["generator"]["use_pallas_attention"] = use_pallas
+    model = build_model("BDE2VID", cfg)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((2, 1, 16, 16, 5)))
+    spec = ModelSpec("BDE2VID", model, params, 5, 2, is_sequence_model=True)
+    result, _ = evaluate_sequence(
+        spec, seq, EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    )
+    assert result["mse"] == pytest.approx(GOLDEN_BDE2VID["mse"], rel=2e-4)
+    assert result["ssim"] == pytest.approx(GOLDEN_BDE2VID["ssim"], rel=2e-3)
