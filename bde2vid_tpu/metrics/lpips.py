@@ -495,3 +495,94 @@ def score_jnd_dataset(batches, func):
         ds += np.asarray(func(data["p0"], data["p1"])).ravel().tolist()
         sames += np.asarray(data["same"]).ravel().tolist()
     return score_jnd(np.array(ds), np.array(sames))
+
+
+# ---------------------------------------------------------------------------
+# Metric training (2AFC): rank net + lin-head trainer
+# ---------------------------------------------------------------------------
+
+
+class Dist2Logit(nn.Module):
+    """Two distances -> preference probability (reference Dist2LogitLayer,
+    networks_basic.py:177-191: 1x1 convs 5->mid->mid->1 with LeakyReLU(0.2)
+    and a sigmoid). Distances here are per-example scalars, so the 1x1
+    convs are Dense layers over the 5-feature vector."""
+
+    chn_mid: int = 32
+
+    @nn.compact
+    def __call__(self, d0: Array, d1: Array, eps: float = 0.1) -> Array:
+        x = jnp.stack(
+            [d0, d1, d0 - d1, d0 / (d1 + eps), d1 / (d0 + eps)], axis=-1
+        )
+        h = nn.leaky_relu(nn.Dense(self.chn_mid, name="fc0")(x), 0.2)
+        h = nn.leaky_relu(nn.Dense(self.chn_mid, name="fc1")(h), 0.2)
+        return jax.nn.sigmoid(nn.Dense(1, name="fc2")(h))[..., 0]
+
+
+def bce_ranking_loss(rank_net: Dist2Logit, rank_params, d0, d1, judge) -> Array:
+    """BCERankingLoss (networks_basic.py:193-210): judge in [-1, 1] maps to
+    a preference probability per=(judge+1)/2; BCE between the rank net's
+    logit and per."""
+    per = (judge + 1.0) / 2.0
+    p = jnp.clip(rank_net.apply(rank_params, d0, d1), 1e-7, 1.0 - 1e-7)
+    return -jnp.mean(per * jnp.log(p) + (1.0 - per) * jnp.log(1.0 - p))
+
+
+def clamp_lin_nonnegative(params):
+    """Reference clamp_weights (dist_model.py:173-175): the metric's 1x1 lin
+    weights are projected to >= 0 after every optimizer step."""
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    p = dict(out["params"])
+    for k in list(p):
+        if k.startswith("lin"):
+            p[k] = jnp.maximum(p[k], 0.0)
+    out = dict(out)
+    out["params"] = p
+    return out
+
+
+def compute_2afc_accuracy(d0, d1, judge) -> float:
+    """dist_model.compute_accuracy :208-212: fraction of human judgements
+    the metric agrees with."""
+    d0 = np.asarray(d0).ravel()
+    d1 = np.asarray(d1).ravel()
+    judge = np.asarray(judge).ravel()
+    d1_lt_d0 = (d1 < d0).astype(np.float64)
+    return float(np.mean(d1_lt_d0 * judge + (1 - d1_lt_d0) * (1 - judge)))
+
+
+def make_2afc_train_step(module: LPIPS, rank_net: Dist2Logit, tx):
+    """Jitted 2AFC training step over (lpips_params, rank_params)
+    (dist_model.forward_train/optimize_parameters :166-206). Only the lin
+    heads and the rank net receive gradient (the backbone is frozen, like
+    the reference's 'lin' training mode); lin weights are clamped >= 0
+    after the update.
+
+    step(lpips_params, rank_params, opt_state, ref, p0, p1, judge)
+      -> (lpips_params, rank_params, opt_state, loss)
+    judge in [0, 1]: fraction of humans preferring p1 (reference data).
+    """
+    import optax
+
+    def loss_fn(lin_tree, rank_params, frozen, ref, p0, p1, judge):
+        params = {"params": {**frozen, **lin_tree}}
+        # reference forward_pair argument order: (ref, p_i)
+        d0 = module.apply(params, ref, p0)
+        d1 = module.apply(params, ref, p1)
+        return bce_ranking_loss(rank_net, rank_params, d0, d1, judge * 2.0 - 1.0)
+
+    @jax.jit
+    def step(lpips_params, rank_params, opt_state, ref, p0, p1, judge):
+        p = dict(lpips_params["params"])
+        lin_tree = {k: v for k, v in p.items() if k.startswith("lin")}
+        frozen = {k: v for k, v in p.items() if not k.startswith("lin")}
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            lin_tree, rank_params, frozen, ref, p0, p1, judge
+        )
+        updates, opt_state = tx.update(grads, opt_state, (lin_tree, rank_params))
+        lin_tree, rank_params = optax.apply_updates((lin_tree, rank_params), updates)
+        new = clamp_lin_nonnegative({"params": {**frozen, **lin_tree}})
+        return new, rank_params, opt_state, loss
+
+    return step

@@ -365,3 +365,58 @@ def test_pnet_unweighted_matches_torch(rng):
             nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
             want = want + (1.0 - (na * nb).sum(1)).mean(dim=(1, 2))
     np.testing.assert_allclose(got, want.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_2afc_metric_training(rng):
+    """Rank-net + lin-head training (reference dist_model 'lin' mode):
+    BCE ranking loss decreases on consistent synthetic judgements, lin
+    weights stay clamped >= 0, and 2AFC accuracy reaches 1.0 on the
+    separable task."""
+    import optax
+
+    from bde2vid_tpu.metrics.lpips import (
+        Dist2Logit,
+        compute_2afc_accuracy,
+        lpips_distance,
+        make_2afc_train_step,
+    )
+
+    module = LPIPS(net="alex")
+    dummy = jnp.zeros((1, 32, 32, 3))
+    lpips_params = module.init(jax.random.PRNGKey(0), dummy, dummy)
+
+    rank_net = Dist2Logit()
+    rank_params = rank_net.init(
+        jax.random.PRNGKey(1), jnp.zeros((4,)), jnp.zeros((4,))
+    )
+
+    n = 8
+    ref = rng.uniform(-1, 1, (n, 32, 32, 3)).astype(np.float32)
+    p0 = np.clip(ref + 0.05 * rng.normal(size=ref.shape), -1, 1).astype(np.float32)
+    p1 = np.clip(ref + 0.6 * rng.normal(size=ref.shape), -1, 1).astype(np.float32)
+    judge = np.zeros((n,), np.float32)  # humans prefer p0 (less distorted)
+    ref, p0, p1 = jnp.asarray(ref), jnp.asarray(p0), jnp.asarray(p1)
+
+    tx = optax.adam(1e-3)
+    # optimizer state over (lin_tree, rank_params), matching the step's split
+    lin_tree = {k: v for k, v in lpips_params["params"].items() if k.startswith("lin")}
+    opt_state = tx.init((lin_tree, rank_params))
+    step = make_2afc_train_step(module, rank_net, tx)
+
+    losses = []
+    for _ in range(30):
+        lpips_params, rank_params, opt_state, loss = step(
+            lpips_params, rank_params, opt_state, ref, p0, p1, jnp.asarray(judge)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+    for k, v in lpips_params["params"].items():
+        if k.startswith("lin"):
+            assert float(jnp.min(v)) >= 0.0, k
+
+    d0 = np.asarray([float(lpips_distance(module, lpips_params, ref[i:i+1], p0[i:i+1],
+                                          normalize=False)) for i in range(n)])
+    d1 = np.asarray([float(lpips_distance(module, lpips_params, ref[i:i+1], p1[i:i+1],
+                                          normalize=False)) for i in range(n)])
+    assert compute_2afc_accuracy(d0, d1, judge) == 1.0
