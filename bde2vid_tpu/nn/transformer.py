@@ -159,3 +159,85 @@ def sine_position_table(n_position: int, d_model: int) -> np.ndarray:
     table[:, 0::2] = np.sin(angle[:, 0::2])
     table[:, 1::2] = np.cos(angle[:, 1::2])
     return table
+
+
+class GenericTransformerEncoderLayer(nn.Module):
+    """POST-norm encoder layer with positions re-added to q/k at every
+    layer (the reference's generic eitr/transformer.py:65-96 — a distinct
+    variant from the pre-norm layers EITR's u_trans path uses)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, src: Array, pos: Optional[Array] = None) -> Array:
+        q = src if pos is None else src + pos
+        attn = MultiheadAttention(
+            self.d_model, self.nhead, dtype=self.dtype, name="self_attn"
+        )(q, q, src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn)
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(jax.nn.relu(y))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + y)
+
+
+class GenericTransformerDecoderLayer(nn.Module):
+    """POST-norm decoder layer; the task embedding joins the queries of
+    both attentions (reference eitr/transformer.py:98-139)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, tgt: Array, memory: Array, task_embed: Optional[Array] = None
+    ) -> Array:
+        emb = lambda x: x if task_embed is None else x + task_embed
+        q = emb(tgt)
+        attn = MultiheadAttention(
+            self.d_model, self.nhead, dtype=self.dtype, name="self_attn"
+        )(q, q, tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + attn)
+        attn = MultiheadAttention(
+            self.d_model, self.nhead, dtype=self.dtype, name="cross_attn"
+        )(emb(tgt), memory, memory)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + attn)
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(jax.nn.relu(y))
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + y)
+
+
+class Transformer(nn.Module):
+    """The reference's generic encoder-decoder (eitr/transformer.py:8-34):
+    the encoder output serves as BOTH decoder input and memory; positions
+    feed every encoder layer, the task embedding every decoder layer."""
+
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, src: Array, pos: Optional[Array] = None,
+        task_embed: Optional[Array] = None,
+    ) -> Array:
+        out = src
+        for i in range(self.num_encoder_layers):
+            out = GenericTransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                dtype=self.dtype, name=f"encoder_layers{i}",
+            )(out, pos)
+        memory = out
+        for i in range(self.num_decoder_layers):
+            out = GenericTransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                dtype=self.dtype, name=f"decoder_layers{i}",
+            )(out, memory, task_embed)
+        return out

@@ -66,3 +66,52 @@ class CropParameters:
         if self.num_encoders == -1:
             return x
         return x[..., self.iy0 : self.iy1, self.ix0 : self.ix1, :]
+
+
+def optimal_crop_size_multiple(max_size: int, factor: int, safety_margin: int = 0) -> int:
+    """Smallest multiple of ``factor`` >= max_size (+margin) — the eitr
+    variant that takes a divisor instead of an exponent
+    (model/eitr/model_util.py OptimalCropSize)."""
+    return int(factor * math.ceil((max_size + safety_margin) / factor))
+
+
+class CropSize3D:
+    """(T, H, W) zero-pad to patch-size multiples + inverse center crop
+    (reference model/eitr/model_util.py:20-58). Operates on
+    (..., T, H, W, C) arrays (the reference pads NCTHW)."""
+
+    def __init__(self, width: int, height: int, time: int, patch_size: dict,
+                 safety_margin: int = 0):
+        self.width, self.height, self.time = width, height, time
+        self.width_crop_size = optimal_crop_size_multiple(width, patch_size["w"], safety_margin)
+        self.height_crop_size = optimal_crop_size_multiple(height, patch_size["h"], safety_margin)
+        self.time_crop_size = optimal_crop_size_multiple(time, patch_size["t"], safety_margin)
+
+        self.padding_top = math.ceil(0.5 * (self.height_crop_size - height))
+        self.padding_bottom = math.floor(0.5 * (self.height_crop_size - height))
+        self.padding_left = math.ceil(0.5 * (self.width_crop_size - width))
+        self.padding_right = math.floor(0.5 * (self.width_crop_size - width))
+        self.padding_front = math.ceil(0.5 * (self.time_crop_size - time))
+        self.padding_back = math.floor(0.5 * (self.time_crop_size - time))
+
+        ct = math.floor(self.time_crop_size / 2)
+        cy = math.floor(self.height_crop_size / 2)
+        cx = math.floor(self.width_crop_size / 2)
+        self.it0 = ct - math.floor(time / 2)
+        self.it1 = ct + math.ceil(time / 2)
+        self.iy0 = cy - math.floor(height / 2)
+        self.iy1 = cy + math.ceil(height / 2)
+        self.ix0 = cx - math.floor(width / 2)
+        self.ix1 = cx + math.ceil(width / 2)
+
+    def pad(self, x: Array) -> Array:
+        pads = [(0, 0)] * (x.ndim - 4) + [
+            (self.padding_front, self.padding_back),
+            (self.padding_top, self.padding_bottom),
+            (self.padding_left, self.padding_right),
+            (0, 0),
+        ]
+        return jnp.pad(x, pads)
+
+    def crop(self, x: Array) -> Array:
+        return x[..., self.it0:self.it1, self.iy0:self.iy1, self.ix0:self.ix1, :]

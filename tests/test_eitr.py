@@ -226,3 +226,22 @@ def test_eitr_internal_padding(rng):
     params = m.init(jax.random.PRNGKey(0), v, st)
     out, _ = m.apply(params, v, st)
     assert out["image"].shape == (1, 36, 44, 1)
+
+
+def test_generic_transformer_shapes(rng):
+    """The reference's unused generic enc-dec (eitr/transformer.py:8-34):
+    output keeps token shape; pos and task_embed route correctly."""
+    from bde2vid_tpu.nn.transformer import Transformer
+
+    m = Transformer(d_model=32, nhead=4, num_encoder_layers=2,
+                    num_decoder_layers=2, dim_feedforward=64)
+    src = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    pos = jnp.asarray(rng.normal(size=(1, 10, 32)).astype(np.float32))
+    task = jnp.asarray(rng.normal(size=(1, 10, 32)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), src, pos, task)
+    out = m.apply(params, src, pos, task)
+    assert out.shape == src.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # pos/task actually influence the output
+    out2 = m.apply(params, src, None, None)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))

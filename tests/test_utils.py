@@ -72,3 +72,17 @@ def test_quick_norm_range(rng):
     x = rng.normal(size=(8, 8)).astype(np.float32)
     y = np.asarray(quick_norm(jnp.asarray(x)))
     assert y.min() >= 0.0 and y.max() <= 1.0
+
+
+def test_crop_size_3d_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.utils.padding import CropSize3D
+
+    c = CropSize3D(width=44, height=36, time=5, patch_size={"t": 4, "h": 8, "w": 8})
+    assert (c.time_crop_size, c.height_crop_size, c.width_crop_size) == (8, 40, 48)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 5, 36, 44, 3)).astype(np.float32))
+    padded = c.pad(x)
+    assert padded.shape == (1, 8, 40, 48, 3)
+    np.testing.assert_array_equal(np.asarray(c.crop(padded)), np.asarray(x))
