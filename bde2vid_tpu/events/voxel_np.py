@@ -78,3 +78,38 @@ def events_to_neg_pos_voxel_np(
         events_to_voxel_np(xs, ys, ts, pos, num_bins, sensor_size),
         events_to_voxel_np(xs, ys, ts, neg, num_bins, sensor_size),
     )
+
+
+def events_bounds_mask(xs, ys, x_min, x_max, y_min, y_max) -> np.ndarray:
+    """1.0 where (x_min < x <= x_max) and (y_min < y <= y_max), else 0
+    (reference event_utils.py:140-146, including its strict/inclusive
+    boundary asymmetry)."""
+    mask = np.where(np.logical_or(xs <= x_min, xs > x_max), 0.0, 1.0)
+    mask *= np.where(np.logical_or(ys <= y_min, ys > y_max), 0.0, 1.0)
+    return mask
+
+
+def clip_events_to_bounds(xs, ys, ps, bounds):
+    """Zero out-of-bounds events (reference :148-153: multiplies coordinates
+    and polarities by the mask rather than filtering)."""
+    mask = events_bounds_mask(xs, ys, 0, bounds[1], 0, bounds[0])
+    return xs * mask, ys * mask, ps * mask
+
+
+def voxel_grid_as_image(voxelgrid: np.ndarray) -> np.ndarray:
+    """Side-by-side bin visualization, min-max normalized to [0, 255]
+    (reference get_voxel_grid_as_image :118-131; cv2.normalize MINMAX
+    replicated in NumPy so the helper works without OpenCV)."""
+    images = []
+    splitter = np.ones((voxelgrid.shape[1], 2)) * np.max(voxelgrid)
+    for image in voxelgrid:
+        images.append(image)
+        images.append(splitter)
+    images.pop()
+    side = np.hstack(images).astype(np.float64)
+    lo, hi = side.min(), side.max()
+    if hi > lo:
+        side = (side - lo) / (hi - lo) * 255.0
+    else:
+        side = np.zeros_like(side)
+    return side

@@ -230,3 +230,27 @@ def test_unpack_batched_events_roundtrip(rng):
     np.testing.assert_array_equal(out[0, 0, :200], a)
     np.testing.assert_array_equal(out[0, 0, 200:], 0)
     np.testing.assert_array_equal(out[1, 0], b)
+
+
+def test_bounds_mask_and_clip():
+    from bde2vid_tpu.events.voxel_np import (
+        clip_events_to_bounds,
+        events_bounds_mask,
+    )
+
+    xs = np.array([0, 1, 5, 10])
+    ys = np.array([0, 3, 8, 2])
+    # reference semantics: x <= x_min excluded, x > x_max excluded
+    mask = events_bounds_mask(xs, ys, 0, 5, 0, 8)
+    np.testing.assert_array_equal(mask, [0.0, 1.0, 1.0, 0.0])
+    cx, cy, cp = clip_events_to_bounds(xs, ys, np.ones(4), (8, 5))
+    np.testing.assert_array_equal(cx, [0, 1, 5, 0])
+
+
+def test_voxel_grid_as_image():
+    from bde2vid_tpu.events.voxel_np import voxel_grid_as_image
+
+    vox = np.arange(2 * 4 * 3, dtype=np.float64).reshape(2, 4, 3)
+    img = voxel_grid_as_image(vox)
+    assert img.shape == (4, 3 * 2 + 2)  # two bins + one 2-px splitter
+    assert img.min() == 0.0 and img.max() == 255.0
