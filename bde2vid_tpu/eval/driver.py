@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bde2vid_tpu.data.pipeline import EventSequence, load_sequence
-from bde2vid_tpu.metrics.basic import mse, structural_similarity
+from bde2vid_tpu.metrics.basic import mse, psnr, structural_similarity
 from bde2vid_tpu.metrics.lpips import LPIPS, lpips_distance
 from bde2vid_tpu.models.api import ModelSpec, run_sequence
 from bde2vid_tpu.utils.norm import robust_norm
@@ -77,6 +77,7 @@ def _equalize_hist(img: np.ndarray) -> np.ndarray:
 
 
 _mse_batch = jax.jit(jax.vmap(mse))
+_psnr_batch = jax.jit(jax.vmap(psnr))
 _robust_norm_batch = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))
 _ssim_batch = jax.jit(jax.vmap(lambda a, b: structural_similarity(a[None], b[None])))
 # keyed by the (frozen, hashable) LPIPS module; params are a jit ARGUMENT so
@@ -99,6 +100,8 @@ def _metric_batch(
     g4 = gts[..., None]
     if "mse" in names:
         out["mse"] = np.asarray(_mse_batch(p4, g4))
+    if "psnr" in names:
+        out["psnr"] = np.asarray(_psnr_batch(p4, g4))
     if "ssim" in names:
         out["ssim"] = np.asarray(_ssim_batch(p4, g4))
     if "p_loss" in names:

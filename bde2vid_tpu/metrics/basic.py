@@ -108,3 +108,11 @@ class MseMetric:
         total = sum(r[self.prefix] * r["L"] for r in self.results)
         n = sum(r["L"] for r in self.results)
         return {self.prefix: total / max(n, 1)}
+
+
+def psnr(pred: Array, target: Array, peak: float = 1.0) -> Array:
+    """Peak signal-to-noise ratio (vendored LPIPS util.psnr :52-53; peak
+    defaults to 1.0 for the framework's [0,1] float images). Not part of
+    the reference driver's metric triple — offered as an extra."""
+    m = jnp.mean((pred - target) ** 2)
+    return 10.0 * jnp.log10(peak**2 / jnp.maximum(m, 1e-12))

@@ -420,3 +420,26 @@ def test_2afc_metric_training(rng):
     d1 = np.asarray([float(lpips_distance(module, lpips_params, ref[i:i+1], p1[i:i+1],
                                           normalize=False)) for i in range(n)])
     assert compute_2afc_accuracy(d0, d1, judge) == 1.0
+
+
+def test_psnr_matches_reference_formula(rng):
+    from bde2vid_tpu.metrics.basic import psnr
+
+    a = rng.uniform(0, 1, (16, 20)).astype(np.float32)
+    b = rng.uniform(0, 1, (16, 20)).astype(np.float32)
+    got = float(psnr(jnp.asarray(a), jnp.asarray(b)))
+    want = 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+    assert got == pytest.approx(want, rel=1e-5)
+    assert float(psnr(jnp.asarray(a), jnp.asarray(a))) > 100  # identical -> huge
+
+
+def test_metric_batch_psnr(rng):
+    from bde2vid_tpu.eval.driver import _metric_batch
+
+    preds = jnp.asarray(rng.uniform(0, 1, (3, 16, 20)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(0, 1, (3, 16, 20)).astype(np.float32))
+    out = _metric_batch(preds, gts, ("mse", "psnr"), None)
+    assert out["psnr"].shape == (3,)
+    np.testing.assert_allclose(
+        out["psnr"], 10 * np.log10(1.0 / out["mse"]), rtol=1e-4
+    )
