@@ -325,6 +325,8 @@ class BDE2VIDGenerator(nn.Module):
     act_attn: str = "default"
     parallel_attention: bool = False  # fast mode; see _AttnParallel
     use_pallas_attention: bool = False  # fused VMEM attention kernel (TPU)
+    scan_unroll: int = 1  # encoder-scan unroll (numerics-identical; lets XLA
+    # fuse across time steps at the cost of trace/compile size)
     dtype: jnp.dtype = jnp.float32
     train: bool = False
 
@@ -372,6 +374,7 @@ class BDE2VIDGenerator(nn.Module):
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
+                unroll=self.scan_unroll,
             )(**cell_kw, name=f"forward_encoder{lvl}")
             bwd_cell = nn.scan(
                 _EncoderCell,
@@ -380,6 +383,7 @@ class BDE2VIDGenerator(nn.Module):
                 in_axes=0,
                 out_axes=0,
                 reverse=True,
+                unroll=self.scan_unroll,
             )(**cell_kw, name=f"backward_encoder{lvl}")
             _, fwd = fwd_cell(carry0, target)
             _, bwd = bwd_cell(carry0, target)
@@ -528,6 +532,9 @@ class BDE2VID(nn.Module):
                 self.config.get(
                     "use_pallas_attention", gcfg.get("use_pallas_attention", False)
                 )
+            ),
+            scan_unroll=int(
+                self.config.get("scan_unroll", gcfg.get("scan_unroll", 1))
             ),
         )
         images = BDE2VIDGenerator(
