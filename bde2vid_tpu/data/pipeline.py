@@ -99,10 +99,16 @@ class EventSequence:
             for i in range(self.length):
                 i0, i1 = self.item_windows[i]
                 n = int(i1 - i0)
-                num_vox = max(n // int(num_pixels * ev_rate), 1)
-                bounds = np.linspace(i0, i1, num_vox + 1).astype(np.int64)
+                # reference SpadeE2VDataset (h5_dataset.py:513-517):
+                # num_vox from FLOAT floor division, then np.array_split
+                # boundaries (the first n % num_vox chunks get one extra)
+                num_vox = max(int(n // (num_pixels * ev_rate)), 1)
+                base, extra = divmod(n, num_vox)
+                start = int(i0)
                 for j in range(num_vox):
-                    flat.append([bounds[j], bounds[j + 1]])
+                    size = base + (1 if j < extra else 0)
+                    flat.append([start, start + size])
+                    start += size
                 last.append(len(flat) - 1)
             self.windows = np.asarray(flat, np.int64)
             self.item_last = np.asarray(last, np.int64)

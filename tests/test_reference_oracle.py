@@ -333,3 +333,45 @@ def test_dataset_item_voxels_match_reference(synthetic_h5):
                     events_to_voxel(px, py, pt, pp, n, num_bins=5, sensor_size=(h, w))
                 )
             np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"item {i}")
+
+
+def test_hfr_windows_match_reference(synthetic_h5):
+    _, _, h5d = _ref_modules()
+    from bde2vid_tpu.data.pipeline import hfr_windows
+    from bde2vid_tpu.events import H5EventReader
+
+    path, _ = synthetic_h5
+    ds = h5d.DynamicH5DatasetHFR(
+        data_path=path, k_framerate=3, voxel_method={"method": "between_frames"}
+    )
+    with H5EventReader(path) as reader:
+        got = hfr_windows(reader, k_framerate=3)
+    want = np.asarray(ds.event_indices, np.int64)
+    np.testing.assert_array_equal(got[: len(want)], want)
+
+
+def test_spade_ev_rate_subvoxels_match_reference(synthetic_h5):
+    """SPADE event-rate splitting: our flat sub-windows + per-sub-voxel
+    grids must equal the reference SpadeE2VDataset's per-item stacks
+    (np.array_split boundaries + float floor-div num_vox)."""
+    _, _, h5d = _ref_modules()
+    from bde2vid_tpu.data import load_sequence
+
+    path, (h, w) = synthetic_h5
+    ev_rate = 0.35
+    ds = h5d.SpadeE2VDataset(
+        dict(data_path=path, ev_rate=ev_rate,
+             voxel_method={"method": "between_frames"})
+    )
+    seq = load_sequence(path, num_bins=5, ltype="SpadeH5", ev_rate=ev_rate)
+    vox = np.asarray(seq.voxels())  # (num_flat, 5, h, w)
+
+    flat_idx = 0
+    for i in range(len(ds)):
+        want = ds[i]["events"].numpy()  # (num_vox_i, 5, h, w)
+        n_sub = want.shape[0]
+        got = vox[flat_idx : flat_idx + n_sub]
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=f"item {i}")
+        assert seq.item_last[i] == flat_idx + n_sub - 1
+        flat_idx += n_sub
+    assert flat_idx == len(vox)
