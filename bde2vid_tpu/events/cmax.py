@@ -75,8 +75,14 @@ def get_iwe(
     use_polarity: bool = True,
     blur_sigma: Optional[float] = None,
 ) -> Array:
-    """Image of warped events under the linvel warp (objectives.py:56-71)."""
-    wx, wy = linvel_warp(xs.astype(jnp.float32), ys.astype(jnp.float32), ts, params)
+    """Image of warped events under the linvel warp (objectives.py:56-71).
+
+    The reference warps to the LAST timestamp's frame (get_iwe passes
+    t0=ts[-1], :63); pad_events fills the tail with the last valid
+    timestamp, so ts[-1] is correct for padded buffers too."""
+    wx, wy = linvel_warp(
+        xs.astype(jnp.float32), ys.astype(jnp.float32), ts, params, t0=ts[-1]
+    )
     weights = ps if use_polarity else jnp.abs(ps)
     iwe = events_to_image_bilinear(wx, wy, weights, n_events, sensor_size=img_size)
     return gaussian_blur(iwe, blur_sigma)
@@ -91,8 +97,12 @@ def variance_objective(iwe: Array) -> Array:
 
 
 def rms_objective(iwe: Array) -> Array:
-    """Negative RMS (objectives.py:115-155)."""
-    return -jnp.mean(iwe**2)
+    """Negative 'RMS' (objectives.py:115-138). NOTE the reference computes
+    np.linalg.norm(iwe, 2) on the 2-D image — the SPECTRAL norm (largest
+    singular value), not Frobenius; almost certainly unintended upstream
+    (its own gradient assumes Frobenius) but kept for value parity."""
+    s = jnp.linalg.norm(iwe, 2)
+    return -(s * s) / (iwe.shape[0] * iwe.shape[1])
 
 
 def sos_objective(iwe: Array) -> Array:
@@ -118,8 +128,10 @@ def isoa_objective(iwe: Array, thresh: float = 0.5) -> Array:
 
 
 def sosa_objective(iwe: Array, p: float = 3.0) -> Array:
-    """Sum of suprathreshold accumulations variant (objectives.py:320+)."""
-    return -jnp.sum(jnp.exp(-p * jnp.abs(iwe)))
+    """Sum of Suppressed Accumulations (Stoffregen CVPR'19;
+    objectives.py:320-345: sum of exp(-p * iwe) — the raw IWE, not its
+    absolute value; used with use_polarity=False so iwe >= 0)."""
+    return -jnp.sum(jnp.exp(-p * iwe))
 
 
 OBJECTIVES = {

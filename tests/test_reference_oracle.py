@@ -375,3 +375,87 @@ def test_spade_ev_rate_subvoxels_match_reference(synthetic_h5):
         assert seq.item_last[i] == flat_idx + n_sub - 1
         flat_idx += n_sub
     assert flat_idx == len(vox)
+
+
+# ------------------------- contrast maximization -----------------------------
+
+
+def _ref_cmax_modules():
+    for p in (
+        os.path.join(REF, "events_contrast_maximization", "utils"),
+        os.path.join(REF, "events_contrast_maximization"),
+    ):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+
+    return importlib.import_module("objectives"), importlib.import_module("warps")
+
+
+def test_linvel_warp_matches_reference(rng):
+    _, warps = _ref_cmax_modules()
+    from bde2vid_tpu.events.cmax import linvel_warp
+
+    xs, ys, ts, ps = _events(rng, 1000, 32, 48)
+    params = np.array([4.0, -2.5])
+    wx_ref, wy_ref, _, _ = warps.linvel_warp().warp(
+        xs.astype(np.float64), ys.astype(np.float64), ts, ps, ts[-1], params
+    )
+    wx, wy = linvel_warp(
+        jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32),
+        jnp.asarray(ts, jnp.float32), jnp.asarray(params, jnp.float32),
+        t0=float(ts[-1]),
+    )
+    np.testing.assert_allclose(np.asarray(wx), wx_ref, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(wy), wy_ref, atol=1e-3)
+
+
+def test_get_iwe_matches_reference(rng):
+    objectives, warps = _ref_cmax_modules()
+    from bde2vid_tpu.events.cmax import get_iwe
+    from bde2vid_tpu.events import pad_events
+
+    # the reference rasterizes at the DEFAULT (180,240) sensor size no
+    # matter what img_size says (get_iwe passes none to events_to_image_drv)
+    h, w = 180, 240
+    xs, ys, ts, ps = _events(rng, 2000, h - 8, w - 8)  # margin: warps stay in
+    params = np.array([3.0, -2.0])
+    want, _ = objectives.get_iwe(
+        params, xs.astype(np.float64), ys.astype(np.float64), ts,
+        ps.astype(np.float64), warps.linvel_warp(), (h, w),
+    )
+    px, py, pt, pp, n = pad_events(
+        xs.astype(np.float32), ys.astype(np.float32), ts, ps
+    )
+    got = np.asarray(
+        get_iwe(jnp.asarray(params, jnp.float32), px, py, pt, pp, n,
+                img_size=(h, w), blur_sigma=None)
+    )
+    assert got.shape == want.shape  # both (h+1, w+1) bilinear-padded
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_cmax_objectives_match_reference(rng):
+    objectives, _ = _ref_cmax_modules()
+    from bde2vid_tpu.events import cmax
+
+    iwe = np.abs(rng.normal(size=(24, 32))).astype(np.float64)
+    pairs = [
+        ("variance", objectives.variance_objective()),
+        ("rms", objectives.rms_objective()),
+        ("sos", objectives.sos_objective()),
+        ("soe", objectives.soe_objective()),
+        ("moa", objectives.moa_objective()),
+        ("sosa", objectives.sosa_objective()),
+    ]
+    for name, ref_obj in pairs:
+        want = float(ref_obj.evaluate_function(iwe=iwe, blur_sigma=0))
+        got = float(cmax.OBJECTIVES[name](jnp.asarray(iwe, jnp.float32)))
+        assert got == pytest.approx(want, rel=1e-4, abs=1e-4), name
+
+    # isoa: ours is a sigmoid relaxation of the reference's hard count;
+    # keep iwe values away from the threshold so both agree
+    iwe_far = np.where(iwe > 0.5, 1.5, 0.0)
+    want = float(objectives.isoa_objective().evaluate_function(iwe=iwe_far, blur_sigma=0))
+    got = float(cmax.OBJECTIVES["isoa"](jnp.asarray(iwe_far, jnp.float32)))
+    assert got == pytest.approx(want, rel=1e-3)
