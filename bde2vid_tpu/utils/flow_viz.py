@@ -44,8 +44,14 @@ def flow2rgb(
     angle = np.arctan2(fy, fx)
     angle = np.where(angle < 0, angle + 2 * np.pi, angle)  # cv2.cartToPolar range
     if max_magnitude is None:
-        mmax = magnitude.max()
-        v = (magnitude / mmax * 255.0 if mmax > 0 else magnitude).astype(np.uint8)
+        # cv2.normalize(NORM_MINMAX, CV_8U): (m - min)/(max - min) * 255,
+        # rounded (saturate_cast) — NOT m/max
+        mmin, mmax = magnitude.min(), magnitude.max()
+        if mmax > mmin:
+            v = np.round((magnitude - mmin) / (mmax - mmin) * 255.0)
+        else:
+            v = np.zeros_like(magnitude)
+        v = np.clip(v, 0, 255).astype(np.uint8)
     else:
         v = (255.0 * magnitude / max_magnitude).astype(np.uint8)
     hsv = np.zeros((h, w, 3), np.uint8)

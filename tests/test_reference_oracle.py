@@ -459,3 +459,75 @@ def test_cmax_objectives_match_reference(rng):
     want = float(objectives.isoa_objective().evaluate_function(iwe=iwe_far, blur_sigma=0))
     got = float(cmax.OBJECTIVES["isoa"](jnp.asarray(iwe_far, jnp.float32)))
     assert got == pytest.approx(want, rel=1e-3)
+
+
+# ----------------------- inference utils / viz / norms -----------------------
+
+
+def _ref_utils_func():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    return (
+        importlib.import_module("utils_func.inference_utils"),
+        importlib.import_module("utils_func.utils"),
+        importlib.import_module("utils_func.training_utils"),
+    )
+
+
+@pytest.mark.parametrize("hw", [(36, 44), (33, 47), (180, 240)])
+def test_crop_parameters_match_reference(rng, hw):
+    iu, _, _ = _ref_utils_func()
+    from bde2vid_tpu.utils.padding import CropParameters
+
+    h, w = hw
+    ref = iu.CropParameters(w, h, num_encoders=3)
+    mine = CropParameters(w, h, num_encoders=3)
+    assert (mine.padding_top, mine.padding_bottom, mine.padding_left,
+            mine.padding_right) == (ref.padding_top, ref.padding_bottom,
+                                    ref.padding_left, ref.padding_right)
+
+    img = rng.normal(size=(1, h, w, 1)).astype(np.float32)  # NHWC
+    padded = np.asarray(mine.pad(jnp.asarray(img)))
+    ref_padded = ref.pad(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_array_equal(padded.transpose(0, 3, 1, 2), ref_padded)
+    # inverse crop recovers the image through both implementations
+    np.testing.assert_array_equal(
+        np.asarray(mine.crop(jnp.asarray(padded))), img
+    )
+    rc = ref.crop(torch.from_numpy(ref_padded)).numpy()
+    np.testing.assert_array_equal(rc, img.transpose(0, 3, 1, 2))
+
+
+def test_quick_abs_norm_match_reference(rng):
+    _, uu, _ = _ref_utils_func()
+    from bde2vid_tpu.utils.norm import abs_norm, quick_norm
+
+    x = rng.normal(size=(16, 20)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(quick_norm(jnp.asarray(x))),
+        uu.quick_norm(torch.from_numpy(x.copy())).numpy(),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(abs_norm(jnp.asarray(x))),
+        uu.abs_norm(torch.from_numpy(x.copy())).numpy(),
+        atol=1e-6,
+    )
+
+
+def test_flow2rgb_matches_reference(rng):
+    pytest.importorskip("cv2")
+    _, _, tu = _ref_utils_func()
+    from bde2vid_tpu.utils.flow_viz import flow2rgb
+
+    dx = rng.normal(0, 0.3, (24, 32)).astype(np.float64)
+    dy = rng.normal(0, 0.3, (24, 32)).astype(np.float64)
+    got = flow2rgb(dx, dy).astype(np.int32)
+    want = tu.flow2rgb(dx, dy).astype(np.int32)
+    # uint8 rounding at HSV->BGR may differ by 1 in isolated pixels
+    assert (np.abs(got - want) <= 1).mean() > 0.995
+    got_m = flow2rgb(dx, dy, max_magnitude=10.0).astype(np.int32)
+    want_m = tu.flow2rgb(dx, dy, max_magnitude=10.0).astype(np.int32)
+    assert (np.abs(got_m - want_m) <= 1).mean() > 0.995
