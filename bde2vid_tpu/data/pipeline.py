@@ -71,6 +71,7 @@ class EventSequence:
         has_frames: bool = True,
         max_length: Optional[int] = None,
         ev_rate: Optional[float] = None,
+        trim_last_frame: bool = True,
     ):
         self.reader = reader
         self.item_windows = np.asarray(windows, np.int64)
@@ -81,7 +82,11 @@ class EventSequence:
         self.has_frames = has_frames
         self.length = len(self.item_windows)
         if has_frames:
-            self.length = min(self.length, reader.num_frames - 1) if reader.num_frames else 0
+            # h5 between_frames protocol: num_frames-1 items (reference
+            # __len__, h5_dataset.py:306-307). Explicit-window backends
+            # (raw NPY) keep one item per frame (dataset.py:248-255).
+            n_items = reader.num_frames - (1 if trim_last_frame else 0)
+            self.length = min(self.length, n_items) if reader.num_frames else 0
         if max_length is not None:
             self.length = min(self.length, max_length + 1)
         if self.length <= 0:
@@ -272,9 +277,16 @@ def load_sequence(
     else:
         raise ValueError(f"unknown loader type {ltype!r}")
     method = voxel_method["method"]
+    trim_last_frame = True
     if method == "between_frames":
         if k_framerate > 1:
             windows = hfr_windows(reader, k_framerate)
+        elif hasattr(reader, "frame_windows"):
+            trim_last_frame = False  # one item per frame in this layout
+            # raw-NPY layout stores EXPLICIT [idx0, idx1) pairs which need
+            # not be contiguous (reference SynchronizedNPYDataset reads
+            # frame_event_idxes.txt pairs verbatim, dataset.py:305-309)
+            windows = np.asarray(reader.frame_windows, np.int64)
         else:
             windows = between_frames_windows(reader.frame_event_indices)
         has_frames = True
@@ -312,6 +324,7 @@ def load_sequence(
         has_frames=has_frames,
         max_length=max_length,
         ev_rate=ev_rate,
+        trim_last_frame=trim_last_frame,
     )
 
 

@@ -271,6 +271,9 @@ class NPYEventReader:
     def events(self, i0: int, i1: int):
         from bde2vid_tpu.events.h5_io import EventSlice
 
+        # convert polarities AFTER the float cast: the reference computes
+        # ps*2-1 on the raw dtype, which wraps to +255 for uint8-stored
+        # zeros (dataset.py:307) — a storage-dtype hazard this avoids
         return EventSlice(
             xs=np.asarray(self.xs[i0:i1], np.int32),
             ys=np.asarray(self.ys[i0:i1], np.int32),

@@ -531,3 +531,58 @@ def test_flow2rgb_matches_reference(rng):
     got_m = flow2rgb(dx, dy, max_magnitude=10.0).astype(np.int32)
     want_m = tu.flow2rgb(dx, dy, max_magnitude=10.0).astype(np.int32)
     assert (np.abs(got_m - want_m) <= 1).mean() > 0.995
+
+
+def test_npy_dataset_items_match_reference(tmp_path, rng):
+    """Raw-NPY backend vs the reference SynchronizedNPYDataset: explicit
+    (possibly non-contiguous) frame_event_idxes pairs must be honored
+    verbatim and per-item voxels must match (min_event_rate set high
+    enough that the reference's random subsampling never triggers)."""
+    _ref_modules()  # stubs skimage, puts REF on sys.path
+    import importlib
+
+    dsmod = importlib.import_module("data_loader.dataset")
+    from bde2vid_tpu.data import load_sequence
+
+    h, w, n = 16, 24, 3000
+    base = tmp_path / "seq"
+    ef = base / "events"
+    ff = base / "frames"
+    os.makedirs(ef)
+    os.makedirs(ff)
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 1.0, n))
+    # stored as bool: the reference computes ps*2-1 on the RAW dtype, which
+    # overflows for uint8 storage (0 -> 255); bool promotes to int safely
+    ps = rng.choice([0, 1], n).astype(bool)
+    np.save(ef / "xs.npy", xs)
+    np.save(ef / "ys.npy", ys)
+    np.save(ef / "ts.npy", ts)
+    np.save(ef / "ps.npy", ps)
+    frames = rng.integers(0, 256, (5, h, w)).astype(np.uint8)
+    np.save(ff / "frames.npy", frames)
+    frame_ts = np.array([0.2, 0.4, 0.6, 0.8, 1.0])
+    np.savetxt(ff / "frame_ts.txt", frame_ts)
+    # deliberately NON-contiguous windows (gaps between items)
+    idxes = np.array([[0, 500], [600, 1100], [1100, 1900], [2000, 2600],
+                      [2650, 3000]])
+    np.savetxt(ff / "frame_event_idxes.txt", idxes, fmt="%d")
+
+    # the reference calls np.alltrue, removed in NumPy 2.0 — shim for import
+    if not hasattr(np, "alltrue"):
+        np.alltrue = np.all  # type: ignore[attr-defined]
+    ds = dsmod.SynchronizedNPYDataset(
+        str(base), "events", frame_folder="frames", flow_folder=None,
+        min_event_rate=1e9,  # never subsample -> deterministic
+    )
+    seq = load_sequence(str(base), num_bins=5, ltype="ENPY")
+    vox = np.asarray(seq.voxels())
+    assert len(seq) == len(ds) == 5
+    for i in range(len(ds)):
+        want = ds[i]["events"].numpy()
+        np.testing.assert_allclose(vox[i], want, atol=1e-4, err_msg=f"item {i}")
+        # frame pairing: first frame whose ts >= events
+        np.testing.assert_allclose(
+            seq.frames(i, i + 1)[0], ds[i]["frame"].numpy().squeeze(), atol=1e-6
+        )
