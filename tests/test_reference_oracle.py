@@ -586,3 +586,52 @@ def test_npy_dataset_items_match_reference(tmp_path, rng):
         np.testing.assert_allclose(
             seq.frames(i, i + 1)[0], ds[i]["frame"].numpy().squeeze(), atol=1e-6
         )
+
+
+def test_prevoxelized_npy_matches_reference(tmp_path, rng):
+    """PrevoxelizedSequence vs the reference SynchronizedFramesEventsDataset
+    (VoxelGridDataset inside) on a tree produced by h5_to_prevoxelized_npy:
+    voxels, normalization, and first-frame-at-or-after pairing."""
+    _ref_modules()
+    import importlib
+
+    if not hasattr(np, "alltrue"):
+        np.alltrue = np.all  # removed in NumPy 2.0; reference still calls it
+    dsmod = importlib.import_module("data_loader.dataset")
+
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.events.tools import h5_to_prevoxelized_npy
+
+    h, w, n = 16, 24, 3000
+    h5 = str(tmp_path / "s.h5")
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(10.0, 10.3, n))
+    ts[0], ts[-1] = 10.0, 10.3
+    with H5EventWriter(h5, sensor_size=(h, w)) as wr:
+        wr.append_events(xs, ys, ts, rng.choice([True, False], n))
+        for i in range(6):
+            wr.add_image(rng.integers(0, 256, (h, w)).astype(np.uint8),
+                         10.0 + 0.05 * i)
+    base = str(tmp_path / "tree")
+    h5_to_prevoxelized_npy(h5, base, num_bins=5)
+
+    for normalize in (False, True):
+        ref = dsmod.SynchronizedFramesEventsDataset(
+            base, "VoxelGrid-betweenframes-5", frame_folder="frames",
+            flow_folder=None, normalize=normalize,
+        )
+        seq = load_sequence(base, num_bins=5, ltype="NPY", normalize=normalize)
+        assert len(seq) == len(ref)
+        vox = np.asarray(seq.voxels())
+        frames = seq.frames()
+        for i in range(len(ref)):
+            item = ref[i]
+            np.testing.assert_allclose(
+                vox[i], item["events"].numpy(), atol=5e-4,
+                err_msg=f"item {i} normalize={normalize}",
+            )
+            np.testing.assert_allclose(
+                frames[i], item["frame"].numpy().squeeze(), atol=1e-6
+            )
