@@ -339,10 +339,11 @@ class MemMapEventReader:
 
     @property
     def frame_event_indices(self) -> np.ndarray:
-        idx_path = os.path.join(self.path, "index.npy")
-        if os.path.exists(idx_path):
-            idx = np.load(idx_path)
-            return idx[:, -1] if idx.ndim == 2 else idx
+        # the reference MemMapDataset never reads index.npy — it derives
+        # window ends by searchsorting the frame timestamps
+        # (compute_frame_indices -> find_ts_index, h5_dataset.py:645-647);
+        # index.npy (h5 event_idx convention, searchsorted-1) stays
+        # informational in the export
         return np.searchsorted(np.asarray(self.t), np.asarray(self.frame_ts))
 
     @property

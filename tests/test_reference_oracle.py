@@ -635,3 +635,40 @@ def test_prevoxelized_npy_matches_reference(tmp_path, rng):
             np.testing.assert_allclose(
                 frames[i], item["frame"].numpy().squeeze(), atol=1e-6
             )
+
+
+def test_memmap_dataset_items_match_reference(tmp_path, rng):
+    """h5 -> h5_to_memmap -> the reference MemMapDataset reads the tree and
+    its windows/voxels/frames match our MMP pipeline on the same files."""
+    _, _, h5d = _ref_modules()
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.events.tools import h5_to_memmap
+
+    h, w, n = 16, 24, 3000
+    h5 = str(tmp_path / "s.h5")
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(10.0, 10.3, n))
+    ts[0], ts[-1] = 10.0, 10.3
+    with H5EventWriter(h5, sensor_size=(h, w)) as wr:
+        wr.append_events(xs, ys, ts, rng.choice([True, False], n))
+        for i in range(6):
+            wr.add_image(rng.integers(0, 256, (h, w)).astype(np.uint8),
+                         10.0 + 0.05 * i)
+    mmp = str(tmp_path / "mmp")
+    h5_to_memmap(h5, mmp)
+
+    ds = h5d.MemMapDataset(mmp, voxel_method={"method": "between_frames"})
+    seq = load_sequence(mmp, num_bins=5, ltype="MMP")
+    assert len(seq) == len(ds)
+    vox = np.asarray(seq.voxels())
+    frames = seq.frames()
+    for i in range(len(ds)):
+        item = ds[i]
+        np.testing.assert_allclose(
+            vox[i], item["events"].numpy(), atol=1e-4, err_msg=f"item {i}"
+        )
+        np.testing.assert_allclose(
+            frames[i], item["frame"].numpy().squeeze(), atol=1e-6
+        )
