@@ -672,3 +672,65 @@ def test_memmap_dataset_items_match_reference(tmp_path, rng):
         np.testing.assert_allclose(
             frames[i], item["frame"].numpy().squeeze(), atol=1e-6
         )
+
+
+def test_sequence_pause_chain_matches_reference(tmp_path, rng):
+    """Training pause augmentation vs the reference SequenceDataset: with a
+    shared np.random stream, our sample_pause_mask must reproduce the
+    reference's Markov pause chain exactly (zeroed events + repeated
+    frames, step 0 never paused)."""
+    _, _, h5d = _ref_modules()
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.data.transforms import sample_pause_mask
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.events.tools import h5_to_memmap
+
+    h, w, n = 16, 24, 4000
+    h5 = str(tmp_path / "s.h5")
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(0.0, 1.2, n))
+    ts[0], ts[-1] = 0.0, 1.2
+    with H5EventWriter(h5, sensor_size=(h, w)) as wr:
+        wr.append_events(xs, ys, ts, rng.choice([True, False], n))
+        for i in range(12):
+            wr.add_image(rng.integers(0, 256, (h, w)).astype(np.uint8),
+                         0.05 + 0.1 * i)
+    mmp = str(tmp_path / "mmp")
+    h5_to_memmap(h5, mmp)
+
+    L, step, p_run, p_paused = 6, 2, 0.45, 0.7
+    ds = h5d.SequenceDataset(
+        mmp, sequence_length=L, dataset_type="MemMapDataset", step_size=step,
+        proba_pause_when_running=p_run, proba_pause_when_paused=p_paused,
+        dataset_kwargs={"voxel_method": {"method": "between_frames"}},
+    )
+    np.random.seed(123)
+    ref_seq = ds[1]  # base index j = 2
+    assert len(ref_seq) == L
+
+    np.random.seed(123)  # same uniform stream as the reference consumed
+    idx, paused = sample_pause_mask(L, np.random, p_run, p_paused)
+
+    seq = load_sequence(mmp, num_bins=5, ltype="MMP")
+    vox = np.asarray(seq.voxels())
+    frames = seq.frames()
+    for t in range(L):
+        want_v = ref_seq[t]["events"].numpy()
+        want_f = ref_seq[t]["frame"].numpy().squeeze()
+        src = 2 + int(idx[t])
+        got_v = np.zeros_like(vox[src]) if paused[t] else vox[src]
+        np.testing.assert_allclose(got_v, want_v, atol=1e-4, err_msg=f"t={t}")
+        np.testing.assert_allclose(frames[src], want_f, atol=1e-6, err_msg=f"t={t}")
+    assert paused.any(), "chain never paused — raise probabilities"
+
+
+def test_center_crop_matches_reference(rng):
+    _, da, _ = _ref_modules()
+    from bde2vid_tpu.data.transforms import CenterCrop
+
+    x = rng.normal(size=(5, 37, 45)).astype(np.float32)
+    for size in (16, (20, 30)):
+        want = da.CenterCrop(size)(torch.from_numpy(x.copy())).numpy()
+        got = np.asarray(CenterCrop(size)(x))
+        np.testing.assert_array_equal(got, want)
