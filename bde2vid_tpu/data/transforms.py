@@ -32,7 +32,9 @@ class Compose:
 
 
 class CenterCrop:
-    """Center crop (..., H, W) arrays (reference :79-106)."""
+    """Center crop (..., H, W) arrays (reference :90-124). The offsets use
+    python round() — banker's rounding, so a half-pixel slack of 7.5 goes
+    to 8, unlike floor."""
 
     def __init__(self, size):
         self.size = (size, size) if isinstance(size, int) else tuple(size)
@@ -40,8 +42,8 @@ class CenterCrop:
     def __call__(self, x, is_flow: bool = False):
         h, w = x.shape[-2:]
         th, tw = self.size
-        i = (h - th) // 2
-        j = (w - tw) // 2
+        i = int(round((h - th) / 2.0))
+        j = int(round((w - tw) / 2.0))
         return x[..., i : i + th, j : j + tw]
 
 
