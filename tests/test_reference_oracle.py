@@ -734,3 +734,67 @@ def test_center_crop_matches_reference(rng):
         want = da.CenterCrop(size)(torch.from_numpy(x.copy())).numpy()
         got = np.asarray(CenterCrop(size)(x))
         np.testing.assert_array_equal(got, want)
+
+
+def test_h5_schema_cross_compatible_with_reference_packager(tmp_path, rng):
+    """Files written by the reference hdf5_packager must load through our
+    reader/pipeline, and files from our writer must carry the identical
+    schema (datasets, dtypes, attrs, per-image event_idx)."""
+    sys.path.insert(0, os.path.join(REF, "events_contrast_maximization", "tools"))
+    import importlib
+
+    ep = importlib.import_module("event_packagers")
+    import h5py
+
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.events import H5EventReader, H5EventWriter
+
+    h, w, n = 16, 24, 2000
+    xs = rng.integers(0, w, n).astype(np.int16)
+    ys = rng.integers(0, h, n).astype(np.int16)
+    ts = np.sort(rng.uniform(0.0, 0.5, n))
+    ps = rng.choice([True, False], n)
+    imgs = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(4)]
+    img_ts = [0.1, 0.2, 0.3, 0.4]
+
+    ref_path = str(tmp_path / "ref.h5")
+    pk = ep.hdf5_packager(ref_path)
+    pk.set_data_available(num_images=len(imgs), num_flow=0)
+    pk.package_events(xs, ys, ts, ps)
+    for i, (im, t) in enumerate(zip(imgs, img_ts)):
+        pk.package_image(im, t, i)
+    pk.add_metadata(int(ps.sum()), int((~ps).sum()), ts[-1] - ts[0],
+                    ts[0], ts[-1], len(imgs), 0, (h, w))
+    pk.events_file.close()
+
+    ours_path = str(tmp_path / "ours.h5")
+    with H5EventWriter(ours_path, sensor_size=(h, w)) as wr:
+        wr.append_events(xs, ys, ts, ps)
+        for im, t in zip(imgs, img_ts):
+            wr.add_image(im, t)
+
+    # 1) reference-written file loads through our full pipeline
+    with H5EventReader(ref_path) as r:
+        assert r.num_events == n and r.num_frames == 4
+        sl = r.events(0, n)
+        np.testing.assert_array_equal(sl.xs, xs)
+        np.testing.assert_array_equal(sl.ps > 0, ps)
+    seq = load_sequence(ref_path, num_bins=5)
+    assert np.isfinite(np.asarray(seq.voxels())).all()
+
+    # 2) our file carries the identical schema
+    with h5py.File(ref_path) as fr, h5py.File(ours_path) as fo:
+        for d in ("events/xs", "events/ys", "events/ts", "events/ps"):
+            assert fo[d].dtype == fr[d].dtype, d
+            np.testing.assert_array_equal(fo[d][:], fr[d][:])
+        for a in ("num_events", "num_pos", "num_neg", "num_imgs", "t0", "tk"):
+            assert fo.attrs[a] == fr.attrs[a], a
+        assert np.isclose(fo.attrs["duration"], fr.attrs["duration"])
+        np.testing.assert_array_equal(
+            fo.attrs["sensor_resolution"], fr.attrs["sensor_resolution"]
+        )
+        for i in range(4):
+            k = f"images/image{i:09d}"
+            np.testing.assert_array_equal(fo[k][:], fr[k][:])
+            assert fo[k].attrs["event_idx"] == fr[k].attrs["event_idx"], k
+            assert fo[k].attrs["timestamp"] == fr[k].attrs["timestamp"]
