@@ -69,45 +69,71 @@ class RandomCrop:
 
 
 class RandomRotationFlip:
-    """90-degree rotations + horizontal/vertical flips; flow channels are
-    sign-corrected and swapped under rotation (reference :190-246)."""
+    """Continuous-angle affine rotation + axis flips via grid sampling
+    (reference :158-246): sample an angle uniformly from ``degrees``, flip
+    the rotation matrix's columns for h/v flips, resample through an
+    affine grid (zeros padding, align_corners=False — the installed
+    torch's F.affine_grid/grid_sample defaults the reference hits). Flow
+    fields additionally get their channels mixed by the INVERSE matrix.
 
-    def __init__(self, p_hflip: float = 0.5, p_vflip: float = 0.0, p_rot90: float = 0.0):
+    Call ``sample_params(rng)`` once per sequence (or ``set_params`` for
+    deterministic use); operates on (C, H, W) arrays like the reference."""
+
+    def __init__(self, degrees=0.0, p_hflip: float = 0.5, p_vflip: float = 0.0):
+        if isinstance(degrees, (int, float)):
+            if degrees < 0:
+                raise ValueError("degrees must be non-negative")
+            degrees = (-degrees, degrees)
+        self.degrees = tuple(degrees)
         self.p_hflip = p_hflip
         self.p_vflip = p_vflip
-        self.p_rot90 = p_rot90
-        self._state = None
+        self._fwd: Optional[np.ndarray] = None
+        self._inv: Optional[np.ndarray] = None
 
-    def sample_params(self, rng: np.random.Generator):
-        self._state = (
-            rng.random() < self.p_hflip,
-            rng.random() < self.p_vflip,
-            int(rng.integers(0, 4)) if rng.random() < self.p_rot90 else 0,
+    def sample_params(self, rng):
+        # same draw order as the reference get_params (:201-212)
+        angle = rng.uniform(self.degrees[0], self.degrees[1])
+        hflip = rng.random() < self.p_hflip
+        vflip = rng.random() < self.p_vflip
+        self.set_params(angle, hflip, vflip)
+
+    def set_params(self, angle_deg: float, hflip: bool, vflip: bool):
+        a = np.deg2rad(angle_deg)
+        m = np.array(
+            [[np.cos(a), -np.sin(a), 0.0],
+             [np.sin(a), np.cos(a), 0.0],
+             [0.0, 0.0, 1.0]], np.float64,
         )
+        if hflip:
+            m[:, 0] *= -1
+        if vflip:
+            m[:, 1] *= -1
+        self._fwd = m[:2, :].astype(np.float32)
+        self._inv = np.linalg.inv(m)[:2, :2].astype(np.float32)
 
     def __call__(self, x, is_flow: bool = False):
-        if self._state is None:
-            raise RuntimeError("call sample_params first")
-        hflip, vflip, k = self._state
-        out = np.asarray(x)
-        if hflip:
-            out = out[..., :, ::-1]
-            if is_flow:
-                out = out.copy()
-                out[..., 0, :, :] = -out[..., 0, :, :]
-        if vflip:
-            out = out[..., ::-1, :]
-            if is_flow:
-                out = out.copy()
-                out[..., 1, :, :] = -out[..., 1, :, :]
-        for _ in range(k):
-            out = np.rot90(out, axes=(-2, -1))
-            if is_flow:
-                out = out.copy()
-                fx = out[..., 0, :, :].copy()
-                out[..., 0, :, :] = -out[..., 1, :, :]
-                out[..., 1, :, :] = fx
-        return np.ascontiguousarray(out)
+        if self._fwd is None:
+            raise RuntimeError("call sample_params/set_params first")
+        from bde2vid_tpu.nn.sampling import grid_sample_bilinear
+
+        x = np.asarray(x, np.float32)
+        c, h, w = x.shape
+        # F.affine_grid(align_corners=False) base coords: pixel centers
+        gx = (2.0 * np.arange(w) + 1.0) / w - 1.0
+        gy = (2.0 * np.arange(h) + 1.0) / h - 1.0
+        X, Y = np.meshgrid(gx, gy)
+        pts = np.stack([X, Y, np.ones_like(X)], axis=-1)  # (H, W, 3)
+        grid = (pts @ self._fwd.T).astype(np.float32)  # output -> input coords
+        out = grid_sample_bilinear(
+            jnp.asarray(x.transpose(1, 2, 0))[None], jnp.asarray(grid)[None]
+        )
+        out = np.array(np.asarray(out)[0].transpose(2, 0, 1))  # (C, H, W), writable
+        if is_flow:
+            a = self._inv
+            vx, vy = out[0].copy(), out[1].copy()
+            out[0] = a[0, 0] * vx + a[0, 1] * vy
+            out[1] = a[1, 0] * vx + a[1, 1] * vy
+        return out
 
 
 # ------------------------------ noise (device) -------------------------------
