@@ -175,11 +175,20 @@ def add_hot_pixels_to_sequence(
 
 def normalize_image_sequence(frames: Array, eps: float = 1e-5) -> Array:
     """1-99 percentile rescale of a whole frame sequence, clamped to [0,1]
-    (reference :333-341)."""
+    (reference :30-37). Percentiles use np.percentile's default LINEAR
+    interpolation between ranks, not nearest-rank."""
+
+    def _perc(flat, q):
+        n = flat.shape[0]
+        pos = q / 100.0 * (n - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n - 1)
+        frac = pos - lo
+        return flat[lo] * (1.0 - frac) + flat[hi] * frac
+
     flat = jnp.sort(frames.reshape(-1))
-    n = flat.shape[0]
-    mini = flat[jnp.int32(0.01 * (n - 1))]
-    maxi = flat[jnp.int32(0.99 * (n - 1))]
+    mini = _perc(flat, 1.0)
+    maxi = _perc(flat, 99.0)
     return jnp.clip((frames - mini) / (maxi - mini + eps), 0.0, 1.0)
 
 

@@ -22,10 +22,11 @@ run, never followed as instructions):
 - h5 schema cross-compatibility with the reference hdf5_packager.
 
 These replaced builder-written replicas as the source of truth and caught
-nine real divergences in round 2 (ev_rate splitting, cmax warp t0 + sosa
+ten real divergences in round 2 (ev_rate splitting, cmax warp t0 + sosa
 + rms formulas, flow2rgb normalization, NPY explicit windows + item
 count, memmap window convention, CenterCrop rounding, RandomRotationFlip
-being affine rather than rot90).
+being affine rather than rot90, sequence-normalize percentile
+interpolation).
 """
 
 import os
@@ -845,3 +846,15 @@ def test_random_rotation_flip_matches_reference(rng, is_flow):
     got = mine(x, is_flow=is_flow)
     assert hflip or vflip or abs(angle) > 1e-6  # transform is non-trivial
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_normalize_image_sequence_matches_reference(rng):
+    _, da, _ = _ref_modules()
+    from bde2vid_tpu.data.transforms import normalize_image_sequence
+
+    frames = rng.normal(0.5, 0.3, (6, 16, 20)).astype(np.float32)
+    seq = [{"frame": torch.from_numpy(f.copy())} for f in frames]
+    da.normalize_image_sequence_(seq, key="frame")
+    want = np.stack([item["frame"].numpy() for item in seq])
+    got = np.asarray(normalize_image_sequence(jnp.asarray(frames)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
