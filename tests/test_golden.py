@@ -85,3 +85,41 @@ def test_golden_bde2vid(tmp_path, use_pallas):
     )
     assert result["mse"] == pytest.approx(GOLDEN_BDE2VID["mse"], rel=2e-4)
     assert result["ssim"] == pytest.approx(GOLDEN_BDE2VID["ssim"], rel=2e-3)
+
+
+FAMILY_GOLDEN = {
+    # (config, ltype, robust_norm_output) -> pinned metrics
+    "SPADEE2VID": ({}, "SpadeH5", False,
+                   {"mse": 0.08274436742067337, "ssim": 0.04303765296936035}),
+    "EITR": ({"num_bins": 5, "d_model": 32, "dim_feedforward": 64, "nhead": 4,
+              "channels": [8, 16, 32, 32]}, "H5", False,
+             {"mse": 0.08914687484502792, "ssim": 0.03080364502966404}),
+    "EVSNN": ({"num_bins": 5}, "H5", True,
+              {"mse": 0.17408756911754608, "ssim": 0.02375250868499279}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(FAMILY_GOLDEN))
+def test_golden_per_family(tmp_path, name):
+    """Per-family numeric anchors through the full pipeline (incl. the
+    SPADE ev_rate path and the SNN robust-norm postprocessing)."""
+    cfg, ltype, robust, golden = FAMILY_GOLDEN[name]
+    seq_path = tmp_path / "g.h5"
+    rng = np.random.default_rng(1234)
+    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
+    with H5EventWriter(str(seq_path), sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(6):
+            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
+    model = build_model(name, cfg)
+    st = model.initial_state(1, 64, 64)
+    params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 5)), st)
+    spec = ModelSpec(name, model, params, 5, 3)
+    seq = load_sequence(str(seq_path), num_bins=5, ltype=ltype)
+    result, _ = evaluate_sequence(
+        spec, seq,
+        EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None,
+                   robust_norm_output=robust),
+    )
+    assert result["mse"] == pytest.approx(golden["mse"], rel=1e-4)
+    assert result["ssim"] == pytest.approx(golden["ssim"], rel=1e-3)
