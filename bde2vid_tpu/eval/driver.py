@@ -204,7 +204,20 @@ def evaluate_sequence(
     chunk = cfg.subseq_L or n_steps
     preds = []
     padded_hw = (x.shape[2], x.shape[3])
-    if cfg.shard_data and jax.device_count() > 1 and seq.item_last is None:
+    use_shard = (
+        cfg.shard_data
+        and jax.device_count() > 1
+        and seq.item_last is None
+        # without chunking (or with a single chunk) there is nothing to
+        # distribute — padding to n_dev whole-sequence chunks would just
+        # burn devices on all-zero inputs
+        and cfg.subseq_L is not None
+        and n_steps > chunk
+    )
+    if cfg.shard_data and not use_shard:
+        print("note: --shard_data inactive (needs >1 device, subseq_L "
+              "chunking with multiple chunks, and no ev_rate splitting)")
+    if use_shard:
         # chunks are state-reset-independent -> shard them over the mesh's
         # 'data' axis (exactness proven in tests/test_sharded_eval.py)
         from bde2vid_tpu.parallel.sharded_eval import eval_chunks_sharded

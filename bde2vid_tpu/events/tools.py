@@ -431,26 +431,37 @@ def h5_precompute_voxels(
     """
     import h5py
 
+    from bde2vid_tpu.data.windowing import between_frames_windows
+
     written = 0
     with H5EventReader(path) as r:
-        from bde2vid_tpu.data.windowing import between_frames_windows
-
         windows = between_frames_windows(r.frame_event_indices)
         length = max(r.num_frames - 1, 0)  # reference __len__ (:306-307)
-        items = []
-        for i in range(length):
-            idx0, idx1 = (int(v) for v in windows[i])
-            items.append(_between_frames_voxel(
-                r.events(idx0, idx1), num_bins, r.sensor_size,
-                combined_voxel_channels,
-            ))
+        sensor = r.sensor_size
+        # decide what to (re)compute BEFORE voxelizing anything — a rerun
+        # on a cached file must be a cheap no-op, and fresh runs stream
+        # one voxel at a time instead of buffering the whole sequence
+        existing = set()
+        with h5py.File(path, "r") as f:
+            if f"events_voxels_{num_bins}" in f:
+                existing = set(f[f"events_voxels_{num_bins}"])
+        todo = [
+            i for i in range(length)
+            if overwrite or f"event{i:09d}" not in existing
+        ]
+        slices = {
+            i: r.events(int(windows[i][0]), int(windows[i][1])) for i in todo
+        }
+    if not todo:
+        return 0
     with h5py.File(path, "r+") as f:
         grp = f.require_group(f"events_voxels_{num_bins}")
-        for i, (vox, dt) in enumerate(items):
+        for i in todo:
+            vox, dt = _between_frames_voxel(
+                slices.pop(i), num_bins, sensor, combined_voxel_channels
+            )
             name = f"event{i:09d}"
             if name in grp:
-                if not overwrite:
-                    continue
                 del grp[name]
             d = grp.create_dataset(name, data=vox)
             d.attrs["dt"] = dt

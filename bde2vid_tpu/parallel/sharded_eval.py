@@ -21,6 +21,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bde2vid_tpu.models.api import ModelSpec, run_sequence
 
 
+# one traced+jitted sharded forward per (architecture, shapes, chunk, mesh);
+# params are a jit ARGUMENT so checkpoint sweeps over the same architecture
+# reuse the trace (mirrors the sequential driver's _RUN_FN_CACHE)
+_SHARDED_FN_CACHE = {}
+
+
+def _cached_sharded_fn(spec: ModelSpec, shapes, chunk: int, mesh: Mesh, sh):
+    arch_key = (
+        spec.name,
+        spec.module.__class__.__name__,
+        str(getattr(spec.module, "config", "")),
+        str(getattr(spec.module, "dtype", "")),
+    )
+    key = (arch_key, shapes, chunk, tuple(mesh.devices.ravel()), spec.is_sequence_model)
+    if key in _SHARDED_FN_CACHE:
+        return _SHARDED_FN_CACHE[key]
+
+    module = spec.module
+    if spec.is_sequence_model:
+
+        def per_chunk(params, v):
+            return module.apply(params, v)[0]["image"]
+
+    else:
+        state0 = module.initial_state(1, shapes[1], shapes[2])  # (1, H, W, C)
+
+        def per_chunk(params, v):
+            return run_sequence(module, params, v, state0)[0]
+
+    @jax.jit
+    def run_all(params, chunks):
+        out = jax.vmap(lambda v: per_chunk(params, v))(chunks)
+        return jax.lax.with_sharding_constraint(out, sh)
+
+    _SHARDED_FN_CACHE[key] = run_all
+    return run_all
+
+
 def eval_chunks_sharded(
     spec: ModelSpec,
     voxels: jax.Array,  # (T, 1, H, W, C) padded voxel sequence
@@ -30,14 +68,29 @@ def eval_chunks_sharded(
     """Run the per-chunk forward with chunks sharded across devices.
 
     Semantics identical to the sequential driver: state resets per chunk.
-    T is padded up to a whole number of chunks per device; padding steps are
-    dropped from the output. Returns (T, 1, H', W', 1) predictions.
+    For forward-only step models T pads up to whole chunks (end padding
+    cannot affect earlier outputs); for BIDIRECTIONAL sequence models a
+    ragged tail must NOT be zero-padded (the backward sweep and temporal
+    attention would see the synthetic frames — same constraint as the
+    sequential driver, eval/driver.py), so the tail runs as its own
+    unsharded forward and only the full chunks shard.
+    Returns (T, 1, H', W', 1) predictions.
     """
     if mesh is None:
         devices = np.asarray(jax.devices())
         mesh = Mesh(devices.reshape(-1, 1), axis_names=("data", "spatial"))
     n_dev = mesh.shape["data"]
     t = voxels.shape[0]
+
+    tail_preds = None
+    if spec.is_sequence_model and t % chunk != 0:
+        t_full = (t // chunk) * chunk
+        tail = voxels[t_full:]
+        tail_preds = spec.module.apply(spec.params, tail)[0]["image"]
+        if t_full == 0:
+            return tail_preds
+        voxels = voxels[:t_full]
+        t = t_full
 
     n_chunks = -(-t // chunk)
     n_chunks = -(-n_chunks // n_dev) * n_dev  # multiple of n_dev
@@ -51,23 +104,10 @@ def eval_chunks_sharded(
     sh = NamedSharding(mesh, P("data"))
     chunks = jax.device_put(chunks, sh)
 
-    if spec.is_sequence_model:
-
-        def per_chunk(v):
-            return spec.module.apply(spec.params, v)[0]["image"]
-
-    else:
-        state0 = spec.module.initial_state(1, voxels.shape[2], voxels.shape[3])
-
-        def per_chunk(v):
-            return run_sequence(spec.module, spec.params, v, state0)[0]
-
-    @jax.jit
-    def run_all(chunks):
-        out = jax.vmap(per_chunk)(chunks)
-        return jax.lax.with_sharding_constraint(out, sh)
-
+    run_all = _cached_sharded_fn(spec, tuple(voxels.shape[1:]), chunk, mesh, sh)
     with mesh:
-        preds = run_all(chunks)
-    preds = preds.reshape(t_pad, *preds.shape[2:])
-    return preds[:t]
+        preds = run_all(spec.params, chunks)
+    preds = preds.reshape(t_pad, *preds.shape[2:])[:t]
+    if tail_preds is not None:
+        preds = jnp.concatenate([preds, tail_preds], axis=0)
+    return preds

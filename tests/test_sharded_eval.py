@@ -132,3 +132,45 @@ def test_evaluate_sequence_shard_data_matches(tmp_path, rng):
     for k in res_seq:
         assert res_sh[k] == pytest.approx(res_seq[k], rel=1e-4, abs=1e-6), k
     np.testing.assert_allclose(det_sh["mse"], det_seq["mse"], atol=1e-6)
+
+
+def test_sharded_sequence_model_ragged_tail(rng):
+    """Bidirectional sequence models must NOT see zero-padded tail frames:
+    a ragged T runs its tail as a separate unsharded forward (the backward
+    sweep + temporal attention would absorb synthetic zeros otherwise)."""
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg)
+    T, H, W = 7, 16, 16  # T % chunk != 0
+    voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, 5)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), voxels[:2])
+    spec = ModelSpec("BDE2VID", model, params, 5, 2, is_sequence_model=True)
+    got = np.asarray(eval_chunks_sharded(spec, voxels, chunk=2))
+    want = np.concatenate(
+        [np.asarray(model.apply(params, voxels[s : s + 2])[0]["image"])
+         for s in range(0, T, 2)]
+    )
+    assert got.shape[0] == T
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_fn_cache_reuses_trace(rng):
+    """Two param sets of the same architecture must share one jitted
+    sharded forward (params are a jit argument, not a closure)."""
+    from bde2vid_tpu.parallel import sharded_eval as se
+
+    se._SHARDED_FN_CACHE.clear()
+    T, H, W = 8, 32, 32
+    voxels = jnp.asarray(rng.normal(size=(T, 1, H, W, 5)).astype(np.float32))
+    spec_a = _spec()
+    got_a = np.asarray(eval_chunks_sharded(spec_a, voxels, chunk=2))
+    assert len(se._SHARDED_FN_CACHE) == 1
+
+    model = spec_a.module
+    params_b = model.init(jax.random.PRNGKey(99), voxels[0],
+                          model.initial_state(1, H, W))
+    spec_b = ModelSpec("E2VIDRecurrent", model, params_b, 5, 2)
+    got_b = np.asarray(eval_chunks_sharded(spec_b, voxels, chunk=2))
+    assert len(se._SHARDED_FN_CACHE) == 1  # same trace reused
+    assert not np.allclose(got_a, got_b)  # and the new params actually ran
