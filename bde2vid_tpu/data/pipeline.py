@@ -37,6 +37,48 @@ from bde2vid_tpu.utils.norm import legacy_norm
 
 DATA_SOURCES = ("esim", "ijrr", "mvsec", "eccd", "hqfd", "unknown")
 
+# ONE jitted vmapped voxelizer per configuration — wrapping jax.jit around a
+# fresh closure per batch would re-trace the identical program once per
+# 128-window batch and per sequence (the hot mask is therefore an ARGUMENT,
+# not a capture; a scalar zero stands in when unused)
+_VOXELIZE_FN_CACHE: Dict[Tuple, object] = {}
+
+
+_legacy_norm_batch = None  # lazily jitted once (module import must stay cheap)
+
+
+def _legacy_norm_all(v):
+    global _legacy_norm_batch
+    if _legacy_norm_batch is None:
+        _legacy_norm_batch = jax.jit(jax.vmap(legacy_norm))
+    return _legacy_norm_batch(v)
+
+
+def _cached_voxelize_fn(num_bins, sensor, combined, normalize, use_hot_mask):
+    key = (num_bins, sensor, combined, normalize, use_hot_mask)
+    if key not in _VOXELIZE_FN_CACHE:
+
+        def one(x, y, t, p, n, mask):
+            small = n < 3  # reference: <3 events -> zero voxel
+            if combined:
+                v = events_to_voxel(x, y, t, p, n, num_bins=num_bins, sensor_size=sensor)
+            else:
+                vp, vn = events_to_neg_pos_voxel(
+                    x, y, t, p, n, num_bins=num_bins, sensor_size=sensor
+                )
+                v = jnp.concatenate([vp, vn], axis=0)
+            v = jnp.where(small, jnp.zeros_like(v), v)
+            if use_hot_mask:
+                v = v * mask[None]
+            if normalize:
+                v = legacy_norm(v)
+            return v
+
+        _VOXELIZE_FN_CACHE[key] = jax.jit(
+            jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))
+        )
+    return _VOXELIZE_FN_CACHE[key]
+
 
 @dataclasses.dataclass
 class SequenceItem:
@@ -187,25 +229,19 @@ class EventSequence:
 
     def _voxelize_batch(self, xs, ys, ts, ps, ns):
         """[C, cap] event buffers -> [C, B, H, W] voxels, on device."""
-        num_bins, sensor = self.num_bins, self.sensor_size
-
-        def one(x, y, t, p, n):
-            small = n < 3  # reference: <3 events -> zero voxel
-            if self.combined:
-                v = events_to_voxel(x, y, t, p, n, num_bins=num_bins, sensor_size=sensor)
-            else:
-                vp, vn = events_to_neg_pos_voxel(
-                    x, y, t, p, n, num_bins=num_bins, sensor_size=sensor
-                )
-                v = jnp.concatenate([vp, vn], axis=0)
-            v = jnp.where(small, jnp.zeros_like(v), v)
-            if self.hot_mask is not None:
-                v = v * jnp.asarray(self.hot_mask)[None]
-            if self.normalize:
-                v = legacy_norm(v)
-            return v
-
-        return jax.jit(jax.vmap(one))(xs, ys, ts, ps, ns)
+        fn = _cached_voxelize_fn(
+            self.num_bins,
+            self.sensor_size,
+            self.combined,
+            self.normalize,
+            self.hot_mask is not None,
+        )
+        mask = (
+            jnp.asarray(self.hot_mask)
+            if self.hot_mask is not None
+            else jnp.zeros((), jnp.float32)
+        )
+        return fn(xs, ys, ts, ps, ns, mask)
 
     def voxels(self, start: int = 0, stop: Optional[int] = None, batch: int = 64):
         """Voxel grids for (flat) windows [start, stop) as a device array
@@ -388,14 +424,16 @@ class PrevoxelizedSequence:
         stop = self.length if stop is None else min(stop, self.length)
         v = jnp.asarray(np.asarray(self._voxels[start:stop], np.float32))
         if self.normalize:
-            v = jax.jit(jax.vmap(legacy_norm))(v)
+            v = _legacy_norm_all(v)
         return v
 
     def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
         stop = self.length if stop is None else min(stop, self.length)
         idx = self.frame_idx[start:stop]
         out = np.asarray(self._frames[idx], np.float32)
-        if out.dtype == np.uint8 or out.max() > 1.5:
+        # the stored dtype decides uint8 scaling (out is already float32 here);
+        # the max() heuristic only covers float frames saved in 0..255
+        if self._frames.dtype == np.uint8 or out.max() > 1.5:
             out = out / 255.0
         return out.astype(np.float32)
 
@@ -444,7 +482,7 @@ class H5VoxelCacheSequence:
             ).astype(np.float32)
         )
         if self.normalize:
-            v = jax.jit(jax.vmap(legacy_norm))(v)
+            v = _legacy_norm_all(v)
         return v
 
     def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:

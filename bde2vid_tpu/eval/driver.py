@@ -160,40 +160,65 @@ def _cached_run_fn(spec: ModelSpec, padded_hw, for_sequence_model: bool):
     return lambda v: fn(spec.params, v)
 
 
+def _pause_item_map(T: int, pause_st: int, pause_ed: int):
+    """Reference pause semantics (eval_models_seq.py:184-189): paused steps
+    DEEP-COPY the last real item with zeroed events and do NOT advance the
+    dataloader, so the post-pause stream is *delayed* by the pause length,
+    not skipped. Returns (item_idx[T], paused[T]): step i scores item
+    item_idx[i]; real items consumed = T - (pause_ed - pause_st)."""
+    t_idx = np.arange(T)
+    paused = (t_idx > pause_st) & (t_idx <= pause_ed)
+    item_idx = np.where(
+        t_idx <= pause_ed,
+        np.minimum(t_idx, pause_st),
+        t_idx - (pause_ed - pause_st),
+    )
+    return item_idx, paused
+
+
 def evaluate_sequence(
     spec: ModelSpec, seq: EventSequence, cfg: EvalConfig
 ) -> Tuple[Dict[str, float], Dict[str, List[float]]]:
     """Evaluate one model on one sequence; returns (result, detail)."""
     T = len(seq)
-    if cfg.pause_st is not None:
-        T = min(cfg.max_length or T, cfg.pause_ed + 200 if cfg.pause_ed else T)
-    if cfg.max_length is not None:
+    if cfg.pause_st is not None and cfg.pause_ed is not None:
+        # reference: T = max_length outright (eval_models_seq.py:174-177) —
+        # the pause consumes no real items, so the run extends past len(seq).
+        # Bound real consumption at len(seq) (the reference would raise
+        # StopIteration past it).
+        pause_len = cfg.pause_ed - cfg.pause_st
+        T = cfg.max_length if cfg.max_length is not None else T + pause_len
+        T = min(T, len(seq) + pause_len)
+    elif cfg.max_length is not None:
         T = min(T, cfg.max_length)
 
     h, w = seq.sensor_size
     crop = CropParameters(w, h, spec.num_encoders)
 
     # ---- assemble voxels (device) + frames (host) -------------------------
-    if seq.item_last is not None:
-        # SPADE ev_rate mode: all sub-voxels up to item T-1's last
-        flat_stop = int(seq.item_last[T - 1]) + 1
-        voxels = seq.voxels(0, flat_stop, batch=cfg.voxel_batch)
-    else:
-        voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
-    frames = seq.frames(0, T)  # (T, H, W) float32
-
     if cfg.pause_st is not None and cfg.pause_ed is not None:
         if seq.item_last is not None:
             raise ValueError(
                 "the pause experiment is not defined for ev_rate-split "
                 "(SpadeH5) sequences — the reference never combines them"
             )
-        t_idx = np.arange(T)
-        paused = (t_idx > cfg.pause_st) & (t_idx <= cfg.pause_ed)
-        # repeat the last real item with zeroed events
-        voxels = jnp.where(jnp.asarray(paused)[:, None, None, None], 0.0, voxels)
-        last_real = np.maximum.accumulate(np.where(paused, -1, t_idx))
-        frames = frames[last_real]
+        item_idx, paused = _pause_item_map(T, cfg.pause_st, cfg.pause_ed)
+        n_real = int(item_idx[-1]) + 1 if T else 0
+        voxels = seq.voxels(0, n_real, batch=cfg.voxel_batch)  # (n_real, B, H, W)
+        frames = seq.frames(0, n_real)[item_idx]  # (T, H, W)
+        voxels = jnp.where(
+            jnp.asarray(paused)[:, None, None, None],
+            0.0,
+            voxels[jnp.asarray(item_idx)],
+        )
+    elif seq.item_last is not None:
+        # SPADE ev_rate mode: all sub-voxels up to item T-1's last
+        flat_stop = int(seq.item_last[T - 1]) + 1
+        voxels = seq.voxels(0, flat_stop, batch=cfg.voxel_batch)
+        frames = seq.frames(0, T)  # (T, H, W) float32
+    else:
+        voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
+        frames = seq.frames(0, T)  # (T, H, W) float32
 
     # (T, B, H, W) -> (T, 1, H', W', B) padded NHWC
     x = jnp.transpose(voxels, (0, 2, 3, 1))[:, None]

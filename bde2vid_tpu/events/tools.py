@@ -152,9 +152,13 @@ def h5_cut(
     with H5EventReader(input_path) as r:
         i0 = r.search_time(t_start)
         i1 = r.search_time(t_end)
-        sl = r.events(i0, i1)
+        # raw_events: lossless float64 absolute timestamps — round-tripping
+        # through EventSlice's float32 relative ts would quantize late-file
+        # timestamps to ~60 us at t=1000 s (the reference copies the float64
+        # dataset directly)
+        rxs, rys, rts, rps = r.raw_events(i0, i1)
         with H5EventWriter(output_path, sensor_size=r.sensor_size) as w:
-            w.append_events(sl.xs, sl.ys, sl.ts + r.t0, sl.ps > 0)
+            w.append_events(rxs, rys, rts, rps > 0)
             if r.num_frames:
                 fts = r.frame_timestamps
                 for i in np.nonzero((fts >= t_start) & (fts < t_end))[0]:
@@ -183,13 +187,15 @@ def h5_to_memmap(h5_path: str, out_dir: str) -> None:
     timestamps.npy (F,), index.npy (F,), dataset_config.json."""
     os.makedirs(out_dir, exist_ok=True)
     with H5EventReader(h5_path) as r:
-        sl = r.events(0, r.num_events)
-        np.save(os.path.join(out_dir, "t.npy"), (sl.ts + r.t0).astype(np.float64))
+        # raw dtypes: float64 absolute ts kept lossless (float32 relative ts
+        # would quantize microsecond timing late in long recordings)
+        rxs, rys, rts, rps = r.raw_events(0, r.num_events)
+        np.save(os.path.join(out_dir, "t.npy"), rts.astype(np.float64))
         np.save(
             os.path.join(out_dir, "xy.npy"),
-            np.stack([sl.xs, sl.ys], axis=1).astype(np.int16),
+            np.stack([rxs, rys], axis=1).astype(np.int16),
         )
-        np.save(os.path.join(out_dir, "p.npy"), (sl.ps > 0).astype(np.uint8))
+        np.save(os.path.join(out_dir, "p.npy"), (rps > 0).astype(np.uint8))
         if r.num_frames:
             imgs = np.stack(
                 [np.asarray(r.f["images"][k]) for k in r._frame_keys]
@@ -433,32 +439,39 @@ def h5_precompute_voxels(
 
     from bde2vid_tpu.data.windowing import between_frames_windows
 
+    from bde2vid_tpu.events.h5_io import EventSlice
+
     written = 0
     with H5EventReader(path) as r:
         windows = between_frames_windows(r.frame_event_indices)
         length = max(r.num_frames - 1, 0)  # reference __len__ (:306-307)
         sensor = r.sensor_size
-        # decide what to (re)compute BEFORE voxelizing anything — a rerun
-        # on a cached file must be a cheap no-op, and fresh runs stream
-        # one voxel at a time instead of buffering the whole sequence
-        existing = set()
-        with h5py.File(path, "r") as f:
-            if f"events_voxels_{num_bins}" in f:
-                existing = set(f[f"events_voxels_{num_bins}"])
+        t0 = r.t0
+    if length == 0:
+        return 0
+    # ONE r+ handle for both reads and writes: events stream one window at a
+    # time at write time (buffering every todo window's EventSlice up front
+    # would hold the whole recording's events in RAM), and a rerun on a
+    # cached file is a cheap no-op
+    with h5py.File(path, "r+") as f:
+        grp = f.require_group(f"events_voxels_{num_bins}")
+        existing = set(grp)
         todo = [
             i for i in range(length)
             if overwrite or f"event{i:09d}" not in existing
         ]
-        slices = {
-            i: r.events(int(windows[i][0]), int(windows[i][1])) for i in todo
-        }
-    if not todo:
-        return 0
-    with h5py.File(path, "r+") as f:
-        grp = f.require_group(f"events_voxels_{num_bins}")
+        xs_d, ys_d = f["events/xs"], f["events/ys"]
+        ts_d, ps_d = f["events/ts"], f["events/ps"]
         for i in todo:
+            i0, i1 = int(windows[i][0]), int(windows[i][1])
+            sl = EventSlice(
+                xs_d[i0:i1].astype(np.int32),
+                ys_d[i0:i1].astype(np.int32),
+                (ts_d[i0:i1] - t0).astype(np.float32),
+                ps_d[i0:i1].astype(np.float32) * 2.0 - 1.0,
+            )
             vox, dt = _between_frames_voxel(
-                slices.pop(i), num_bins, sensor, combined_voxel_channels
+                sl, num_bins, sensor, combined_voxel_channels
             )
             name = f"event{i:09d}"
             if name in grp:

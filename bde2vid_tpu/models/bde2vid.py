@@ -279,27 +279,6 @@ class _DecodeStep(nn.Module):
         return carry, get_activation(self.out_activation)(img)
 
 
-def _scanned(cls, **kwargs):
-    return nn.scan(
-        cls,
-        variable_broadcast="params",
-        split_rngs={"params": False, "droppath": True},
-        in_axes=0,
-        out_axes=0,
-    )(**kwargs)
-
-
-def _scanned_bcast(cls, n_bcast=1, reverse=False, **kwargs):
-    return nn.scan(
-        cls,
-        variable_broadcast="params",
-        split_rngs={"params": False, "droppath": True},
-        in_axes=(0,) + (nn.broadcast,) * n_bcast,
-        out_axes=0,
-        reverse=reverse,
-    )(**kwargs)
-
-
 class BDE2VIDGenerator(nn.Module):
     """BDE2VIDCrossscalePropogationV5 in scan form. Input (T, N, H, W, C)."""
 

@@ -87,7 +87,12 @@ def window_reverse_dilated(windows: Array, b: int, h: int, w: int) -> Array:
     x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nWh, Wh, nWw, Ww, C)
     flat_rows = (np.asarray(rows)[:, :, None, None] * wp + np.asarray(cols)[None, None]).reshape(-1)
     out = jnp.zeros((b, hp * wp, c), windows.dtype)
-    out = out.at[:, jnp.asarray(flat_rows)].set(x.reshape(b, -1, c))
+    # .add, not .set: torch F.fold SUMS overlapping taps. For even window
+    # sizes adjacent dilated windows collide (i*wh+2j == (i+1)*wh+2j' when
+    # wh = 2(j-j')), where duplicate-index .set would be last-writer-wins
+    # (nondeterministic); odd windows (the 7x7 flagship) have no collisions
+    # and add == set.
+    out = out.at[:, jnp.asarray(flat_rows)].add(x.reshape(b, -1, c))
     out = out.reshape(b, hp, wp, c)
     return out[:, :h, :w]
 

@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 
-def _one_window(files, rng, seq_len, num_bins, pause_cfg):
+def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
     from bde2vid_tpu.data import load_sequence
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
@@ -57,14 +57,35 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg):
         vox = vox[idx]
         frames = frames[idx]
         vox[paused] = 0.0
+        # spatial crop: the decoders upsample x2 per level, so H/W must be
+        # multiples of 2^num_encoders (the eval driver pads via
+        # CropParameters; training crops instead — synthetic zero borders
+        # would teach the model to paint black margins). Random offset per
+        # window = the reference's RandomCrop training protocol
+        # (utils_func/data_augmentation.py:127-180).
+        h, w = vox.shape[2], vox.shape[3]
+        ch, cw = crop_size if crop_size else (h, w)
+        ch = min(ch, h) // multiple * multiple
+        cw = min(cw, w) // multiple * multiple
+        if ch == 0 or cw == 0:
+            raise ValueError(
+                f"sensor {h}x{w} too small to crop to a multiple of {multiple}"
+            )
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+        vox = vox[:, :, y0 : y0 + ch, x0 : x0 + cw]
+        frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
         return vox.transpose(0, 2, 3, 1), frames[..., None]
 
 
-def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0):
+def iterate_training_windows(
+    data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0, multiple=1, crop_size=None
+):
     """Yield (voxels (L,N,H,W,B), frames (L,N,H,W,1)) batches of independent
     windows from all h5 sequences under data_dir, with Markov pause
     augmentation (zeroed events + repeated frame — reference
-    SequenceDataset, h5_dataset.py:668-756)."""
+    SequenceDataset, h5_dataset.py:668-756). Windows are cropped to
+    ``crop_size`` (or the full sensor) rounded down to ``multiple``."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -73,7 +94,12 @@ def iterate_training_windows(data_dir, seq_len, num_bins, pause_cfg, batch=1, se
         raise FileNotFoundError(f"no h5 sequences under {data_dir}")
     while True:
         vs, fs = zip(
-            *(_one_window(files, rng, seq_len, num_bins, pause_cfg) for _ in range(batch))
+            *(
+                _one_window(
+                    files, rng, seq_len, num_bins, pause_cfg, multiple, crop_size
+                )
+                for _ in range(batch)
+            )
         )
         yield jnp.asarray(np.stack(vs, axis=1)), jnp.asarray(np.stack(fs, axis=1))
 
@@ -122,9 +148,24 @@ def main(argv=None) -> int:
     num_bins = int(data_cfg.get("num_bins", 5))
     noise_std = float(data_cfg.get("noise_std", 0.0))
     noise_fraction = float(data_cfg.get("noise_fraction", 0.0))
+    # H/W divisibility requirement of the model's decoder pyramid
+    num_encoders = int(model_cfg.get("num_encoders", 3))
+    crop_size = data_cfg.get("crop_size")
+    if crop_size is not None:
+        crop_size = (
+            (int(crop_size), int(crop_size))
+            if np.isscalar(crop_size)
+            else (int(crop_size[0]), int(crop_size[1]))
+        )
 
     it = iterate_training_windows(
-        args.data_dir, seq_len, num_bins, data_cfg, batch=args.batch
+        args.data_dir,
+        seq_len,
+        num_bins,
+        data_cfg,
+        batch=args.batch,
+        multiple=2**num_encoders,
+        crop_size=crop_size,
     )
     voxels, gts = next(it)
 

@@ -14,6 +14,7 @@ Loss semantics follow the reference BDE2VID in-loop computation
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
@@ -233,7 +234,11 @@ def make_train_step(
         total, loss_dict = loss_computer(lpips_params, preds, frames, flows)
         return total, loss_dict
 
-    @jax.jit
+    # donate params/opt_state buffers: the old trees are dead after the
+    # update, so XLA reuses their HBM instead of holding both generations
+    donate_argnums = (0, 1) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_argnums)
     def step(params, opt_state, rng, voxels, frames, flows):
         rngs = {"droppath": rng}
         (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(

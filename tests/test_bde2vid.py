@@ -410,3 +410,37 @@ def test_bf16_pallas_fast_path_drift(rng):
     a = np.asarray(m32.apply(params, v)[0]["image"], np.float32)
     b = np.asarray(m16.apply(params, v)[0]["image"], np.float32)
     assert np.abs(a - b).max() < 0.05  # sigmoid-output scale, bf16 noise
+
+
+@pytest.mark.parametrize("win", [(4, 4), (7, 7), (3, 5), (4, 6)])
+def test_dilated_window_roundtrip_matches_torch_fold(rng, win):
+    """partition_dilated -> reverse_dilated must equal torch
+    F.unfold(dilation=2) -> F.fold (which SUMS overlapping taps — for even
+    windows adjacent dilated windows collide, so a .set-based scatter would
+    be last-writer-wins and wrong)."""
+    from bde2vid_tpu.nn.window_attention import (
+        window_partition_dilated,
+        window_reverse_dilated,
+    )
+
+    wh, ww = win
+    D, B, C = 1, 1, 3  # reverse consumes one frame slice (the center)
+    # pad H, W to window multiples (the block pads before partitioning)
+    H = wh * 4
+    W = ww * 3
+    x = rng.normal(size=(D, B, C, H, W)).astype(np.float32)
+
+    tw = t_window_partition(torch.from_numpy(x), win, dilate=True)
+    twr = t_window_reverse(tw.reshape(-1, C, wh, ww), B, H, W, dilate=True)
+    want = twr.numpy()  # (B, C, H, W)
+
+    jw = window_partition_dilated(
+        jnp.asarray(x.transpose(0, 1, 3, 4, 2)), win
+    )  # (D, B*nW, wh, ww, C)
+    np.testing.assert_allclose(
+        np.asarray(jw).transpose(0, 1, 4, 2, 3), tw.numpy(), atol=1e-6
+    )
+    jr = window_reverse_dilated(jw.reshape(-1, wh, ww, C), B, H, W)
+    np.testing.assert_allclose(
+        np.asarray(jr).transpose(0, 3, 1, 2), want, atol=1e-6
+    )

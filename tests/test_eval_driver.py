@@ -125,3 +125,57 @@ def test_separate_polarity_eval(tmp_path, rng):
     result, detail = evaluate_sequence(spec, seq, cfg)
     assert np.isfinite(result["mse"])
     assert len(detail["mse"]) == len(seq)
+
+
+def test_pause_item_map_matches_reference_loop():
+    """The reference pause loop (eval_models_seq.py:184-189) does NOT
+    advance the dataloader during paused steps — it deep-copies the last
+    real item with zeroed events, so the post-pause stream is DELAYED by
+    the pause length. Simulate that loop literally and compare."""
+    from bde2vid_tpu.eval.driver import _pause_item_map
+
+    for T, st, ed in [(12, 2, 5), (10, 0, 3), (9, 4, 8), (20, 7, 7)]:
+        want_idx, want_paused = [], []
+        next_item = 0
+        last = None
+        for i in range(T):
+            if i > st and i <= ed:
+                want_idx.append(last)  # item_org: last real item
+                want_paused.append(True)
+            else:
+                last = next_item
+                next_item += 1
+                want_idx.append(last)
+                want_paused.append(False)
+        got_idx, got_paused = _pause_item_map(T, st, ed)
+        np.testing.assert_array_equal(got_idx, want_idx)
+        np.testing.assert_array_equal(got_paused, want_paused)
+
+
+def test_evaluate_sequence_pause_delays_stream(tmp_path, rng):
+    """Pause runs for max_length steps and scores post-pause steps against
+    the DELAYED ground-truth frames (reference semantics), consuming
+    T - pause_len real items."""
+    _write_seq(tmp_path / "a.h5", rng, num_frames=8)
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    spec = _make_spec()
+    n_items = len(seq)
+    pause_len = 3
+    cfg = EvalConfig(
+        metrics=("mse",),
+        subseq_L=None,
+        max_length=n_items + pause_len,
+        pause_st=2,
+        pause_ed=2 + pause_len,
+    )
+    result, detail = evaluate_sequence(spec, seq, cfg)
+    # every step scored: T = max_length (reference T = args.max_length)
+    assert len(detail["mse"]) == n_items + pause_len
+    assert np.isfinite(result["mse"])
+    # T is bounded by real-item availability (the reference would raise
+    # StopIteration past len(seq) + pause_len)
+    cfg_big = EvalConfig(
+        metrics=("mse",), subseq_L=None, max_length=10_000, pause_st=2, pause_ed=5
+    )
+    _, detail_big = evaluate_sequence(spec, seq, cfg_big)
+    assert len(detail_big["mse"]) == n_items + 3

@@ -217,3 +217,60 @@ def test_sequence_loss_large_T_traces_bounded(rng):
     total, _ = comp(None, preds, gts)
     want = float(np.abs(np.asarray(preds)).mean())
     assert float(total) == pytest.approx(want, rel=1e-5)
+
+
+def test_train_cli_end_to_end_nondivisible_sensor(tmp_path, rng):
+    """Drive python -m bde2vid_tpu.train on a sensor whose H/W are NOT
+    multiples of 2^num_encoders (35x45): the window sampler must crop to a
+    decoder-compatible size (a regression for the unpadded-shapes crash),
+    train a couple of steps, and write a checkpoint."""
+    import json as _json
+
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.train.__main__ import main
+    from tests.conftest import make_events
+
+    sensor = (35, 45)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    xs, ys, ts, ps = make_events(rng, n=20000, sensor_size=sensor, t1=1.0)
+    with H5EventWriter(str(data_dir / "s.h5"), sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(8):
+            w.add_image(rng.integers(0, 255, sensor).astype(np.uint8), (i + 0.5) / 8)
+
+    cfg = {
+        "name": "t",
+        "model": {
+            "type": "E2VIDRecurrent",
+            "args": {
+                "num_bins": 5,
+                "num_encoders": 2,
+                "base_num_channels": 4,
+                "num_residual_blocks": 1,
+                "recurrent_block_type": "convlstm",
+            },
+        },
+        "losses": [{"type": "L1Loss"}],
+        "optimizer": {"lr": 1e-3},
+        "data": {"sequence_length": 3, "num_bins": 5},
+        "train": {"steps": 2, "ckpt_every": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    rc = main(
+        [
+            "--config", str(cfg_path),
+            "--data_dir", str(data_dir),
+            "--out_dir", str(out_dir),
+            "--steps", "2",
+        ]
+    )
+    assert rc == 0
+    ckpts = list(out_dir.glob("*.msgpack"))
+    assert ckpts, "no checkpoint written"
+    from bde2vid_tpu.train import load_checkpoint
+
+    spec = load_checkpoint(str(ckpts[0]))
+    assert spec.name == "E2VIDRecurrent"

@@ -55,7 +55,10 @@ def _batch(rng, t, n, h, w):
 def _step_fn(model):
     tx = optax.adam(1e-3)
     comp = SequenceLossComputer([{"type": "L1Loss"}])
-    step = make_train_step(model, tx, comp, is_sequence_model=False)
+    # donate=False: these tests run the SAME params through the step twice
+    # (sharded vs unsharded) — donation would invalidate the first call's
+    # input buffers
+    step = make_train_step(model, tx, comp, is_sequence_model=False, donate=False)
     return tx, step
 
 

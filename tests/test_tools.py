@@ -287,3 +287,55 @@ def test_rosbag_to_h5_raises_clean_importerror(tmp_path):
 
     with pytest.raises(ImportError, match="BagMessageExtractor"):
         rosbag_to_h5(str(tmp_path), str(tmp_path / "out"))
+
+
+def test_h5_cut_preserves_float64_timestamps(tmp_path):
+    """h5_cut must copy timestamps losslessly (float64), not round-trip
+    through EventSlice's float32 relative time: at t~2000 s float32
+    quantizes to ~1e-4 s and collapses microsecond-spaced events."""
+    n = 1000
+    t0 = 1.7e9  # epoch-style absolute origin
+    # one anchor event at t0, then microsecond-spaced events at relative
+    # +2000 s where float32 relative time fails
+    late = t0 + 2000.0 + np.arange(n) * 1e-6
+    ts = np.concatenate([[t0], late])
+    path = str(tmp_path / "late.h5")
+    rg = np.random.default_rng(3)
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(
+            rg.integers(0, SENSOR[1], n + 1).astype(np.int16),
+            rg.integers(0, SENSOR[0], n + 1).astype(np.int16),
+            ts,
+            rg.integers(0, 2, n + 1).astype(bool),
+        )
+    out = str(tmp_path / "late_cut.h5")
+    h5_cut(path, out, 1999.0, 2001.0)
+    import h5py
+
+    with h5py.File(out) as f:
+        got = np.asarray(f["events/ts"])
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, late)
+    # strictly increasing: float32 would collapse neighbors to equal stamps
+    assert (np.diff(got) > 0).all()
+
+
+def test_h5_to_memmap_preserves_float64_timestamps(tmp_path):
+    n = 512
+    t0 = 1.7e9
+    # anchor at t0 so the cluster sits at relative +1500 s (float32-fatal)
+    ts = np.concatenate([[t0], t0 + 1500.0 + np.arange(n) * 1e-6])
+    path = str(tmp_path / "late2.h5")
+    rg = np.random.default_rng(4)
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(
+            rg.integers(0, SENSOR[1], n + 1).astype(np.int16),
+            rg.integers(0, SENSOR[0], n + 1).astype(np.int16),
+            ts,
+            rg.integers(0, 2, n + 1).astype(bool),
+        )
+    out = str(tmp_path / "mm_late")
+    h5_to_memmap(path, out)
+    got = np.load(f"{out}/t.npy")
+    np.testing.assert_array_equal(got, ts)
+    assert (np.diff(got) > 0).all()
