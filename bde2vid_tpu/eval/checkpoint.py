@@ -228,21 +228,28 @@ def fill_params(init_tree, converted, strict: bool = True, unused_ok=(), path_fi
 # ---------------------------------------------------------------------------
 
 
-def _template_model_args(ckpt) -> Optional[dict]:
+def _template_model_args(ckpt) -> Tuple[Optional[dict], bool]:
+    """(model_args, normalize) per the reference's elif chain
+    (eval_models_seq.py:64-80): a 'config' key WINS and never sets
+    normalize (even when it lacks 'arch' — then model_args stays None);
+    'model' is consulted only when 'config' is absent, and sets
+    normalize=True."""
     if "config" in ckpt:
         cp = ckpt["config"]
         if not isinstance(cp, dict):
             cp = cp.config
+        margs = None
         if "arch" in cp:
             margs = cp["arch"]["args"]
             if "unet_kwargs" in margs:
-                return dict(margs["unet_kwargs"])
-            if "eitr_kwargs" in margs:
-                return dict(margs["eitr_kwargs"])
-            return dict(margs)
+                margs = margs["unet_kwargs"]
+            elif "eitr_kwargs" in margs:
+                margs = margs["eitr_kwargs"]
+            margs = dict(margs)
+        return margs, False
     if "model" in ckpt:
-        return dict(ckpt["model"])
-    return None
+        return dict(ckpt["model"]), True
+    return None, False
 
 
 def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
@@ -272,9 +279,9 @@ def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
             )
         if "arch" in ckpt:
             arch = ckpt["arch"]
-            config = _template_model_args(ckpt) or {}
-            return _build_spec(arch, config, ckpt["state_dict"], dtype,
-                               normalize="model" in ckpt)
+            config, normalize = _template_model_args(ckpt)
+            return _build_spec(arch, config or {}, ckpt["state_dict"], dtype,
+                               normalize=normalize)
     # bare state dict
     if "SPADE" in path:
         return _build_spec("SPADEE2VID", {}, ckpt, dtype, normalize=True,

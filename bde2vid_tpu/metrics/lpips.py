@@ -272,17 +272,20 @@ class LPIPS(nn.Module):
 
 
 def lpips_features(module: LPIPS, params, x: Array) -> List[Array]:
-    """Unit-normalized backbone features of x (for VIP-style feature losses)."""
-    def run(mdl, inp):
-        bb = _make_backbone(mdl.net, mdl.dtype)
-        return [_normalize_tensor(f) for f in bb(inp)]
+    """Unit-normalized backbone features of x (for VIP-style feature losses).
 
-    return nn.apply(run, module)(
-        {"params": params["params"]["backbone"]}
-        if "backbone" in params.get("params", {})
-        else params,
-        x,
-    )
+    ``params`` may be a full LPIPS tree ({'params': {'backbone': ...}}) or a
+    bare backbone tree; x is NHWC in the backbone's input scale."""
+    cls = {
+        "alex": AlexNetFeatures,
+        "vgg": VGG16Features,
+        "vgg16": VGG16Features,  # _make_backbone/_net_chns accept this alias
+        "squeeze": SqueezeNetFeatures,
+    }[module.net]
+    bb = cls(dtype=module.dtype)  # standalone: top-level module name unset
+    p = params.get("params", params)
+    sub = {"params": p["backbone"] if "backbone" in p else p}
+    return [_normalize_tensor(f) for f in bb.apply(sub, x)]
 
 
 def lpips_distance(module: LPIPS, params, pred: Array, target: Array, normalize: bool = True) -> Array:
@@ -353,12 +356,24 @@ def load_lpips_params(
     params = module.init(rng, dummy, dummy)
     params = jax.tree_util.tree_map(np.asarray, params)
 
-    for k in range(len(_net_chns(net))):
-        key = f"lin{k}.model.1.weight"
-        if key in lin_state:
-            params["params"][f"lin{k}"] = np.asarray(lin_state[key]).reshape(-1).astype(
-                np.float32
-            )
+    # vendored LPIPS/weights layout first, pip-lpips layout second; STRICT
+    # for a non-empty lin_state — silently keeping a ones-initialized head
+    # would produce unweighted (wrong) LPIPS values with no error. An empty
+    # dict is an explicit "backbone only" request (e.g. PNet conversion).
+    if lin_state:
+        for k in range(len(_net_chns(net))):
+            for key in (f"lin{k}.model.1.weight", f"lin{k}.weight"):
+                if key in lin_state:
+                    params["params"][f"lin{k}"] = (
+                        np.asarray(lin_state[key]).reshape(-1).astype(np.float32)
+                    )
+                    break
+            else:
+                raise KeyError(
+                    f"lin head 'lin{k}' not found in lin_state (looked for "
+                    f"'lin{k}.model.1.weight' and 'lin{k}.weight'; got keys "
+                    f"{sorted(lin_state)[:6]}...)"
+                )
 
     if backbone_state is not None:
         to_hwio = lambda w: np.asarray(w).transpose(2, 3, 1, 0).astype(np.float32)
@@ -404,11 +419,22 @@ def l2_distance(in0: Array, in1: Array) -> Array:
 
 
 def dssim_distance(in0: Array, in1: Array) -> Array:
-    """(1 - SSIM) / 2 per example on [-1,1] inputs (FakeNet 'DSSIM')."""
+    """(1 - SSIM) / 2 per example (FakeNet 'DSSIM', RGB colorspace path:
+    networks_basic.py:247-253 + util.dssim/tensor2im). The reference maps
+    [-1,1] tensors to uint8 [0,255] via tensor2im (truncating cast) and
+    scores with data_range=255, channel-averaged SSIM — SSIM's luminance
+    term is not shift-invariant, so scoring raw [-1,1] floats would give
+    different values. The reference's alternative 'Lab' colorspace needs
+    skimage.color (absent in this environment) and is not implemented."""
     from bde2vid_tpu.metrics.basic import structural_similarity
 
+    def to_im(x):  # tensor2im: (x + 1) * 127.5 cast to uint8 (floor for x>=-1)
+        return jnp.floor((x + 1.0) * 127.5).clip(0.0, 255.0)
+
     def one(a, b):
-        return (1.0 - structural_similarity(a[None], b[None], data_range=2.0)) / 2.0
+        return (
+            1.0 - structural_similarity(to_im(a)[None], to_im(b)[None], data_range=255.0)
+        ) / 2.0
 
     return jax.vmap(one)(in0, in1)
 

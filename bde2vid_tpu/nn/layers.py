@@ -68,12 +68,13 @@ def torch_pad(kernel_size: int, padding: Optional[int] = None):
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d with affine + running stats (eval mode).
+    """InstanceNorm2d with running stats, NO affine transform (torch's
+    ``affine=False`` default — this module creates no scale/bias params).
 
     The reference uses ``nn.InstanceNorm2d(track_running_stats=True)``
     (e2vid/submodules.py:33): at eval time torch then normalizes with the
-    *running* mean/var, not per-instance stats — replicated here. ``use_running_average=False``
-    gives the per-instance (training) behavior.
+    *running* mean/var, not per-instance stats — replicated here.
+    ``use_running_average=False`` gives the per-instance (training) behavior.
     """
 
     features: int

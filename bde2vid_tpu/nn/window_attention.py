@@ -107,12 +107,22 @@ def get_window_size(x_size, window_size):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=32)
-def relative_position_index(wd: int, wh: int, ww: int) -> np.ndarray:
-    """(Wd*Wh*Ww, Wd*Wh*Ww) index into the (2Wd-1)(2Wh-1)(2Ww-1) bias table
-    (reference :137-155)."""
+@functools.lru_cache(maxsize=64)
+def relative_position_index(
+    wd: int, wh: int, ww: int, h: Optional[int] = None, w: Optional[int] = None
+) -> np.ndarray:
+    """(Wd*h*w, Wd*h*w) index into the (2Wd-1)(2Wh-1)(2Ww-1) bias table
+    (reference :137-155). ``(h, w)`` is the ACTUAL window when
+    get_window_size shrank it below the configured ``(wh, ww)`` the table
+    was sized for: relative offsets come from the actual token grid, table
+    strides from the configured dims. (The reference has no valid behavior
+    here — its fixed-size index slice reshapes into garbage for shrunk
+    windows, DTransformer.py:195-199 — so the correct-by-construction
+    indexing is used instead.) Defaults reduce to the configured window."""
+    h = wh if h is None else h
+    w = ww if w is None else w
     coords = np.stack(
-        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+        np.meshgrid(np.arange(wd), np.arange(h), np.arange(w), indexing="ij")
     ).reshape(3, -1)
     rel = coords[:, :, None] - coords[:, None, :]
     rel = rel.transpose(1, 2, 0)
@@ -198,17 +208,18 @@ class WindowAttention3D(nn.Module):
         kv = nn.Dense(2 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="kv")(kv_tok)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # bias table uses the CONFIGURED window size; indices sliced to the
-        # q-frame rows and the first N columns (reference :195-199)
+        # bias table uses the CONFIGURED window size; indices are built for
+        # the ACTUAL (possibly shrunk) window grid, sliced to the q-frame
+        # rows and the first N columns (reference :195-199)
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh0 - 1) * (2 * ww0 - 1), self.num_heads),
             jnp.float32,
         )
-        idx = relative_position_index(wd, wh0, ww0)
-        qs = q_ind * wh0 * ww0
-        rows = idx[qs : qs + wh0 * ww0, :n][:m].reshape(-1)
+        idx = relative_position_index(wd, wh0, ww0, h, w)
+        qs = q_ind * h * w
+        rows = idx[qs : qs + h * w, :n].reshape(-1)
         bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
 
@@ -242,12 +253,21 @@ class WindowAttention3D(nn.Module):
         ln_kv = _ParamHolder(
             (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm_kv"
         )()
-        wq, bq = _ParamHolder(
-            (("kernel", (c, c), "lecun"), ("bias", (c,), "zeros")), name="q"
-        )()
-        wkv, bkv = _ParamHolder(
-            (("kernel", (c, 2 * c), "lecun"), ("bias", (2 * c,), "zeros")), name="kv"
-        )()
+        if self.qkv_bias:
+            wq, bq = _ParamHolder(
+                (("kernel", (c, c), "lecun"), ("bias", (c,), "zeros")), name="q"
+            )()
+            wkv, bkv = _ParamHolder(
+                (("kernel", (c, 2 * c), "lecun"), ("bias", (2 * c,), "zeros")),
+                name="kv",
+            )()
+        else:
+            # param tree must match the XLA path's Dense(use_bias=False):
+            # kernel only; a zero bias is numerically bias-free in the kernel
+            (wq,) = _ParamHolder((("kernel", (c, c), "lecun"),), name="q")()
+            (wkv,) = _ParamHolder((("kernel", (c, 2 * c), "lecun"),), name="kv")()
+            bq = jnp.zeros((c,), jnp.float32)
+            bkv = jnp.zeros((2 * c,), jnp.float32)
         wp, bp = _ParamHolder(
             (("kernel", (c, c), "lecun"), ("bias", (c,), "zeros")), name="proj"
         )()
@@ -257,9 +277,9 @@ class WindowAttention3D(nn.Module):
             ((2 * wd - 1) * (2 * wh0 - 1) * (2 * ww0 - 1), self.num_heads),
             jnp.float32,
         )
-        idx = relative_position_index(wd, wh0, ww0)
-        qs = q_ind * wh0 * ww0
-        rows = idx[qs : qs + wh0 * ww0, :n][:m].reshape(-1)
+        idx = relative_position_index(wd, wh0, ww0, h, w)
+        qs = q_ind * h * w
+        rows = idx[qs : qs + h * w, :n].reshape(-1)
         bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
 
@@ -307,6 +327,7 @@ class SwinTransformerBlock3D(nn.Module):
     dilate_win: bool = False
     mlp_ratio: float = 4.0
     q_ind: Optional[int] = None
+    qkv_bias: bool = True  # reference block/stage default (:229, :335)
     activation: str = "gelu"
     drop_path: float = 0.0
     use_pallas: bool = False
@@ -342,6 +363,7 @@ class SwinTransformerBlock3D(nn.Module):
             self.num_heads,
             q_ind=q_ind,
             nwin_size=self.nwindow_size,
+            qkv_bias=self.qkv_bias,
             use_pallas=self.use_pallas and self.nwindow_size is None,
             dtype=self.dtype,
             name="attn",
@@ -390,6 +412,7 @@ class DFrameAttention(nn.Module):
     nwindow_size: Optional[Tuple[int, int]] = None
     q_ind: Optional[int] = None
     mlp_ratio: float = 4.0
+    qkv_bias: bool = True
     activation: str = "gelu"
     drop_path: Sequence[float] = ()
     dtype: jnp.dtype = jnp.float32
@@ -409,6 +432,7 @@ class DFrameAttention(nn.Module):
                 dilate_win=(i % 2 == 1),
                 mlp_ratio=self.mlp_ratio,
                 q_ind=q_ind,
+                qkv_bias=self.qkv_bias,
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 dtype=self.dtype,

@@ -73,6 +73,29 @@ def _kernel(
         out_ref[w] = out.astype(out_ref.dtype)
 
 
+def _head_masks_and_wb(b_: int, m: int, c: int, num_heads: int, bias: Array):
+    """Shared blocking setup for both fused kernels.
+
+    Returns (masks_rows (H*M, C), bias_rows (H*M, N), wb): the per-head
+    channel masks for the stacked-head matmul trick, the bias reshaped to
+    stacked rows, and the windows-per-program count — the largest divisor
+    of B_ from the tuned ladder, amortizing the bias/mask DMA without
+    blowing VMEM (per window: ~2*N*C*4B f32 operands + one (M, N) f32
+    score plane)."""
+    head_dim = c // num_heads
+    masks = np.zeros((num_heads, c), np.float32)
+    for h in range(num_heads):
+        masks[h, h * head_dim : (h + 1) * head_dim] = 1.0
+    masks_rows = jnp.asarray(np.repeat(masks, m, axis=0))  # (H*M, C)
+    bias_rows = bias.reshape(num_heads * m, -1)  # (H*M, N)
+    wb = 1
+    for cand in (12, 8, 6, 4, 2):
+        if b_ % cand == 0:
+            wb = cand
+            break
+    return masks_rows, bias_rows, wb
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_window_attention(
     q: Array,  # (B_, M, C) post-norm, pre-projection-scale q tokens
@@ -89,19 +112,7 @@ def fused_window_attention(
     head_dim = c // num_heads
     scale = head_dim**-0.5
 
-    masks = np.zeros((num_heads, c), np.float32)
-    for h in range(num_heads):
-        masks[h, h * head_dim : (h + 1) * head_dim] = 1.0
-    masks_rows = jnp.asarray(np.repeat(masks, m, axis=0))  # (H*M, C)
-    bias_rows = bias.reshape(num_heads * m, n)
-
-    # windows per program: amortize the bias/mask DMA without blowing VMEM
-    # (per window: ~2*N*C*4B f32 operands + one (M, N) f32 score plane)
-    wb = 1
-    for cand in (12, 8, 6, 4, 2):
-        if b_ % cand == 0:
-            wb = cand
-            break
+    masks_rows, bias_rows, wb = _head_masks_and_wb(b_, m, c, num_heads, bias)
 
     grid = (b_ // wb,)
     return pl.pallas_call(
@@ -231,17 +242,7 @@ def fused_window_block(
     head_dim = c // num_heads
     scale = head_dim**-0.5
 
-    masks = np.zeros((num_heads, c), np.float32)
-    for h in range(num_heads):
-        masks[h, h * head_dim : (h + 1) * head_dim] = 1.0
-    masks_rows = jnp.asarray(np.repeat(masks, m, axis=0))
-    bias_rows = bias.reshape(num_heads * m, n)
-
-    wb = 1
-    for cand in (12, 8, 6, 4, 2):
-        if b_ % cand == 0:
-            wb = cand
-            break
+    masks_rows, bias_rows, wb = _head_masks_and_wb(b_, m, c, num_heads, bias)
 
     row = lambda a: a.reshape(1, -1)
     args = [

@@ -443,3 +443,53 @@ def test_metric_batch_psnr(rng):
     np.testing.assert_allclose(
         out["psnr"], 10 * np.log10(1.0 / out["mse"]), rtol=1e-4
     )
+
+
+def test_dssim_matches_reference_rgb_chain(rng):
+    """FakeNet DSSIM (RGB path, networks_basic.py:247-253): inputs [-1,1]
+    map through tensor2im's truncating uint8 cast, then
+    (1 - SSIM(data_range=255)) / 2 — NOT SSIM on the raw floats (the
+    luminance term is not shift-invariant)."""
+    from bde2vid_tpu.metrics.lpips import dssim_distance
+
+    a = rng.uniform(-1, 1, (32, 32)).astype(np.float32)
+    b = (a + rng.normal(0, 0.1, a.shape)).clip(-1, 1).astype(np.float32)
+    # reference chain in NumPy: tensor2im -> util.dssim
+    ia = ((a + 1.0) * 127.5).astype(np.uint8).astype(np.float64)
+    ib = ((b + 1.0) * 127.5).astype(np.uint8).astype(np.float64)
+    want = (1.0 - ssim_np(ia, ib, data_range=255.0)) / 2.0
+    got = float(
+        dssim_distance(jnp.asarray(a[None, ..., None]), jnp.asarray(b[None, ..., None]))[0]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lpips_features_runs_and_normalizes(rng):
+    """lpips_features must apply the backbone standalone (full LPIPS param
+    tree or bare backbone tree) and return unit-normalized feature maps."""
+    from bde2vid_tpu.metrics.lpips import lpips_features
+
+    module = LPIPS(net="alex")
+    d = jnp.zeros((1, 64, 64, 3))
+    params = module.init(jax.random.PRNGKey(0), d, d)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    feats = lpips_features(module, params, x)
+    assert len(feats) == 5
+    for f in feats:
+        norms = np.asarray(jnp.sqrt(jnp.sum(f**2, axis=-1)))
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    # bare backbone tree also accepted
+    feats2 = lpips_features(module, {"params": params["params"]["backbone"]}, x)
+    np.testing.assert_allclose(np.asarray(feats[0]), np.asarray(feats2[0]), atol=1e-6)
+
+
+def test_load_lpips_params_strict_on_missing_lin(rng):
+    from bde2vid_tpu.metrics import load_lpips_params
+
+    with pytest.raises(KeyError, match="lin0"):
+        load_lpips_params({"bogus": np.ones((1, 64, 1, 1))}, net="alex")
+    # pip-lpips layout accepted
+    chns = [64, 192, 384, 256, 256]
+    lin = {f"lin{k}.weight": np.full((1, c, 1, 1), 0.5, np.float32) for k, c in enumerate(chns)}
+    params = load_lpips_params(lin, net="alex")
+    np.testing.assert_allclose(np.asarray(params["params"]["lin0"]), 0.5)

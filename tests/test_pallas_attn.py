@@ -48,3 +48,59 @@ def test_fused_block_matches_flax_path(rng):
     a = np.asarray(ref_blk.apply(params, x))
     b = np.asarray(pl_blk.apply(params, x))
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+
+
+def test_qkv_bias_false_tree_matches_across_paths(rng):
+    """qkv_bias=False must produce the SAME param tree on the fused-Pallas
+    and XLA paths (Dense(use_bias=False): kernel only, no q/kv bias leaves),
+    and identical outputs on shared params."""
+    from bde2vid_tpu.nn.window_attention import WindowAttention3D
+
+    D, B_, WH, WW, C = 3, 4, 7, 7, 32
+    x = jnp.asarray(rng.normal(size=(D, B_, WH, WW, C)).astype(np.float32))
+    mk = lambda pallas: WindowAttention3D(
+        C, (D, WH, WW), 4, qkv_bias=False, use_pallas=pallas
+    )
+    p_flax = mk(False).init(jax.random.PRNGKey(0), x)
+    p_pall = mk(True).init(jax.random.PRNGKey(0), x)
+    paths = lambda t: {
+        "/".join(map(str, p)) for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]
+    }
+    assert paths(p_flax) == paths(p_pall)
+    assert not any("q/bias" in s or "kv/bias" in s for s in paths(p_flax))
+    out_flax = mk(False).apply(p_flax, x)
+    out_pall = mk(True).apply(p_flax, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pall), np.asarray(out_flax), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_window_smaller_than_configured_bias_rows(rng):
+    """get_window_size shrink: a 5x5 feature map under a (1,7,7) window must
+    attend with a correctly-built relative bias (actual token grid indexed
+    against the configured table — the reference garbles this case, so the
+    contract here is correctness, not parity)."""
+    from bde2vid_tpu.nn.window_attention import (
+        SwinTransformerBlock3D,
+        relative_position_index,
+    )
+
+    # index math: equal dims reduce to the configured-window index
+    np.testing.assert_array_equal(
+        relative_position_index(3, 7, 7), relative_position_index(3, 7, 7, 7, 7)
+    )
+    idx = relative_position_index(1, 7, 7, 5, 5)
+    assert idx.shape == (25, 25)
+    # relative offset (0,0) (the diagonal) maps to the table center
+    center = (7 - 1) * (2 * 7 - 1) + (7 - 1)
+    assert (np.diag(idx) == center).all()
+    # indices stay inside the configured table
+    assert idx.min() >= 0 and idx.max() < (2 * 1 - 1) * (2 * 7 - 1) * (2 * 7 - 1)
+
+    D, B, H, W, C = 3, 2, 5, 5, 16
+    x = jnp.asarray(rng.normal(size=(D, B, H, W, C)).astype(np.float32))
+    blk = SwinTransformerBlock3D(C, 4, window_size=(3, 7, 7))
+    params = blk.init(jax.random.PRNGKey(0), x)
+    out = blk.apply(params, x)
+    assert out.shape == (B, H, W, C)
+    assert np.isfinite(np.asarray(out)).all()
