@@ -175,6 +175,12 @@ def _bde2vid_path_fixup(path):
         # drop the conv2d->conv level under decoderN1/predI1
         if p == "conv" and out and _re.fullmatch(r"decoder\d+[01]|predI[01]", out[-1]):
             continue
+        # decoder norm (torch decoders.N.1.norm_layer.*) is a SIBLING flax
+        # module decoderN1_norm (the conv itself is a bare nn.Conv with no
+        # room for a child)
+        if p == "norm_layer" and out and _re.fullmatch(r"decoder\d+1", out[-1]):
+            out[-1] = out[-1] + "_norm"
+            continue
         m = _re.fullmatch(r"(feat_attns\d)([1-9]\d*)", p)
         if m and i + 1 < len(path) and path[i + 1].startswith("conv"):
             out.append(m.group(1))

@@ -94,7 +94,9 @@ def main(argv=None) -> int:
         voxel = events_to_voxel(px, py, pt, pp, n, num_bins=num_bins, sensor_size=(h, w))
         voxel = jnp.transpose(voxel, (1, 2, 0))[None]  # (1, H, W, B)
         voxel = crop.pad(voxel)
-        voxel = legacy_norm(voxel)  # whole-tensor norm (reference rec_snn :62-63)
+        # whole-tensor norm (reference rec_snn :62-63; torch .std() on the
+        # nonzero subset = unbiased estimator)
+        voxel = legacy_norm(voxel, unbiased=True)
         for j in range(num_bins):
             out, state = step(voxel[..., j : j + 1], state)
             img = crop.crop(out["image"])[0, :, :, 0]

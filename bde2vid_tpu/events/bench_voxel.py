@@ -32,6 +32,38 @@ def _timeit(fn, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def _chained_timeit(op_of_p, pp, iters, chain=20):
+    """Time a device op with ``chain`` DEPENDENT calls inside one jit.
+
+    One dispatch per iteration would measure the remote-TPU tunnel's
+    ~1-2 ms per-dispatch latency instead of the sub-ms kernel (see
+    CLAUDE.md round-2 facts). The carry feeds back through a
+    ``where(carry == carry, ...)`` guard — runtime-identity for non-NaN
+    values but opaque to the compiler, so the calls cannot be CSE'd or
+    reordered. Returns seconds per single op call."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(p):
+        carry = jnp.zeros((), p.dtype)
+        out = None
+        for _ in range(chain):
+            dep_p = jnp.where(carry == carry, p, jnp.zeros_like(p))
+            out = op_of_p(dep_p)
+            carry = jnp.sum(
+                out[0] if isinstance(out, tuple) else out
+            ).astype(p.dtype)
+        return carry
+
+    jax.block_until_ready(run(pp))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(pp)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / (iters * chain)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--h5", default=None, help="event h5 file (synthetic if absent)")
@@ -77,28 +109,35 @@ def main(argv=None) -> int:
     device = jax.devices()[0].platform
     print(f"{n} events, sensor {sensor}, device {device}, iters {args.iters}")
 
+    # sub-ms kernels: chained-dependent calls in ONE jit (the polarity /
+    # weight buffer is the dependency-threaded argument)
+    ppj = jnp.asarray(pp)
     rows = [
-        ("events_to_image", lambda: events_to_image(px, py, pp, nv, sensor_size=sensor)),
+        ("events_to_image", lambda p: events_to_image(px, py, p, nv, sensor_size=sensor)),
         ("events_to_image_bilinear",
-         lambda: events_to_image_bilinear(fx, fy, pp, nv, sensor_size=sensor)),
+         lambda p: events_to_image_bilinear(fx, fy, p, nv, sensor_size=sensor)),
         (f"events_to_voxel (B={args.num_bins})",
-         lambda: events_to_voxel(px, py, pt, pp, nv, num_bins=args.num_bins,
-                                 sensor_size=sensor)),
+         lambda p: events_to_voxel(px, py, pt, p, nv, num_bins=args.num_bins,
+                                   sensor_size=sensor)),
         ("events_to_neg_pos_voxel",
-         lambda: events_to_neg_pos_voxel(px, py, pt, pp, nv,
-                                         num_bins=args.num_bins, sensor_size=sensor)),
+         lambda p: events_to_neg_pos_voxel(px, py, pt, p, nv,
+                                           num_bins=args.num_bins, sensor_size=sensor)),
         ("events_to_timestamp_image",
-         lambda: events_to_timestamp_image(fx, fy, pt, pp, nv, sensor_size=sensor)),
+         lambda p: events_to_timestamp_image(fx, fy, pt, p, nv, sensor_size=sensor)),
     ]
     for name, fn in rows:
-        dt = _timeit(fn, args.iters)
+        dt = _chained_timeit(fn, ppj, max(args.iters // 4, 1))
         print(f"{name:32s} {dt*1e3:9.3f} ms  ({n/dt/1e6:8.1f} Mev/s)")
 
-    # batched voxelization (64 windows at once — the pipeline's shape)
+    # batched voxelization (64 windows at once — the pipeline's shape).
+    # device_put FIRST: feeding host numpy would re-ship ~270 MB through the
+    # remote-TPU tunnel per iteration and time the transfer, not the kernel
     B = 64
-    bx = np.tile(px, (B, 1)); by = np.tile(py, (B, 1))
-    bt = np.tile(pt, (B, 1)); bp = np.tile(pp, (B, 1))
-    bn = np.full(B, nv, np.int32)
+    bx = jax.device_put(np.tile(px, (B, 1)))
+    by = jax.device_put(np.tile(py, (B, 1)))
+    bt = jax.device_put(np.tile(pt, (B, 1)))
+    bp = jax.device_put(np.tile(pp, (B, 1)))
+    bn = jax.device_put(np.full(B, nv, np.int32))
     vb = jax.jit(jax.vmap(
         lambda x, y, t, q, m: events_to_voxel(x, y, t, q, m,
                                               num_bins=args.num_bins,

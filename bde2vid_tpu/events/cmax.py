@@ -148,6 +148,28 @@ OBJECTIVES = {
 # ------------------------------ optimization ---------------------------------
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_value_and_grad(objective, img_size, use_polarity, blur_sigma):
+    """One jitted objective value+grad per configuration. Event buffers are
+    jit ARGUMENTS: a per-call closure would embed them as compile-time
+    constants, recompiling for every window and defeating pad_events'
+    power-of-two capacity bucketing."""
+    obj_fn = OBJECTIVES[objective]
+
+    @jax.jit
+    def value_and_grad(params, px, py, pt, pp, n):
+        def f(p):
+            iwe = get_iwe(
+                p, px, py, pt, pp, n, img_size=img_size,
+                use_polarity=use_polarity, blur_sigma=blur_sigma,
+            )
+            return obj_fn(iwe)
+
+        return jax.value_and_grad(f)(params)
+
+    return value_and_grad
+
+
 def optimize_contrast(
     xs: np.ndarray,
     ys: np.ndarray,
@@ -168,25 +190,16 @@ def optimize_contrast(
     px, py, pt, pp, n = pad_events(
         xs.astype(np.float32), ys.astype(np.float32), ts, ps
     )
-    obj_fn = OBJECTIVES[objective]
-
-    @jax.jit
-    def value_and_grad(params):
-        def f(p):
-            iwe = get_iwe(
-                p, px, py, pt, pp, n, img_size=img_size,
-                use_polarity=use_polarity, blur_sigma=blur_sigma,
-            )
-            return obj_fn(iwe)
-
-        return jax.value_and_grad(f)(params)
+    value_and_grad = _cached_value_and_grad(
+        objective, tuple(img_size), use_polarity, blur_sigma
+    )
 
     def f_np(p):
-        v, _ = value_and_grad(jnp.asarray(p, jnp.float32))
+        v, _ = value_and_grad(jnp.asarray(p, jnp.float32), px, py, pt, pp, n)
         return float(v)
 
     def g_np(p):
-        _, g = value_and_grad(jnp.asarray(p, jnp.float32))
+        _, g = value_and_grad(jnp.asarray(p, jnp.float32), px, py, pt, pp, n)
         return np.asarray(g, np.float64)
 
     x0 = np.zeros(LINVEL_DIMS) if x0 is None else np.asarray(x0, np.float64)

@@ -103,18 +103,25 @@ def zip_to_h5(
                 w.add_image(img, ts)
                 if sensor_size is None:
                     w.sensor_size = img.shape[:2]
+        # the reference resets first_ts before the event loop
+        # (zip_to_h5.py:70-71): events zero by the FIRST EVENT timestamp,
+        # independently of the image stream (and regardless of whether an
+        # images.txt exists)
+        ev_first_ts = None
         ts_l, xs_l, ys_l, ps_l = [], [], [], []
         for raw in zf.read(evtfile).decode().strip().splitlines():
             t, x, y, pol = raw.split()
+            if ev_first_ts is None:
+                ev_first_ts = float(t)
             ts_l.append(float(t))
             xs_l.append(int(x))
             ys_l.append(int(y))
             ps_l.append(int(pol) > 0)
             if len(ts_l) >= 100_000:
-                _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps)
+                _flush_events(w, ts_l, xs_l, ys_l, ps_l, ev_first_ts, zero_timestamps)
                 ts_l, xs_l, ys_l, ps_l = [], [], [], []
         if ts_l:
-            _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps)
+            _flush_events(w, ts_l, xs_l, ys_l, ps_l, ev_first_ts, zero_timestamps)
 
 
 def _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps):
@@ -237,7 +244,9 @@ class NPYEventReader:
         self._event_idxes = np.loadtxt(
             os.path.join(ff, "frame_event_idxes.txt"), dtype=np.int64
         ).reshape(-1, 2)
-        self.sensor_size = tuple(self.images.shape[-2:])
+        # frames.npy is (F, H, W) or (F, H, W, C) — shape[-2:] would give
+        # (W, C) for channeled frames
+        self.sensor_size = tuple(self.images.shape[1:3])
         self.t0 = float(self.t[0]) if len(self.t) else 0.0
 
     @property

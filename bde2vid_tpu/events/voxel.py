@@ -319,18 +319,25 @@ def hot_event_mask(
 ) -> np.ndarray:
     """Mask (1 = keep) zeroing the `num_hot` highest-count pixels.
 
-    Host-side (NumPy): this runs once per sequence at load time (reference
-    get_hot_event_mask, event_utils.py:100-116). Vectorized top-k instead of
-    the reference's 100-iteration argmax loop.
+    Host-side (NumPy): this runs once per sequence at load time and
+    replicates the reference's iterative argmax-and-zero loop EXACTLY
+    (get_hot_event_mask, event_utils.py:100-116) — including its row-major
+    tie-breaking and its degenerate behavior when fewer than ``num_hot``
+    pixels have a positive signed sum (argmax then re-picks the first
+    already-zeroed index, so fewer than num_hot distinct pixels end up
+    masked). num_hot argmaxes over an H*W array are negligible on the host;
+    a vectorized top-k would silently mask a different pixel set in the
+    degenerate cases.
     """
     h, w = sensor_size
     img = np.zeros((h * w,), np.float64)
     flat = ys.astype(np.int64) * w + xs.astype(np.int64)
     np.add.at(img, flat, ps.astype(np.float64))
     mask = np.ones((h * w,), np.float32)
-    if num_hot > 0:
-        hot = np.argpartition(img, -num_hot)[-num_hot:]
-        mask[hot] = 0.0
+    for _ in range(num_hot):
+        idx = int(np.argmax(img))  # flat argmax == unravel_index order
+        mask[idx] = 0.0
+        img[idx] = 0.0
     return mask.reshape(h, w)
 
 

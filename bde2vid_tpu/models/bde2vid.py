@@ -38,7 +38,7 @@ from flax import linen as nn
 
 from bde2vid_tpu.models.api import register_model
 from bde2vid_tpu.nn.layers import ConvLayer, ResidualBlockNoBN, get_activation
-from bde2vid_tpu.nn.layers import resize_bilinear_2x
+from bde2vid_tpu.nn.layers import _make_norm, resize_bilinear_2x
 from bde2vid_tpu.nn.recurrent import ConvGRUCell, ConvLSTMCell, lstm_initial_state, gru_initial_state
 from bde2vid_tpu.nn.window_attention import SwinTransformerBlock3D
 
@@ -256,7 +256,12 @@ class _DecodeStep(nn.Module):
                 )(x)
             else:
                 x = prev + x
-            # UpsampleConvLayer with ReLU6 (reference decoder activation :87)
+            # UpsampleConvLayer with ReLU6 (reference decoder activation :87):
+            # bilinear x2 -> conv -> optional BN/IN -> ReLU6 (the reference
+            # decoder applies norm_layer like every ConvLayer, submodules
+            # :105-110). The norm is a SIBLING flax module (decoder{i}1_norm)
+            # so the conv params stay at decoder{i}1/kernel; the checkpoint
+            # fixup maps torch decoders.N.1.norm_layer.* accordingly.
             x = resize_bilinear_2x(x)
             out_ch = self.basechannels * 2 ** (self.num_encoders - 1 - i)
             x = nn.Conv(
@@ -267,6 +272,11 @@ class _DecodeStep(nn.Module):
                 dtype=self.dtype,
                 name=f"decoder{i}1",
             )(x)
+            norm = _make_norm(
+                self.norm, out_ch, self.dtype, self.train, name=f"decoder{i}1_norm"
+            )
+            if norm is not None:
+                x = norm(x)
             x = get_activation("relu6")(x)
         if self.skip_type == "concat":
             x = jnp.concatenate([x, head], axis=-1)
@@ -349,7 +359,8 @@ class BDE2VIDGenerator(nn.Module):
             )
             fwd_cell = nn.scan(
                 _EncoderCell,
-                variable_broadcast="params",
+                # batch_stats broadcast too: eval-mode BN/IN read running stats
+                variable_broadcast=("params", "batch_stats"),
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -357,7 +368,8 @@ class BDE2VIDGenerator(nn.Module):
             )(**cell_kw, name=f"forward_encoder{lvl}")
             bwd_cell = nn.scan(
                 _EncoderCell,
-                variable_broadcast="params",
+                # batch_stats broadcast too: eval-mode BN/IN read running stats
+                variable_broadcast=("params", "batch_stats"),
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -392,7 +404,8 @@ class BDE2VIDGenerator(nn.Module):
                 dpr = tuple(np.linspace(0, self.drop_path_rate, depth).tolist())
                 step = nn.scan(
                     _AttnStep,
-                    variable_broadcast="params",
+                    # batch_stats broadcast too: eval-mode BN/IN read running stats
+                variable_broadcast=("params", "batch_stats"),
                     split_rngs={"params": False, "droppath": True},
                     in_axes=0,
                     out_axes=0,
@@ -415,7 +428,8 @@ class BDE2VIDGenerator(nn.Module):
             elif is_last:
                 step = nn.scan(
                     _ResFallbackStep,
-                    variable_broadcast="params",
+                    # batch_stats broadcast too: eval-mode BN/IN read running stats
+                variable_broadcast=("params", "batch_stats"),
                     split_rngs={"params": False},
                     in_axes=0,
                     out_axes=0,
@@ -447,11 +461,15 @@ class BDE2VIDGenerator(nn.Module):
             train=self.train,
             name="decode",
         )
-        # The decoder has no temporal recurrence, norm, or stochastic layers
+        # The decoder has no temporal recurrence or stochastic layers
         # (reference :183-197 runs it per-t only because the features arrive
         # per-t), so fold T into the batch axis: one (T*N)-batched conv stack
         # keeps the MXU full instead of T small per-step convs. The param
         # tree is identical to the scanned form (params were broadcast).
+        # Exact at eval for BN/IN too (running stats are T-independent);
+        # train-mode BN would average batch stats over T*N instead of the
+        # reference's per-step N (norm defaults to None, and the reference
+        # ships no BDE2VID training loop to compare against).
         t, n = head.shape[:2]
         fold = lambda a: a.reshape(t * n, *a.shape[2:])
         _, images = decode((), (fold(head), tuple(fold(f) for f in all_lvl_feats)))

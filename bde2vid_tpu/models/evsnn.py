@@ -297,14 +297,16 @@ class _SNNBase(nn.Module):
 
 
 def _bin_fold(one_bin, voxel, state, normalize_input=True):
-    """Normalize the voxel (LegacyNorm, rec_snn_forward:34-35) then fold its
-    B bins through the net (rec_snn_forward:37-44). The bin count is small
-    and static (default 5) so the loop is unrolled — flax module creation
-    inside lax.scan is not allowed, and XLA fuses the unrolled steps.
-    ``normalize_input=False`` lets callers that pre-normalize (the rec_snn
-    CLI feeds single bins) skip the per-call LegacyNorm."""
+    """Normalize the voxel (rec_snn_forward:34-35 — torch ``tensor.std()``
+    on the nonzero subset, i.e. the UNBIASED estimator, not the dataset
+    LegacyNorm's population std) then fold its B bins through the net
+    (rec_snn_forward:37-44). The bin count is small and static (default 5)
+    so the loop is unrolled — flax module creation inside lax.scan is not
+    allowed, and XLA fuses the unrolled steps. ``normalize_input=False``
+    lets callers that pre-normalize (the rec_snn CLI feeds single bins)
+    skip the per-call norm."""
     if normalize_input:
-        voxel = legacy_norm(voxel)
+        voxel = legacy_norm(voxel, unbiased=True)
     img = None
     for j in range(voxel.shape[-1]):
         img, state = one_bin(voxel[..., j:j + 1], state)

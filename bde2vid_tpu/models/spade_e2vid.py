@@ -238,9 +238,13 @@ class SPADEE2VID(nn.Module):
         pred = state["pred"].astype(voxel.dtype)
         initialized = state["initialized"]
         first3 = voxel[..., :3]
+        # reference gate is on the RAW max (spade_e2v.py:27-30): an
+        # all-non-positive first window keeps the raw tensor as the initial
+        # segmap; only then shift by min and divide by the POST-shift max
+        raw_mx = jnp.max(first3)
         shifted = first3 - jnp.min(first3)
         mx = jnp.max(shifted)
-        boot = jnp.where(mx != 0, shifted / jnp.where(mx == 0, 1.0, mx), first3)
+        boot = jnp.where(raw_mx != 0, shifted / jnp.where(mx == 0, 1.0, mx), first3)
         pred = jnp.where(initialized, pred, boot)
 
         out, new_states = Unet6(dtype=self.dtype, train=self.train, name="generator")(

@@ -16,8 +16,14 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def legacy_norm(x: Array) -> Array:
+def legacy_norm(x: Array, unbiased: bool = False) -> Array:
     """Mean/std-normalize the nonzero entries of x; zeros stay zero.
+
+    ``unbiased=False`` is the dataset LegacyNorm (population std, sum/n —
+    data_augmentation.py:311-330). ``unbiased=True`` divides by n-1: the SNN
+    runner normalizes with torch's default ``tensor.std()`` on the nonzero
+    subset (rec_snn_forward.py:34), which is the unbiased estimator — the
+    two reference norms differ and must not be conflated.
 
     Degenerate cases match the reference: all-zero input or zero stddev
     return x unchanged.
@@ -26,8 +32,9 @@ def legacy_norm(x: Array) -> Array:
     num = jnp.sum(nonzero)
     safe_num = jnp.maximum(num, 1.0)
     mean = jnp.sum(x) / safe_num
-    var = jnp.sum(x * x) / safe_num - mean * mean
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    sq = jnp.sum(x * x) - safe_num * mean * mean
+    denom = jnp.maximum(num - 1.0, 1.0) if unbiased else safe_num
+    std = jnp.sqrt(jnp.maximum(sq / denom, 0.0))
     normed = nonzero * (x - mean) / jnp.where(std == 0, 1.0, std)
     return jnp.where((num > 0) & (std != 0), normed, x)
 

@@ -444,3 +444,33 @@ def test_dilated_window_roundtrip_matches_torch_fold(rng, win):
     np.testing.assert_allclose(
         np.asarray(jr).transpose(0, 3, 1, 2), want, atol=1e-6
     )
+
+
+def test_bde2vid_norm_decoder_has_norm_layers(rng):
+    """norm='BN'/'IN' must normalize the DECODER convs too (the reference
+    decoder UpsampleConvLayer takes norm=norm, V5:84-86 + submodules
+    :105-110) — previously the decode stack silently dropped it."""
+    from bde2vid_tpu.eval.checkpoint import _bde2vid_path_fixup
+
+    for norm in ("BN", "IN"):
+        cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                             "ks": 3, "num_res_blocks": 1, "norm": norm,
+                             "buffer_index": [-1, 0, 1], "depths": [1, 1],
+                             "num_heads": 2, "window_size": [4, 4]}}
+        model = build_model("BDE2VID", cfg)
+        voxels = jnp.asarray(rng.normal(size=(2, 1, 16, 16, 5)).astype(np.float32))
+        tree = model.init(jax.random.PRNGKey(0), voxels)
+        flat = {"/".join(map(str, p)) for p, _ in
+                jax.tree_util.tree_flatten_with_path(tree)[0]}
+        joined = " ".join(flat)
+        assert "decoder01_norm" in joined and "decoder11_norm" in joined, norm
+        out, _ = model.apply(tree, voxels)
+        assert np.isfinite(np.asarray(out["image"])).all()
+
+    # converter fixup: torch decoders.N.1.norm_layer.* -> decode/decoderN1_norm
+    assert _bde2vid_path_fixup(("generator", "decoder01", "norm_layer")) == (
+        "generator", "decode", "decoder01_norm")
+    # predI and the concat-fusion slot 0 have no norm in the reference;
+    # their paths pass through unchanged
+    assert _bde2vid_path_fixup(("generator", "predI1",)) == (
+        "generator", "decode", "predI1")

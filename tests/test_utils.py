@@ -86,3 +86,22 @@ def test_crop_size_3d_roundtrip():
     padded = c.pad(x)
     assert padded.shape == (1, 8, 40, 48, 3)
     np.testing.assert_array_equal(np.asarray(c.crop(padded)), np.asarray(x))
+
+
+def test_legacy_norm_unbiased_matches_snn_runner_chain(rng):
+    """The SNN runner (rec_snn_forward.py:34) normalizes with torch's
+    default ``tensor.std()`` over the nonzero subset — the UNBIASED (n-1)
+    estimator, different from the dataset LegacyNorm's population std."""
+    x = rng.normal(size=(5, 16, 24)).astype(np.float32)
+    x[np.abs(x) < 0.5] = 0.0
+    got = np.asarray(legacy_norm(jnp.asarray(x), unbiased=True))
+
+    t = torch.from_numpy(x.copy())
+    sel = t[t != 0]
+    mean, stddev = sel.mean(), sel.std()  # torch default: unbiased
+    want = t.clone()
+    want[t != 0] = (sel - mean) / stddev
+    np.testing.assert_allclose(got, want.numpy(), atol=5e-5)
+    # and it differs from the population (dataset) norm
+    pop = np.asarray(legacy_norm(jnp.asarray(x)))
+    assert np.abs(got - pop)[x != 0].max() > 1e-4
