@@ -194,9 +194,7 @@ def main(argv=None) -> int:
 
             cfg2 = dict(spec.module.config)
             cfg2["use_pallas_attention"] = True
-            spec.module = build_model(
-                "BDE2VID", cfg2, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
-            )
+            spec.module = build_model("BDE2VID", cfg2, dtype=dtype)
         print(f"{spec.name}: {spec.num_params / 1e6:.2f}M parameters")
         cfg = EvalConfig(
             ltype=args.loader_type,

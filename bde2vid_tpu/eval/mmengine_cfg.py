@@ -31,8 +31,11 @@ _SAFE_BUILTINS = {
 
 def parse_embedded_cfg(cfg_text: str) -> Dict[str, Any]:
     """Execute the config source and return the ``model`` dict."""
-    ns: Dict[str, Any] = {}
-    exec(compile(cfg_text, "<embedded-cfg>", "exec"), {"__builtins__": _SAFE_BUILTINS}, ns)
+    # ns doubles as globals AND locals (module-exec semantics): with separate
+    # dicts, lambdas / comprehensions inside the config could not resolve
+    # top-level config variables (they look free names up in globals only)
+    ns: Dict[str, Any] = {"__builtins__": _SAFE_BUILTINS}
+    exec(compile(cfg_text, "<embedded-cfg>", "exec"), ns)
     if "model" not in ns:
         raise ValueError("embedded config defines no 'model'")
     model = ns["model"]

@@ -39,7 +39,7 @@ from flax import linen as nn
 from bde2vid_tpu.models.api import register_model
 from bde2vid_tpu.nn.layers import ConvLayer, ResidualBlockNoBN, get_activation
 from bde2vid_tpu.nn.layers import _make_norm, resize_bilinear_2x
-from bde2vid_tpu.nn.recurrent import ConvGRUCell, ConvLSTMCell, lstm_initial_state, gru_initial_state
+from bde2vid_tpu.nn.recurrent import make_recurrent_cell, recurrent_initial_state
 from bde2vid_tpu.nn.window_attention import SwinTransformerBlock3D
 
 Array = jax.Array
@@ -75,10 +75,7 @@ class _EncoderCell(nn.Module):
         )(x)
         if not self.use_recurrent:
             return carry, y
-        if self.recurrent_block_type == "convlstm":
-            cell = ConvLSTMCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
-        else:
-            cell = ConvGRUCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
+        cell = make_recurrent_cell(self.recurrent_block_type, self.features, 3, self.dtype)
         out, new_carry = cell(y, carry)
         return new_carry, out
 
@@ -343,10 +340,9 @@ class BDE2VIDGenerator(nn.Module):
         for lvl in range(self.num_encoders):
             ch = self.basechannels * 2 ** (lvl + 1)
             h, w = (h - 1) // 2 + 1, (w - 1) // 2 + 1
-            if self.recurrent_block_type == "convlstm":
-                carry0 = lstm_initial_state(N, h, w, ch, self.dtype)
-            else:
-                carry0 = gru_initial_state(N, h, w, ch, self.dtype)
+            carry0 = recurrent_initial_state(
+                self.recurrent_block_type, N, h, w, ch, self.dtype
+            )
             cell_kw = dict(
                 features=ch,
                 kernel_size=self.ks,

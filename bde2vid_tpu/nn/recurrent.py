@@ -99,6 +99,33 @@ class ConvGRUCell(nn.Module):
         return gru_initial_state(batch, height, width, hidden, dtype)
 
 
+def make_recurrent_cell(
+    block_type: str, features: int, kernel_size: int = 3,
+    dtype=jnp.float32, name: str = "recurrent_block",
+):
+    """Shared cell factory (reference asserts the type, RecurrentConvLayer
+    :113: assert recurrent_block_type in ['convlstm', 'convgru'])."""
+    if block_type == "convlstm":
+        return ConvLSTMCell(features, kernel_size, dtype=dtype, name=name)
+    if block_type == "convgru":
+        return ConvGRUCell(features, kernel_size, dtype=dtype, name=name)
+    raise ValueError(
+        f"unknown recurrent_block_type {block_type!r} (convlstm|convgru)"
+    )
+
+
+def recurrent_initial_state(
+    block_type: str, batch: int, h: int, w: int, hidden: int, dtype=jnp.float32
+):
+    if block_type == "convlstm":
+        return lstm_initial_state(batch, h, w, hidden, dtype)
+    if block_type == "convgru":
+        return gru_initial_state(batch, h, w, hidden, dtype)
+    raise ValueError(
+        f"unknown recurrent_block_type {block_type!r} (convlstm|convgru)"
+    )
+
+
 class RecurrentConvLayer(nn.Module):
     """Strided ConvLayer followed by a recurrent cell (reference :110-129).
 
@@ -133,19 +160,15 @@ class RecurrentConvLayer(nn.Module):
         return cell(x, state)
 
     def _cell(self):
-        if self.recurrent_block_type == "convlstm":
-            return ConvLSTMCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
-        elif self.recurrent_block_type == "convgru":
-            return ConvGRUCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
-        raise ValueError(self.recurrent_block_type)
+        return make_recurrent_cell(self.recurrent_block_type, self.features, 3, self.dtype)
 
     def initial_state(self, batch, height, width, dtype=jnp.float32):
         """State shape is at the post-conv (strided) resolution."""
         oh = (height + 2 * self.padding - self.kernel_size) // self.stride + 1
         ow = (width + 2 * self.padding - self.kernel_size) // self.stride + 1
-        if self.recurrent_block_type == "convlstm":
-            return lstm_initial_state(batch, oh, ow, self.features, dtype)
-        return gru_initial_state(batch, oh, ow, self.features, dtype)
+        return recurrent_initial_state(
+            self.recurrent_block_type, batch, oh, ow, self.features, dtype
+        )
 
 
 class RecurrentUpConv(nn.Module):
@@ -165,10 +188,7 @@ class RecurrentUpConv(nn.Module):
     def __call__(self, x: Array, state):
         from bde2vid_tpu.nn.layers import _make_norm, get_activation, resize_bilinear_2x
 
-        if self.recurrent_block_type == "convlstm":
-            cell = ConvLSTMCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
-        else:
-            cell = ConvGRUCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
+        cell = make_recurrent_cell(self.recurrent_block_type, self.features, 3, self.dtype)
         y, new_state = cell(x, state)
         y = resize_bilinear_2x(y)
         k, p = self.kernel_size, self.padding
@@ -186,9 +206,9 @@ class RecurrentUpConv(nn.Module):
         return get_activation(self.activation)(y), new_state
 
     def initial_state(self, batch, height, width, dtype=jnp.float32):
-        if self.recurrent_block_type == "convlstm":
-            return lstm_initial_state(batch, height, width, self.features, dtype)
-        return gru_initial_state(batch, height, width, self.features, dtype)
+        return recurrent_initial_state(
+            self.recurrent_block_type, batch, height, width, self.features, dtype
+        )
 
 
 class DownsampleRecurrentConvLayer(nn.Module):
@@ -205,21 +225,16 @@ class DownsampleRecurrentConvLayer(nn.Module):
     def __call__(self, x: Array, state):
         from bde2vid_tpu.nn.layers import get_activation, resize_bilinear_half
 
-        if self.recurrent_block_type == "convlstm":
-            cell = ConvLSTMCell(
-                self.features, self.kernel_size, dtype=self.dtype, name="recurrent_block"
-            )
-        else:
-            cell = ConvGRUCell(
-                self.features, self.kernel_size, dtype=self.dtype, name="recurrent_block"
-            )
+        cell = make_recurrent_cell(
+            self.recurrent_block_type, self.features, self.kernel_size, self.dtype
+        )
         y, new_state = cell(x, state)
         return get_activation(self.activation)(resize_bilinear_half(y)), new_state
 
     def initial_state(self, batch, height, width, dtype=jnp.float32):
-        if self.recurrent_block_type == "convlstm":
-            return lstm_initial_state(batch, height, width, self.features, dtype)
-        return gru_initial_state(batch, height, width, self.features, dtype)
+        return recurrent_initial_state(
+            self.recurrent_block_type, batch, height, width, self.features, dtype
+        )
 
 
 class RecurrentResidualLayer(nn.Module):
@@ -236,13 +251,10 @@ class RecurrentResidualLayer(nn.Module):
         x = ResidualBlock(
             self.features, norm=self.norm, dtype=self.dtype, train=self.train, name="conv"
         )(x)
-        if self.recurrent_block_type == "convlstm":
-            cell = ConvLSTMCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
-        else:
-            cell = ConvGRUCell(self.features, 3, dtype=self.dtype, name="recurrent_block")
+        cell = make_recurrent_cell(self.recurrent_block_type, self.features, 3, self.dtype)
         return cell(x, state)
 
     def initial_state(self, batch, height, width, dtype=jnp.float32):
-        if self.recurrent_block_type == "convlstm":
-            return lstm_initial_state(batch, height, width, self.features, dtype)
-        return gru_initial_state(batch, height, width, self.features, dtype)
+        return recurrent_initial_state(
+            self.recurrent_block_type, batch, height, width, self.features, dtype
+        )

@@ -21,9 +21,16 @@ Array = jax.Array
 
 
 def optimal_crop_size(max_size: int, max_subsample_factor: int, safety_margin: int = 0) -> int:
-    """Smallest multiple of 2^max_subsample_factor that is >= max_size."""
+    """Smallest multiple of 2^max_subsample_factor that is >= max_size,
+    plus ``safety_margin`` extra multiples.
+
+    The reference's twins disagree: the eval-path copy accepts but IGNORES
+    safety_margin (utils_func/inference_utils.py:26-32) while the eitr and
+    EVSNN copies add it (model/eitr/model_util.py:130-136,
+    model/EVSNN/utils/util.py:82-88). Every reference call site passes 0,
+    where all three agree; this unified version honors the margin."""
     f = 2**max_subsample_factor
-    return int(f * math.ceil(max_size / f))
+    return int(f * math.ceil(max_size / f)) + safety_margin * f
 
 
 class CropParameters:

@@ -40,13 +40,19 @@ class Timer:
 
 
 class CudaTimer(Timer):
-    """Device-synchronized timer: pass the output array(s) to ``sync``
-    before exiting, or use as a context manager around code that returns
-    arrays via ``self.result = ...`` (block happens on __exit__)."""
+    """Device-synchronized timer (reference CudaTimer, timers.py:15-38):
+    hand the output array(s) to ``sync(out)`` (or assign ``self.result``)
+    inside the block so __exit__ measures device compute, not async
+    dispatch."""
 
     def __init__(self, name: str = "device_timer"):
         super().__init__(name)
         self.result = None
+
+    def sync(self, result):
+        """Record the device output(s) to block on at exit; returns them."""
+        self.result = result
+        return result
 
     def __exit__(self, *exc):
         if self.result is not None:

@@ -351,3 +351,18 @@ def test_firenet_1000_dialect(rng, tmp_path):
     voxel = jnp.asarray(rng.normal(size=(1, 16, 16, 5)).astype(np.float32))
     out, _ = spec.module.apply(spec.params, voxel, spec.module.initial_state(1, 16, 16))
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_parse_embedded_cfg_free_variables():
+    """Module-exec semantics: functions/comprehensions in the config must
+    resolve top-level config variables (exec with split globals/locals
+    breaks this — free names are looked up in globals only)."""
+    cfg = (
+        "base = 16\n"
+        "chans = [base * 2 ** i for i in range(3)]\n"
+        "pick = lambda: base\n"
+        "model = dict(type='BDE2VID', basechannels=pick(), enc=chans)\n"
+    )
+    model = parse_embedded_cfg(cfg)
+    assert model["basechannels"] == 16
+    assert model["enc"] == [16, 32, 64]

@@ -105,3 +105,13 @@ def test_legacy_norm_unbiased_matches_snn_runner_chain(rng):
     # and it differs from the population (dataset) norm
     pop = np.asarray(legacy_norm(jnp.asarray(x)))
     assert np.abs(got - pop)[x != 0].max() > 1e-4
+
+
+def test_optimal_crop_size_safety_margin():
+    """The margin adds whole multiples of 2^factor (the eitr/EVSNN reference
+    twins, model_util.py:130-136; the eval-path twin silently ignores it)."""
+    from bde2vid_tpu.utils.padding import optimal_crop_size
+
+    assert optimal_crop_size(180, 3) == 184
+    assert optimal_crop_size(180, 3, safety_margin=1) == 192
+    assert optimal_crop_size(184, 3) == 184
