@@ -24,8 +24,8 @@ import numpy as np
 from bde2vid_tpu.events.h5_io import H5EventReader
 from bde2vid_tpu.events.voxel import (
     _bucket_capacity,
-    events_to_neg_pos_voxel,
-    events_to_voxel,
+    events_to_neg_pos_voxel_batch,
+    events_to_voxel_batch,
     hot_event_mask,
 )
 from bde2vid_tpu.data.windowing import (
@@ -58,25 +58,27 @@ def _cached_voxelize_fn(num_bins, sensor, combined, normalize, use_hot_mask):
     key = (num_bins, sensor, combined, normalize, use_hot_mask)
     if key not in _VOXELIZE_FN_CACHE:
 
-        def one(x, y, t, p, n, mask):
-            small = n < 3  # reference: <3 events -> zero voxel
+        def batch(xs, ys, ts, ps, ns, mask):
+            # whole batch + both polarities in ONE flat scatter — a vmapped
+            # per-window scatter lowers ~4x slower on TPU (bench_voxel)
             if combined:
-                v = events_to_voxel(x, y, t, p, n, num_bins=num_bins, sensor_size=sensor)
+                v = events_to_voxel_batch(
+                    xs, ys, ts, ps, ns, num_bins=num_bins, sensor_size=sensor
+                )  # (C, B, H, W)
             else:
-                vp, vn = events_to_neg_pos_voxel(
-                    x, y, t, p, n, num_bins=num_bins, sensor_size=sensor
+                vp, vn = events_to_neg_pos_voxel_batch(
+                    xs, ys, ts, ps, ns, num_bins=num_bins, sensor_size=sensor
                 )
-                v = jnp.concatenate([vp, vn], axis=0)
+                v = jnp.concatenate([vp, vn], axis=1)
+            small = (ns < 3)[:, None, None, None]  # reference: <3 events -> 0
             v = jnp.where(small, jnp.zeros_like(v), v)
             if use_hot_mask:
-                v = v * mask[None]
+                v = v * mask[None, None]
             if normalize:
-                v = legacy_norm(v)
+                v = jax.vmap(legacy_norm)(v)
             return v
 
-        _VOXELIZE_FN_CACHE[key] = jax.jit(
-            jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))
-        )
+        _VOXELIZE_FN_CACHE[key] = jax.jit(batch)
     return _VOXELIZE_FN_CACHE[key]
 
 

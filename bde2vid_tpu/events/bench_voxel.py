@@ -143,7 +143,17 @@ def main(argv=None) -> int:
                                               num_bins=args.num_bins,
                                               sensor_size=sensor)))
     dt = _timeit(lambda: vb(bx, by, bt, bp, bn), max(args.iters // 4, 1))
-    print(f"{'batched voxel (64 windows)':32s} {dt*1e3:9.3f} ms  ({B*n/dt/1e6:8.1f} Mev/s)")
+    print(f"{'vmapped voxel (64 windows)':32s} {dt*1e3:9.3f} ms  ({B*n/dt/1e6:8.1f} Mev/s)")
+
+    # scan batch: lax.scan of the single-window scatter (the pipeline's
+    # path) — keeps each (H*W, B) accumulator on-chip instead of one
+    # batch-wide HBM accumulator (4x, see events_to_voxel_batch docstring)
+    from bde2vid_tpu.events.voxel import events_to_voxel_batch
+
+    fb = jax.jit(lambda x, y, t, q, m: events_to_voxel_batch(
+        x, y, t, q, m, num_bins=args.num_bins, sensor_size=sensor))
+    dt = _timeit(lambda: fb(bx, by, bt, bp, bn), max(args.iters // 4, 1))
+    print(f"{'scan batch voxel (64 windows)':32s} {dt*1e3:9.3f} ms  ({B*n/dt/1e6:8.1f} Mev/s)")
 
     from bde2vid_tpu.native import native_available, pack_windows, voxelize_batch_native
 

@@ -241,6 +241,63 @@ def events_to_voxel(
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "sensor_size"))
+def events_to_voxel_batch(
+    xs: Array,  # (C, cap)
+    ys: Array,
+    ts: Array,
+    ps: Array,
+    n_events: Array,  # (C,)
+    *,
+    num_bins: int = 5,
+    sensor_size: Tuple[int, int] = (180, 240),
+) -> Array:
+    """Batched voxelization: (C, cap) buffers -> (C, B, H, W), as a
+    ``lax.scan`` of the single-window scatter.
+
+    Measured on one chip (64 x 16k-event windows, 180x240): scan-batch
+    62 Mev/s vs 16 Mev/s for both ``jax.vmap(events_to_voxel)`` AND a
+    hand-fused single flat scatter into a (C*H*W, B) accumulator. The
+    batch-wide accumulator (~55 MB at C=64) lives in HBM and every scatter
+    update pays HBM latency; the scan keeps each window's (H*W, B)
+    accumulator (~0.9 MB) on-chip, matching single-window throughput.
+    """
+
+    def body(carry, args):
+        x, y, t, p, n = args
+        return carry, events_to_voxel(
+            x, y, t, p, n, num_bins=num_bins, sensor_size=sensor_size
+        )
+
+    _, out = jax.lax.scan(body, (), (xs, ys, ts, ps, n_events))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "sensor_size"))
+def events_to_neg_pos_voxel_batch(
+    xs: Array,
+    ys: Array,
+    ts: Array,
+    ps: Array,
+    n_events: Array,
+    *,
+    num_bins: int = 5,
+    sensor_size: Tuple[int, int] = (180, 240),
+) -> Tuple[Array, Array]:
+    """Batched polarity-separated voxelization as a ``lax.scan`` of the
+    single-window op (see events_to_voxel_batch for the measured rationale:
+    small on-chip accumulators beat one batch-wide HBM accumulator 4x)."""
+
+    def body(carry, args):
+        x, y, t, p, n = args
+        return carry, events_to_neg_pos_voxel(
+            x, y, t, p, n, num_bins=num_bins, sensor_size=sensor_size
+        )
+
+    _, (vp, vn) = jax.lax.scan(body, (), (xs, ys, ts, ps, n_events))
+    return vp, vn
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "sensor_size"))
 def events_to_neg_pos_voxel(
     xs: Array,
     ys: Array,

@@ -254,3 +254,52 @@ def test_voxel_grid_as_image():
     img = voxel_grid_as_image(vox)
     assert img.shape == (4, 3 * 2 + 2)  # two bins + one 2-px splitter
     assert img.min() == 0.0 and img.max() == 255.0
+
+
+def test_voxel_batch_matches_vmapped_single(rng):
+    """The fused one-scatter batch op must equal vmap(events_to_voxel)
+    per window, including windows with fewer valid events than capacity."""
+    import jax
+
+    from bde2vid_tpu.events.voxel import (
+        events_to_neg_pos_voxel,
+        events_to_neg_pos_voxel_batch,
+        events_to_voxel,
+        events_to_voxel_batch,
+        pad_events,
+    )
+
+    sensor = (24, 32)
+    C, cap = 5, 256
+    xs = np.zeros((C, cap), np.int32)
+    ys = np.zeros((C, cap), np.int32)
+    ts = np.zeros((C, cap), np.float32)
+    ps = np.zeros((C, cap), np.float32)
+    ns = np.array([256, 100, 3, 1, 0], np.int32)
+    for c in range(C):
+        n = int(ns[c])
+        if n:
+            x, y, t, p = make_events(rng, n=n, sensor_size=sensor, t1=0.1)
+            px, py, pt, pp, _ = pad_events(x, y, t, p, capacity=cap)
+            xs[c], ys[c], ts[c], ps[c] = px, py, pt, pp
+
+    got = np.asarray(
+        events_to_voxel_batch(xs, ys, ts, ps, ns, num_bins=5, sensor_size=sensor)
+    )
+    want = np.asarray(
+        jax.vmap(
+            lambda x, y, t, p, n: events_to_voxel(
+                x, y, t, p, n, num_bins=5, sensor_size=sensor
+            )
+        )(xs, ys, ts, ps, ns)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    gp, gn = events_to_neg_pos_voxel_batch(xs, ys, ts, ps, ns, num_bins=5, sensor_size=sensor)
+    wp, wn = jax.vmap(
+        lambda x, y, t, p, n: events_to_neg_pos_voxel(
+            x, y, t, p, n, num_bins=5, sensor_size=sensor
+        )
+    )(xs, ys, ts, ps, ns)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(wn), atol=1e-5)
