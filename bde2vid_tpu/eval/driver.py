@@ -138,7 +138,10 @@ def _cached_run_fn(spec: ModelSpec, padded_hw, for_sequence_model: bool):
     a jit ARGUMENT (not a closure), so a checkpoint sweep over many .pth
     files of the same architecture traces the model once — re-wrapping per
     spec would re-trace (minutes for the flagship) even with the persistent
-    compile cache."""
+    compile cache. One jit object serves ALL sequence lengths (ragged tails
+    included): jit re-traces per T but shares the cache across sequences —
+    an unjitted module.apply tail would run op-by-op, paying the remote
+    tunnel's ~1-2 ms per op."""
     arch_key = (
         spec.module.__class__.__name__,
         repr(getattr(spec.module, "config", None)),
@@ -254,11 +257,9 @@ def evaluate_sequence(
         # independent (eval_models_seq.py:216-219)
         run = _cached_run_fn(spec, padded_hw, True)
         for s in range(0, n_steps, chunk):
-            piece = x[s : s + chunk]
-            if piece.shape[0] == chunk:
-                preds.append(run(piece))
-            else:
-                preds.append(spec.module.apply(spec.params, piece)[0]["image"])
+            # the one jitted fn serves full chunks AND the ragged tail
+            # (jit re-traces per length; tail lengths recur across sequences)
+            preds.append(run(x[s : s + chunk]))
     else:
         state0 = spec.module.initial_state(1, *padded_hw)
         run = _cached_run_fn(spec, padded_hw, False)

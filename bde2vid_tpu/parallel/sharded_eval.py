@@ -84,9 +84,14 @@ def eval_chunks_sharded(
 
     tail_preds = None
     if spec.is_sequence_model and t % chunk != 0:
+        # jitted tail (the sequential driver's cached fn — an unjitted
+        # module.apply would run op-by-op at ~1-2 ms tunnel latency per op)
+        from bde2vid_tpu.eval.driver import _cached_run_fn
+
         t_full = (t // chunk) * chunk
         tail = voxels[t_full:]
-        tail_preds = spec.module.apply(spec.params, tail)[0]["image"]
+        run_tail = _cached_run_fn(spec, (voxels.shape[2], voxels.shape[3]), True)
+        tail_preds = run_tail(tail)
         if t_full == 0:
             return tail_preds
         voxels = voxels[:t_full]
