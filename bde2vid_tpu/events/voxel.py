@@ -166,14 +166,21 @@ def events_to_image_bilinear(
         ],
         axis=1,
     )  # (N, 4)
+    # ONE width-4 row scatter at the base corner, then shift-and-add the
+    # four planes — 4N scalar scatter updates (measured 29 Mev/s on-chip)
+    # become N row updates like the voxel path (~70 Mev/s) plus three
+    # cheap shifted adds. base+1 / base+w offsets are in-bounds by the
+    # inb clip (xs < w-1, ys < h-1), matching the old flat-scatter result.
     base = pyi * w + pxi
-    flat = jnp.stack([base, base + 1, base + w, base + w + 1], axis=1)  # (N, 4)
+    acc = jnp.zeros((h * w, 4), jnp.float32).at[base].add(corners, mode="drop")
+    p = acc.reshape(h, w, 4)
     img = (
-        jnp.zeros((h * w,), jnp.float32)
-        .at[flat.reshape(-1)]
-        .add(corners.reshape(-1), mode="drop")
+        p[:, :, 0]
+        + jnp.pad(p[:, :, 1], ((0, 0), (1, 0)))[:, :w]  # corner (x+1, y)
+        + jnp.pad(p[:, :, 2], ((1, 0), (0, 0)))[:h, :]  # corner (x, y+1)
+        + jnp.pad(p[:, :, 3], ((1, 0), (1, 0)))[:h, :w]  # corner (x+1, y+1)
     )
-    return img.reshape(h, w)
+    return img
 
 
 # ---------------------------------------------------------------------------
