@@ -22,6 +22,20 @@ import numpy as np
 import pytest
 
 
+def pytest_sessionstart(session):
+    # tests/test_reference_oracle.py (the source-of-truth parity suite)
+    # skips wholesale without the mirror — make that impossible to miss
+    if not os.path.isdir("/root/reference"):
+        import warnings
+
+        warnings.warn(
+            "reference mirror /root/reference is ABSENT: the entire "
+            "reference-oracle parity suite will skip (set "
+            "BDE2VID_REQUIRE_REFERENCE=1 to fail instead)",
+            stacklevel=1,
+        )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

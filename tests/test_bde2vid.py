@@ -315,18 +315,25 @@ def test_bde2vid_checkpoint_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
-def test_bde2vid_t_invariance_of_step(rng):
-    """Frame t's output must not depend on frames outside the buffer+recurrence
-    influence: check determinism across two identical runs."""
+def test_bde2vid_batch_independence(rng):
+    """Batch items must not leak into each other: the window partition /
+    attention reshapes fold (T, N) and window axes — a wrong reshape would
+    mix batch elements. Changing batch item 1 must leave item 0's outputs
+    bit-identical. (An identical-inputs determinism check cannot catch
+    this; it passes for any pure function.)"""
     cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
                          "ks": 5, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
                          "depths": [2, 2], "num_heads": 4, "window_size": [7, 7]}}
     m = build_model("BDE2VID", cfg)
-    v = jnp.asarray(rng.normal(size=(4, 1, 28, 28, 5)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(4, 2, 28, 28, 5)).astype(np.float32))
     params = m.init(jax.random.PRNGKey(0), v)
     a, _ = m.apply(params, v)
-    b, _ = m.apply(params, v)
-    np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+    v2 = v.at[:, 1].set(jnp.asarray(rng.normal(size=(4, 28, 28, 5)).astype(np.float32)))
+    b, _ = m.apply(params, v2)
+    np.testing.assert_array_equal(
+        np.asarray(a["image"][:, 0]), np.asarray(b["image"][:, 0])
+    )
+    assert np.abs(np.asarray(a["image"][:, 1]) - np.asarray(b["image"][:, 1])).max() > 1e-6
 
 
 def test_bde2vid_concat_and_no_rc(rng):
@@ -474,3 +481,84 @@ def test_bde2vid_norm_decoder_has_norm_layers(rng):
     # their paths pass through unchanged
     assert _bde2vid_path_fixup(("generator", "predI1",)) == (
         "generator", "decode", "predI1")
+
+
+def test_nwindow_kv_reduction_matches_torch(rng):
+    """NUMERICAL oracle for the KV token-reduction path (reference
+    WindowAttention3D reduction_conv + the quirky group-major channel/token
+    reshape, DTransformer.py:129,172-176, and the bias-table column slice
+    [:N] at :195-197): torch replica vs flax on shared weights. The smoke
+    test above only checks finiteness — a transposed grouped-conv layout or
+    wrong bias columns would pass it."""
+    from bde2vid_tpu.nn.window_attention import WindowAttention3D
+
+    torch.manual_seed(3)
+    D, B_, WH, WW, C, HEADS_, NW = 3, 2, 5, 5, 8, 2, (2, 2)
+    ntok = NW[0] * NW[1]
+
+    class TRedAttn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm_q = nn.LayerNorm(C)
+            self.norm_kv = nn.LayerNorm(C)
+            self.reduction_conv = nn.Conv2d(C, ntok * C, (WH, WW), groups=C)
+            self.q = nn.Linear(C, C, bias=True)
+            self.kv = nn.Linear(C, 2 * C, bias=True)
+            self.proj = nn.Linear(C, C)
+            self.table = nn.Parameter(
+                torch.randn((2 * D - 1) * (2 * WH - 1) * (2 * WW - 1), HEADS_) * 0.02
+            )
+            coords = torch.stack(
+                torch.meshgrid(torch.arange(D), torch.arange(WH), torch.arange(WW),
+                               indexing="ij")).flatten(1)
+            rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += D - 1
+            rel[:, :, 1] += WH - 1
+            rel[:, :, 2] += WW - 1
+            rel[:, :, 0] *= (2 * WH - 1) * (2 * WW - 1)
+            rel[:, :, 1] *= 2 * WW - 1
+            self.register_buffer("idx", rel.sum(-1))
+            self.q_ind = D // 2
+
+        def forward(self, x):  # (D, B_, C, H, W)
+            d, b_, c, hh, ww = x.shape
+            kv = self.reduction_conv(x.reshape(-1, c, hh, ww))  # (-1, C*ntok, 1, 1)
+            kv = kv.view(d, b_, ntok, c)  # the reference's mixing reshape
+            q = x[self.q_ind].permute(0, 2, 3, 1).reshape(b_, -1, c)
+            kv = kv.permute(1, 0, 2, 3).reshape(b_, -1, c)
+            q = self.norm_q(q)
+            kv = self.norm_kv(kv)
+            m = q.shape[1]
+            n = kv.shape[1]
+            hd = c // HEADS_
+            qh = self.q(q).reshape(b_, m, HEADS_, hd).permute(0, 2, 1, 3)
+            kvh = self.kv(kv).reshape(b_, n, 2, HEADS_, hd).permute(2, 0, 3, 1, 4)
+            k, v = kvh[0], kvh[1]
+            attn = (qh * hd**-0.5) @ k.transpose(-2, -1)
+            qs = self.q_ind * WH * WW
+            bias = self.table[self.idx[qs : qs + WH * WW, :n].reshape(-1)].reshape(m, n, -1)
+            attn = (attn + bias.permute(2, 0, 1).unsqueeze(0)).softmax(-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, m, c)
+            return self.proj(out).view(b_, WH, WW, c)
+
+    tnet = TRedAttn().eval()
+    fnet = WindowAttention3D(C, (D, WH, WW), HEADS_, nwin_size=NW, qkv_bias=True)
+    x = rng.normal(size=(D, B_, WH, WW, C)).astype(np.float32)
+    fparams = fnet.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    t2n = lambda t: t.detach().numpy()
+    p = dict(fparams["params"])
+    p["norm_q"] = {"scale": t2n(tnet.norm_q.weight), "bias": t2n(tnet.norm_q.bias)}
+    p["norm_kv"] = {"scale": t2n(tnet.norm_kv.weight), "bias": t2n(tnet.norm_kv.bias)}
+    p["q"] = {"kernel": t2n(tnet.q.weight).T, "bias": t2n(tnet.q.bias)}
+    p["kv"] = {"kernel": t2n(tnet.kv.weight).T, "bias": t2n(tnet.kv.bias)}
+    p["proj"] = {"kernel": t2n(tnet.proj.weight).T, "bias": t2n(tnet.proj.bias)}
+    p["relative_position_bias_table"] = t2n(tnet.table)
+    p["reduction_conv"] = {
+        "kernel": t2n(tnet.reduction_conv.weight).transpose(2, 3, 1, 0),
+        "bias": t2n(tnet.reduction_conv.bias),
+    }
+    got = np.asarray(fnet.apply({"params": p}, jnp.asarray(x)))  # (B_, WH, WW, C)
+    with torch.no_grad():
+        want = t2n(tnet(torch.from_numpy(x.transpose(0, 1, 4, 2, 3))))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -81,8 +81,18 @@ def test_evaluate_all_writes_results_and_table(tmp_path, rng):
     # the reference renders with header=False, so no column-name row;
     # sequence names appear as the first column
     assert "s1" in table_txt and "s2" in table_txt
-    # skip-lock: second call is a no-op
-    assert evaluate_all(spec, [], str(tmp_path), result_file, cfg, progress=False) == {}
+    # skip-lock: a second run over the SAME datafiles must return {} without
+    # re-evaluating (an empty file list would return {} even with the lock
+    # deleted — pass the real list so the lock is what's exercised)
+    mtime = os.path.getmtime(result_file)
+    assert (
+        evaluate_all(
+            spec, ["DSET/s1.h5", "DSET/s2.h5"], str(tmp_path), result_file, cfg,
+            progress=False,
+        )
+        == {}
+    )
+    assert os.path.getmtime(result_file) == mtime  # untouched
 
 
 def test_p_loss_without_weights_raises(tmp_path, rng):

@@ -26,7 +26,10 @@ SENSOR = (36, 44)
 GOLDEN = {"mse": 0.08551601320505142, "ssim": 0.04388384893536568}
 
 
-def test_golden_eval_metrics(tmp_path):
+def _golden_seq(tmp_path, ltype="H5"):
+    """THE golden fixture: every golden in this file is pinned against this
+    exact seeded byte stream — one copy only (divergent copies would
+    silently desynchronize the pinned numbers)."""
     rng = np.random.default_rng(1234)
     xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
     path = str(tmp_path / "g.h5")
@@ -34,7 +37,11 @@ def test_golden_eval_metrics(tmp_path):
         w.append_events(xs, ys, ts, ps > 0)
         for i in range(6):
             w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
-    seq = load_sequence(path, num_bins=5)
+    return load_sequence(path, num_bins=5, ltype=ltype)
+
+
+def test_golden_eval_metrics(tmp_path):
+    seq = _golden_seq(tmp_path)
     model = build_model(
         "E2VIDRecurrent",
         {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
@@ -57,17 +64,6 @@ BDE2VID_CFG = {
                   "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
                   "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}
 }
-
-
-def _golden_seq(tmp_path):
-    rng = np.random.default_rng(1234)
-    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
-    path = str(tmp_path / "g.h5")
-    with H5EventWriter(path, sensor_size=SENSOR) as w:
-        w.append_events(xs, ys, ts, ps > 0)
-        for i in range(6):
-            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
-    return load_sequence(path, num_bins=5)
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
@@ -106,18 +102,11 @@ def test_golden_per_family(tmp_path, name):
     """Per-family numeric anchors through the full pipeline (incl. the
     SPADE ev_rate path and the SNN robust-norm postprocessing)."""
     cfg, ltype, robust, golden = FAMILY_GOLDEN[name]
-    seq_path = tmp_path / "g.h5"
-    rng = np.random.default_rng(1234)
-    xs, ys, ts, ps = make_events(rng, n=12000, sensor_size=SENSOR, t1=1.0)
-    with H5EventWriter(str(seq_path), sensor_size=SENSOR) as w:
-        w.append_events(xs, ys, ts, ps > 0)
-        for i in range(6):
-            w.add_image(rng.integers(0, 255, SENSOR).astype(np.uint8), (i + 0.5) / 6)
+    seq = _golden_seq(tmp_path, ltype=ltype)
     model = build_model(name, cfg)
     st = model.initial_state(1, 64, 64)
     params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 5)), st)
     spec = ModelSpec(name, model, params, 5, 3)
-    seq = load_sequence(str(seq_path), num_bins=5, ltype=ltype)
     result, _ = evaluate_sequence(
         spec, seq,
         EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None,

@@ -42,10 +42,14 @@ def test_frames_and_event_indices(tmp_path, rng):
         fts = r.frame_timestamps
         assert (np.diff(fts) > 0).all()
         eidx = r.frame_event_indices
-        # each frame's event_idx points at/before the frame timestamp
+        # exact reference-packager convention (event_packagers.py:83-89):
+        # event_idx = max(0, searchsorted(ts, frame_ts) - 1) — the last
+        # event strictly before the frame. (A weaker at/before check is
+        # satisfied by all-zeros indices and cannot catch under-counts.)
         shifted = ts - ts[0]
-        for i, k in enumerate(eidx):
-            assert shifted[k] <= fts[i] + 1e-9
+        want = np.maximum(np.searchsorted(shifted, fts, side="left") - 1, 0)
+        np.testing.assert_array_equal(eidx, want)
+        assert (eidx > 0).any()  # non-degenerate fixture
         img = r.frame(0)
         assert img.shape == SENSOR and img.dtype == np.float32
         assert 0.0 <= img.min() and img.max() <= 1.0

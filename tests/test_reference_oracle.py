@@ -40,6 +40,16 @@ import jax.numpy as jnp
 
 REF = "/root/reference"
 
+# The reference mirror is this suite's source of truth. A missing mirror
+# must not turn the project's primary parity coverage into a silently
+# green run: the skip is LOUD (session warning via conftest) and becomes a
+# hard failure under BDE2VID_REQUIRE_REFERENCE=1 (set it in CI on machines
+# that are supposed to carry the mirror).
+if not os.path.isdir(REF) and os.environ.get("BDE2VID_REQUIRE_REFERENCE") == "1":
+    raise RuntimeError(
+        f"BDE2VID_REQUIRE_REFERENCE=1 but the reference mirror {REF} is absent"
+    )
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference mirror not present"
 )
@@ -285,6 +295,10 @@ def test_between_frames_windows_match_reference(synthetic_h5):
         got = between_frames_windows(reader.frame_event_indices)
     want = np.asarray(ds.event_indices, np.int64)
     assert len(ds) == reader.num_frames - 1
+    # our raw windows may carry at most ONE trailing window beyond the
+    # reference item count (the pipeline trims to num_frames-1 items);
+    # anything more would be surplus garbage the slice would mask
+    assert len(got) - len(want) in (0, 1)
     np.testing.assert_array_equal(got[: len(want)], want)
 
 
@@ -363,6 +377,7 @@ def test_hfr_windows_match_reference(synthetic_h5):
     with H5EventReader(path) as reader:
         got = hfr_windows(reader, k_framerate=3)
     want = np.asarray(ds.event_indices, np.int64)
+    assert len(got) - len(want) in (0, 1)  # see between_frames note above
     np.testing.assert_array_equal(got[: len(want)], want)
 
 

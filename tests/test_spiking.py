@@ -155,10 +155,12 @@ def test_evsnn_checkpoint_parity(rng, tmp_path):
     out, state = spec.module.apply(spec.params, jnp.asarray(voxel), state)
     out2, _ = spec.module.apply(spec.params, jnp.asarray(voxel), state)
 
-    # torch path: replicate RecSNN (LegacyNorm, bins, persistent LIF membranes)
+    # torch path: replicate RecSNN exactly (rec_snn_forward.py:34 — torch
+    # DEFAULT tensor.std(), the unbiased n-1 estimator, NOT the dataset
+    # LegacyNorm's population std), bins, persistent LIF membranes
     t = torch.from_numpy(voxel.transpose(0, 3, 1, 2))
     nz = t != 0
-    mean, std = t[nz].mean(), t[nz].std(correction=0)
+    mean, std = t[nz].mean(), t[nz].std()
     t = torch.where(nz, (t - mean) / std, t)
     lifs = {k: TLIF() for k in
             ("static_conv", "down1", "down2", "down3", "resblock", "up1", "up2", "up3")}
@@ -169,7 +171,7 @@ def test_evsnn_checkpoint_parity(rng, tmp_path):
                 mp = tnet(t[:, j : j + 1], lifs, mp)
             want = mp[0, 0].numpy()
             got = np.asarray((out if rep == 0 else out2)["image"])[0, :, :, 0]
-            np.testing.assert_allclose(got, want, atol=5e-4)
+            np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 @pytest.mark.parametrize("name", ["EVSNN", "PAEVSNN"])

@@ -92,8 +92,21 @@ def test_load_sequence_mmp_matches_h5(tmp_path, h5_file):
     assert np.abs(d).max() <= 1
     v_h5 = np.asarray(seq_h5.voxels())
     v_mm = np.asarray(seq_mm.voxels())
-    # one boundary event shifts dt slightly; total signed mass differs by
-    # at most the boundary events' polarities per window
+    # per-pixel check (a scalar-mass check alone would pass mass-preserving
+    # scrambles like swapped axes or reversed bin order): voxelize the H5
+    # events over the MEMMAP backend's exact windows — identical windows
+    # must give bit-identical grids, isolating the boundary convention gap
+    # (asserted <= 1 above) from the event data / voxelization itself
+    from bde2vid_tpu.data.pipeline import EventSequence
+    from bde2vid_tpu.events import H5EventReader
+
+    with H5EventReader(h5_file) as r:
+        cross = EventSequence(r, np.asarray(seq_mm.item_windows), num_bins=5)
+        v_cross = np.asarray(cross.voxels())
+    np.testing.assert_allclose(v_mm, v_cross, atol=1e-4)
+    # off-by-one windows: one boundary event shifts dt slightly; total
+    # signed mass vs the h5 windows differs by at most those events'
+    # polarities
     np.testing.assert_allclose(
         v_mm.sum(axis=(1, 2, 3)), v_h5.sum(axis=(1, 2, 3)), atol=2.5
     )
