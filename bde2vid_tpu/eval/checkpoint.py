@@ -193,10 +193,14 @@ def _bde2vid_path_fixup(path):
 def fill_params(init_tree, converted, strict: bool = True, unused_ok=(), path_fixup=None):
     """Copy converted leaves into the init-shaped tree, checking coverage.
 
-    ``unused_ok``: substrings marking checkpoint tensors that legitimately
-    have no home — e.g. the SNN skip layers' dead pooled-MLP submodules
-    (snn_network.py:86-110 define conv2d_pool/fc1/fc2 that forward never
-    uses, yet they sit in real checkpoints).
+    ``unused_ok``: regex patterns (``re.search`` on the '/'-joined path;
+    plain substrings work unchanged) marking checkpoint tensors that
+    legitimately have no home — e.g. the SNN skip layers' dead pooled-MLP
+    submodules (snn_network.py:86-110 define conv2d_pool/fc1/fc2 that
+    forward never uses, yet they sit in real checkpoints). Patterns must
+    be PRECISE: an over-broad pattern (e.g. bare 'fc2' when a live
+    get_theta/fc2 exists) would let a mis-mapped live tensor slip past the
+    strict coverage check.
     """
     init_flat = dict(_tree_paths(init_tree))
     conv_flat = dict(_tree_paths(converted))
@@ -207,7 +211,7 @@ def fill_params(init_tree, converted, strict: bool = True, unused_ok=(), path_fi
         p
         for p in conv_flat
         if p not in init_flat
-        and not any(u in "/".join(map(str, p)) for u in unused_ok)
+        and not any(_re.search(u, "/".join(map(str, p))) for u in unused_ok)
     ]
     if strict and (missing or extra):
         raise ValueError(
@@ -297,7 +301,15 @@ def load_model_from_torch(path: str, dtype=jnp.float32) -> ModelSpec:
         sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
         return _build_spec(
             name, {}, sd, dtype,
-            unused_ok=("conv2d_pool", "fc1", "fc2"),
+            # dead params in real SNN checkpoints: ConvLayer_ada_simmp's
+            # direct conv2d_pool/fc1/fc2 children (snn_network.py:86-110,
+            # forward never touches them) and get_theta's fc1 (the 'mix'
+            # forward uses fc3+fc2 only, :144-150). get_theta's fc2/fc3 are
+            # LIVE — a bare 'fc2' substring would mask a mis-mapping there.
+            unused_ok=(
+                r"(?<!get_theta)/(?:conv2d_pool|fc1|fc2)/",
+                r"get_theta/fc1/",
+            ),
         )
     raise ValueError(f"unrecognized checkpoint dialect: {path}")
 
