@@ -102,6 +102,18 @@ def pack_windows(
     native kernel when available, NumPy otherwise (identical output)."""
     windows = np.ascontiguousarray(windows, np.int64)
     n_windows = len(windows)
+    # validate BEFORE crossing the C boundary: the kernel indexes the raw
+    # stream with these values and cannot bounds-check it
+    if len(xs) != len(ys) or len(xs) != len(ts) or len(xs) != len(ps):
+        raise ValueError("event component arrays differ in length")
+    if n_windows:
+        if windows.min() < 0 or windows.max() > len(xs):
+            raise ValueError(
+                f"window indices out of range [0, {len(xs)}]: "
+                f"[{windows.min()}, {windows.max()}]"
+            )
+        if (windows[:, 1] < windows[:, 0]).any():
+            raise ValueError("window end precedes start")
     oxs = np.empty((n_windows, capacity), np.int32)
     oys = np.empty((n_windows, capacity), np.int32)
     ots = np.empty((n_windows, capacity), np.float32)
@@ -155,6 +167,9 @@ def voxelize_batch_native(
     if lib is None:
         return None
     n_windows, capacity = xs.shape
+    ns = np.asarray(ns)
+    if len(ns) != n_windows or (ns > capacity).any() or (ns < 0).any():
+        raise ValueError("ns out of range for the packed buffers")
     h, w = sensor_size
     out = np.empty((n_windows, num_bins, h, w), np.float32)
     lib.voxelize_batch(

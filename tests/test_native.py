@@ -81,3 +81,23 @@ def test_native_voxelize_small_window_zero(rng):
     packed = pack_windows(xs, ys, ts, ps, windows, 64)
     got = voxelize_batch_native(*packed, 5, SENSOR)
     assert got.sum() == 0.0
+
+
+def test_pack_windows_rejects_out_of_range(rng):
+    """Bounds are validated BEFORE crossing the C boundary — the kernel
+    indexes the raw stream with the window values and cannot check them."""
+    from bde2vid_tpu.native import pack_windows
+
+    n = 100
+    xs = rng.integers(0, 44, n).astype(np.int16)
+    ys = rng.integers(0, 36, n).astype(np.int16)
+    ts = np.sort(rng.uniform(0, 1, n))
+    ps = rng.integers(0, 2, n).astype(np.uint8)
+    with pytest.raises(ValueError, match="out of range"):
+        pack_windows(xs, ys, ts, ps, np.array([[0, n + 5]]), 256)
+    with pytest.raises(ValueError, match="out of range"):
+        pack_windows(xs, ys, ts, ps, np.array([[-1, 10]]), 256)
+    with pytest.raises(ValueError, match="precedes"):
+        pack_windows(xs, ys, ts, ps, np.array([[50, 10]]), 256)
+    with pytest.raises(ValueError, match="length"):
+        pack_windows(xs, ys, ts[:-1], ps, np.array([[0, 10]]), 256)
