@@ -68,6 +68,35 @@ class RandomCrop:
         return x[..., i : i + th, j : j + tw]
 
 
+def _np_grid_sample_bilinear(img: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """NumPy twin of nn/sampling.grid_sample_bilinear (align_corners=False,
+    zeros padding): img (H, W, C), grid (H, W, 2) normalized (x, y)."""
+    h, w, _ = img.shape
+    fx = ((grid[..., 0].astype(np.float64) + 1.0) * w - 1.0) * 0.5
+    fy = ((grid[..., 1].astype(np.float64) + 1.0) * h - 1.0) * 0.5
+    x0 = np.floor(fx)
+    y0 = np.floor(fy)
+    dx = (fx - x0)[..., None].astype(np.float32)
+    dy = (fy - y0)[..., None].astype(np.float32)
+
+    def fetch(xi, yi):
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = np.clip(xi, 0, w - 1).astype(np.int64)
+        yc = np.clip(yi, 0, h - 1).astype(np.int64)
+        return img[yc, xc] * inb[..., None].astype(np.float32)
+
+    v00 = fetch(x0, y0)
+    v01 = fetch(x0 + 1, y0)
+    v10 = fetch(x0, y0 + 1)
+    v11 = fetch(x0 + 1, y0 + 1)
+    return (
+        v00 * (1 - dx) * (1 - dy)
+        + v01 * dx * (1 - dy)
+        + v10 * (1 - dx) * dy
+        + v11 * dx * dy
+    )
+
+
 class RandomRotationFlip:
     """Continuous-angle affine rotation + axis flips via grid sampling
     (reference :158-246): sample an angle uniformly from ``degrees``, flip
@@ -79,7 +108,7 @@ class RandomRotationFlip:
     Call ``sample_params(rng)`` once per sequence (or ``set_params`` for
     deterministic use); operates on (C, H, W) arrays like the reference."""
 
-    def __init__(self, degrees=0.0, p_hflip: float = 0.5, p_vflip: float = 0.0):
+    def __init__(self, degrees=0.0, p_hflip: float = 0.5, p_vflip: float = 0.5):
         if isinstance(degrees, (int, float)):
             if degrees < 0:
                 raise ValueError("degrees must be non-negative")
@@ -114,8 +143,6 @@ class RandomRotationFlip:
     def __call__(self, x, is_flow: bool = False):
         if self._fwd is None:
             raise RuntimeError("call sample_params/set_params first")
-        from bde2vid_tpu.nn.sampling import grid_sample_bilinear
-
         x = np.asarray(x, np.float32)
         c, h, w = x.shape
         # F.affine_grid(align_corners=False) base coords: pixel centers
@@ -124,10 +151,13 @@ class RandomRotationFlip:
         X, Y = np.meshgrid(gx, gy)
         pts = np.stack([X, Y, np.ones_like(X)], axis=-1)  # (H, W, 3)
         grid = (pts @ self._fwd.T).astype(np.float32)  # output -> input coords
-        out = grid_sample_bilinear(
-            jnp.asarray(x.transpose(1, 2, 0))[None], jnp.asarray(grid)[None]
-        )
-        out = np.array(np.asarray(out)[0].transpose(2, 0, 1))  # (C, H, W), writable
+        # pure-NumPy bilinear sampling (same math as nn/sampling
+        # grid_sample_bilinear, align_corners=False, zeros padding): this
+        # is a HOST loader transform — dispatching through JAX would ship
+        # every augmented item to the default device (the tunneled TPU in
+        # production, ~1-2 ms/dispatch) and back
+        out = _np_grid_sample_bilinear(x.transpose(1, 2, 0), grid)
+        out = np.ascontiguousarray(out.transpose(2, 0, 1))  # (C, H, W)
         if is_flow:
             a = self._inv
             vx, vy = out[0].copy(), out[1].copy()
@@ -200,7 +230,7 @@ def sample_pause_mask(
     rng: np.random.Generator,
     proba_pause_when_running: float = 0.0,
     proba_pause_when_paused: float = 0.0,
-) -> np.ndarray:
+) -> Tuple[np.ndarray, np.ndarray]:
     """Markov pause chain (reference SequenceDataset h5_dataset.py:721-747):
     step 0 never pauses; pausing repeats the previous item with zeroed
     events. Returns an int index map idx[t] = source item offset and a bool

@@ -35,13 +35,25 @@ def decode_image_msg(msg, is_color: bool = False) -> np.ndarray:
     h, w = int(msg.height), int(msg.width)
     buf = np.frombuffer(bytes(msg.data), np.uint8)
     enc = getattr(msg, "encoding", "mono8")
+    # honor sensor_msgs/Image.step (row stride in bytes) like CvBridge:
+    # aligned camera drivers pad rows, so a bare reshape(h, w[, 3]) fails
+    def rows(channels: int) -> np.ndarray:
+        step = int(getattr(msg, "step", 0) or w * channels)
+        if step < w * channels or len(buf) < h * step:
+            raise ValueError(
+                f"image buffer too small: step={step}, {len(buf)} bytes for "
+                f"{h}x{w}x{channels}"
+            )
+        out = buf[: h * step].reshape(h, step)[:, : w * channels]
+        return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
     if enc == "mono8":
-        img = buf.reshape(h, w)
+        img = rows(1)
         if is_color:
             img = np.stack([img] * 3, axis=-1)
         return img
     if enc in ("bgr8", "rgb8"):
-        img = buf.reshape(h, w, 3)
+        img = rows(3)
         if enc == "rgb8":
             img = img[..., ::-1]  # to bgr, like CvBridge 'bgr8'
         if not is_color:

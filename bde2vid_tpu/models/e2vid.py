@@ -31,24 +31,6 @@ from bde2vid_tpu.models.api import register_model
 Array = jax.Array
 
 
-def _recurrent_unet_state(config, batch, height, width, dtype=jnp.float32):
-    """Zero states for a recurrent UNet: one cell per encoder level, channels
-    doubling and spatial halving (k=5, s=2, p=2 torch conv arithmetic)."""
-    base = int(config.get("base_num_channels", 32))
-    n_enc = int(config.get("num_encoders", 4))
-    rec = str(config.get("recurrent_block_type", "convlstm"))
-    states = []
-    h, w = height, width
-    for i in range(n_enc):
-        h, w = (h - 1) // 2 + 1, (w - 1) // 2 + 1
-        ch = base * 2 ** (i + 1)
-        if rec == "convlstm":
-            states.append(lstm_initial_state(batch, h, w, ch, dtype))
-        else:
-            states.append(gru_initial_state(batch, h, w, ch, dtype))
-    return tuple(states)
-
-
 def _unet_common(config: Dict[str, Any]) -> Dict[str, Any]:
     """Config unpacking with reference defaults (model/e2vid/model.py:18-55)."""
     return dict(
@@ -59,7 +41,8 @@ def _unet_common(config: Dict[str, Any]) -> Dict[str, Any]:
         num_residual_blocks=int(config.get("num_residual_blocks", 2)),
         norm=config.get("norm", None),
         use_upsample_conv=bool(config.get("use_upsample_conv", True)),
-        kernel_size=int(config.get("kernel_size", 5)),
+        # NOTE: no kernel_size — UNet/UNetRecurrent hardcode k=5 like the
+        # reference; FireNetOrg reads kernel_size from config directly
     )
 
 
@@ -74,7 +57,6 @@ class E2VID(nn.Module):
     @nn.compact
     def __call__(self, voxel: Array, state=()) -> Tuple[Dict[str, Array], Tuple]:
         kw = _unet_common(self.config)
-        kw.pop("kernel_size")
         img = UNet(
             num_output_channels=1,
             activation="sigmoid",
@@ -97,16 +79,18 @@ class E2VIDRecurrent(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train: bool = False
 
-    def _backbone(self):
+    @nn.nowrap
+    def _backbone(self, name="unetrecurrent"):
+        # name=None for out-of-scope uses (initial_state shape queries):
+        # flax forbids NAMED top-level module construction outside a scope
         kw = _unet_common(self.config)
-        kw.pop("kernel_size")
         return UNetRecurrent(
             num_output_channels=1,
             activation="sigmoid",
             recurrent_block_type=str(self.config.get("recurrent_block_type", "convlstm")),
             dtype=self.dtype,
             train=self.train,
-            name="unetrecurrent",
+            name=name,
             **kw,
         )
 
@@ -115,8 +99,12 @@ class E2VIDRecurrent(nn.Module):
         img, new_state = self._backbone()(voxel, state)
         return {"image": img}, new_state
 
+    @nn.nowrap
     def initial_state(self, batch, height, width, dtype=None):
-        return _recurrent_unet_state(self.config, batch, height, width, dtype or self.dtype)
+        # single source of truth: the backbone's own state-shape arithmetic
+        return self._backbone(name=None).initial_state(
+            batch, height, width, dtype or self.dtype
+        )
 
 
 @register_model("FireNet")
@@ -157,7 +145,8 @@ class FireNetOrg(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train: bool = False
 
-    def _backbone(self):
+    @nn.nowrap
+    def _backbone(self, name="net"):
         rec_blocks = self.config.get("recurrent_blocks", {"resblock": [0]})
         return UNetFire(
             num_bins=int(self.config["num_bins"]),
@@ -171,7 +160,7 @@ class FireNetOrg(nn.Module):
             recurrent_blocks_cfg=tuple(rec_blocks.get("resblock", [])),
             dtype=self.dtype,
             train=self.train,
-            name="net",
+            name=name,
         )
 
     @nn.compact
@@ -179,20 +168,12 @@ class FireNetOrg(nn.Module):
         img, new_state = self._backbone()(voxel, state)
         return {"image": img}, new_state
 
+    @nn.nowrap
     def initial_state(self, batch, height, width, dtype=None):
-        rec_blocks = self.config.get("recurrent_blocks", {"resblock": [0]})
-        rec_idx = set(rec_blocks.get("resblock", []))
-        n_res = int(self.config.get("num_residual_blocks", 2))
-        n_units = 1 + sum(1 for i in range(n_res) if i in rec_idx or -1 in rec_idx)
-        c = int(self.config.get("base_num_channels", 16))
-        dtype = dtype or self.dtype
-        rec = str(self.config.get("recurrent_block_type", "convgru"))
-        mk = (
-            (lambda: lstm_initial_state(batch, height, width, c, dtype))
-            if rec == "convlstm"
-            else (lambda: gru_initial_state(batch, height, width, c, dtype))
+        # single source of truth: UNetFire's own recurrent-unit counting
+        return self._backbone(name=None).initial_state(
+            batch, height, width, dtype or self.dtype
         )
-        return tuple(mk() for _ in range(n_units))
 
 
 @register_model("FlowNet")
@@ -203,14 +184,14 @@ class FlowNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train: bool = False
 
-    def _backbone(self):
+    @nn.nowrap
+    def _backbone(self, name="unetflow"):
         kw = _unet_common(self.config)
-        kw.pop("kernel_size")
         return UNetFlow(
             recurrent_block_type=str(self.config.get("recurrent_block_type", "convlstm")),
             dtype=self.dtype,
             train=self.train,
-            name="unetflow",
+            name=name,
             **kw,
         )
 
@@ -219,5 +200,9 @@ class FlowNet(nn.Module):
         out, new_state = self._backbone()(voxel, state)
         return {"image": out[..., 0:1], "flow": out[..., 1:3]}, new_state
 
+    @nn.nowrap
     def initial_state(self, batch, height, width, dtype=None):
-        return _recurrent_unet_state(self.config, batch, height, width, dtype or self.dtype)
+        # single source of truth: the backbone's own state-shape arithmetic
+        return self._backbone(name=None).initial_state(
+            batch, height, width, dtype or self.dtype
+        )

@@ -14,7 +14,18 @@ import jax.numpy as jnp
 
 
 def model_cost_summary(spec, height: int = 184, width: int = 240, t: int = 2) -> Dict:
-    """Compile the forward and report XLA cost analysis per frame."""
+    """Compile the forward and report XLA cost analysis per frame.
+
+    The input is padded to a multiple of 2^num_encoders like the eval
+    driver's CropParameters — unpadded sizes make the decoder skip-sums
+    shape-mismatch for families like E2VIDRecurrent (4 encoders at the
+    default 184 would go 184->...->23->12->24 vs the 23-row skip)."""
+    from bde2vid_tpu.utils.padding import optimal_crop_size
+
+    ne = int(getattr(spec, "num_encoders", 0) or 0)
+    if ne > 0:
+        height = optimal_crop_size(height, ne)
+        width = optimal_crop_size(width, ne)
     if spec.is_sequence_model:
         args = (jnp.zeros((t, 1, height, width, spec.num_bins)),)
         fn = lambda v: spec.module.apply(spec.params, v)[0]["image"]

@@ -27,13 +27,6 @@ import numpy as np
 
 H, W, BINS, T = 184, 240, 5, 16  # 180x240 padded to /8 (compile ~2min; scan makes T-throughput stable)
 V5E_BF16_PEAK_FLOPS = 197e12  # public TPU v5e (v5 lite) peak, bf16
-CFG = {
-    "num_bins": BINS,
-    "num_encoders": 3,
-    "base_num_channels": 32,
-    "num_residual_blocks": 2,
-    "recurrent_block_type": "convlstm",
-}
 
 
 def bench_tpu():

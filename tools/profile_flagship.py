@@ -6,11 +6,12 @@ Measures frames/sec of the bench configuration (bf16, T=16, 184x240) for:
 - no_attention    : depths zeroed -> encoders + decoders + scans only
 - xla_attention   : fused Pallas kernel off (XLA attention, same semantics)
 - parallel_attn   : non-parity batched attention (_AttnParallel)
-- encoder_only    : decode path replaced by returning the head conv
 
-The difference full - no_attention is the attention share of runtime; the
-other variants locate the remaining time between the recurrent encoder
-scans and the T-batched decoder.
+The difference full - no_attention is the attention share of runtime;
+no_attention lumps the recurrent encoder scans with the T-batched
+decoder (the decoder is a handful of (T*N)-batched convs — per the
+scan_unroll experiment in docs/DESIGN.md, the conv work itself, not
+scan overhead, dominates that remainder).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_flagship.py
 """
