@@ -184,6 +184,11 @@ def evaluate_sequence(
 ) -> Tuple[Dict[str, float], Dict[str, List[float]]]:
     """Evaluate one model on one sequence; returns (result, detail)."""
     T = len(seq)
+    if (cfg.pause_st is None) != (cfg.pause_ed is None):
+        raise ValueError(
+            "pause_st and pause_ed must be set together "
+            f"(got pause_st={cfg.pause_st}, pause_ed={cfg.pause_ed})"
+        )
     if cfg.pause_st is not None and cfg.pause_ed is not None:
         # reference: T = max_length outright (eval_models_seq.py:174-177) —
         # the pause consumes no real items, so the run extends past len(seq).

@@ -12,6 +12,8 @@ from bde2vid_tpu.events.voxel import (
     events_to_voxel_timesync,
     events_to_neg_pos_voxel,
     events_to_timestamp_image,
+    events_to_zhu_timestamp_image,
+    events_to_image_drv,
     hot_event_mask,
     pad_events,
     unpack_batched_events,
@@ -27,6 +29,8 @@ __all__ = [
     "events_to_voxel_timesync",
     "events_to_neg_pos_voxel",
     "events_to_timestamp_image",
+    "events_to_zhu_timestamp_image",
+    "events_to_image_drv",
     "hot_event_mask",
     "pad_events",
     "unpack_batched_events",

@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bde2vid_tpu.events.voxel import events_to_image_bilinear
+from bde2vid_tpu.events.voxel import (
+    events_to_image_bilinear,
+    events_to_image_drv,
+    events_to_timestamp_image,
+)
 
 Array = jax.Array
 
@@ -34,7 +38,26 @@ def linvel_warp(xs: Array, ys: Array, ts: Array, params: Array, t0: float = 0.0)
     return xs - dt * params[0], ys - dt * params[1]
 
 
+def linvel_warp_jacobian(ts: Array, t0: float = 0.0) -> Tuple[Array, Array]:
+    """(jx, jy), each (2, N): d(warped coord)/d(param) for the linvel warp
+    (reference warps.py:32-36: jacobian_x[0] = jacobian_y[1] = -dt)."""
+    dt = ts - t0
+    zeros = jnp.zeros_like(dt)
+    return jnp.stack([-dt, zeros]), jnp.stack([zeros, -dt])
+
+
 LINVEL_DIMS = 2
+
+
+def events_bounds_mask(
+    xs: Array, ys: Array, x_min, x_max, y_min, y_max
+) -> Array:
+    """1.0 for events strictly inside (min, max] on both axes — the
+    reference's open-at-min / closed-at-max convention
+    (event_utils.py:141-147)."""
+    keep_x = jnp.logical_not(jnp.logical_or(xs <= x_min, xs > x_max))
+    keep_y = jnp.logical_not(jnp.logical_or(ys <= y_min, ys > y_max))
+    return (keep_x & keep_y).astype(jnp.float32)
 
 
 # -------------------------------- IWE ----------------------------------------
@@ -86,6 +109,43 @@ def get_iwe(
     weights = ps if use_polarity else jnp.abs(ps)
     iwe = events_to_image_bilinear(wx, wy, weights, n_events, sensor_size=img_size)
     return gaussian_blur(iwe, blur_sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("img_size", "use_polarity", "blur_sigma"))
+def get_iwe_drv(
+    params: Array,
+    xs: Array,
+    ys: Array,
+    ts: Array,
+    ps: Array,
+    n_events,
+    img_size: Tuple[int, int] = (180, 240),
+    use_polarity: bool = True,
+    blur_sigma: Optional[float] = None,
+) -> Tuple[Array, Array]:
+    """IWE plus its ANALYTIC derivative image wrt the linvel warp params.
+
+    Mirrors the reference get_iwe(..., compute_gradient=True) chain
+    (objectives.py:57-71): warp to ts[-1] with jacobians, zero out-of-bounds
+    events/coords/jacobians via events_bounds_mask, then the double-weighted
+    bilinear scatter (event_utils.py:186-249). Like the reference, the
+    rasterization itself always happens at the DEFAULT (180, 240) sensor
+    size; img_size only shapes the bounds mask. Autodiff through get_iwe is
+    the optimization path — this exists for parity and as a numerical
+    cross-check of those autodiff gradients (tests/test_cmax.py)."""
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    wx, wy = linvel_warp(xs, ys, ts, params, t0=ts[-1])
+    jx, jy = linvel_warp_jacobian(ts, t0=ts[-1])
+    weights = ps if use_polarity else jnp.abs(ps)
+    mask = events_bounds_mask(wx, wy, 0, img_size[1], 0, img_size[0])
+    wx, wy, weights = wx * mask, wy * mask, weights * mask
+    jx, jy = jx * mask, jy * mask
+    iwe, d_iwe = events_to_image_drv(wx, wy, weights, jx, jy, n_events)
+    if blur_sigma is not None and blur_sigma > 0:
+        iwe = gaussian_blur(iwe, blur_sigma)
+        d_iwe = jax.vmap(lambda im: gaussian_blur(im, blur_sigma))(d_iwe)
+    return iwe, d_iwe
 
 
 # ------------------------------ objectives -----------------------------------
@@ -145,6 +205,42 @@ OBJECTIVES = {
 }
 
 
+@functools.partial(jax.jit, static_argnames=("img_size", "blur_sigma"))
+def zhu_timestamp_objective(
+    params: Array,
+    xs: Array,
+    ys: Array,
+    ts: Array,
+    ps: Array,
+    n_events,
+    img_size: Tuple[int, int] = (180, 240),
+    blur_sigma: Optional[float] = 2.0,
+) -> Array:
+    """Squared average-timestamp-image objective (Zhu CVPR'19; reference
+    objectives.py:366-400): warp to ts[-1], zero out-of-bounds events (coords,
+    ts AND polarity — so masked events join the <=0-polarity NEG image at
+    pixel (0,0), a reference quirk kept for parity), build per-polarity
+    timestamp images, blur (default sigma 2.0), and return
+    ``-(sum(pos^2) + sum(neg^2))``.
+
+    Like the reference, the timestamp images rasterize at the DEFAULT
+    (180, 240) sensor size regardless of img_size (the zhu objective passes
+    no sensor_size through, objectives.py:387). The reference declares this
+    objective derivative-free; here autodiff supplies the gradient, so it
+    plugs into optimize_contrast like any other objective."""
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    wx, wy = linvel_warp(xs, ys, ts, params, t0=ts[-1])
+    mask = events_bounds_mask(wx, wy, 0, img_size[1], 0, img_size[0])
+    wx, wy = wx * mask, wy * mask
+    mts, mps = ts * mask, ps * mask
+    img_pos, img_neg = events_to_timestamp_image(wx, wy, mts, mps, n_events)
+    if blur_sigma is not None and blur_sigma > 0:
+        img_pos = gaussian_blur(img_pos, blur_sigma)
+        img_neg = gaussian_blur(img_neg, blur_sigma)
+    return -(jnp.sum(img_pos * img_pos) + jnp.sum(img_neg * img_neg))
+
+
 # ------------------------------ optimization ---------------------------------
 
 
@@ -154,6 +250,19 @@ def _cached_value_and_grad(objective, img_size, use_polarity, blur_sigma):
     jit ARGUMENTS: a per-call closure would embed them as compile-time
     constants, recompiling for every window and defeating pad_events'
     power-of-two capacity bucketing."""
+    if objective == "zhu":
+        # full-chain objective (needs events, not just the IWE); reference
+        # default_blur is 2.0 — pass blur_sigma=2.0 for exact parity
+        @jax.jit
+        def zhu_value_and_grad(params, px, py, pt, pp, n):
+            def f(p):
+                return zhu_timestamp_objective(
+                    p, px, py, pt, pp, n, img_size=img_size, blur_sigma=blur_sigma
+                )
+
+            return jax.value_and_grad(f)(params)
+
+        return zhu_value_and_grad
     obj_fn = OBJECTIVES[objective]
 
     @jax.jit

@@ -42,6 +42,19 @@ class EventSlice:
     def __len__(self) -> int:
         return len(self.xs)
 
+    @classmethod
+    def from_raw(cls, xs, ys, ts, ps, t0: float = 0.0) -> "EventSlice":
+        """Convert raw on-disk arrays (int16 coords, float64 absolute ts,
+        bool/0-1 polarity) to framework dtypes — the single home of the
+        DynamicH5Dataset convention (data_loader/h5_dataset.py:410-415):
+        int32 coords, float32 ``ts - t0``, polarity remapped via ``ps*2-1``."""
+        return cls(
+            np.asarray(xs).astype(np.int32),
+            np.asarray(ys).astype(np.int32),
+            (np.asarray(ts) - t0).astype(np.float32),
+            np.asarray(ps).astype(np.float32) * 2.0 - 1.0,
+        )
+
 
 class H5EventReader:
     """Random-access reader over a canonical event h5 file.
@@ -86,11 +99,13 @@ class H5EventReader:
 
     def events(self, idx0: int, idx1: int) -> EventSlice:
         """Events in [idx0, idx1), converted to framework dtypes."""
-        xs = self.f["events/xs"][idx0:idx1].astype(np.int32)
-        ys = self.f["events/ys"][idx0:idx1].astype(np.int32)
-        ts = (self.f["events/ts"][idx0:idx1] - self.t0).astype(np.float32)
-        ps = self.f["events/ps"][idx0:idx1].astype(np.float32) * 2.0 - 1.0
-        return EventSlice(xs, ys, ts, ps)
+        return EventSlice.from_raw(
+            self.f["events/xs"][idx0:idx1],
+            self.f["events/ys"][idx0:idx1],
+            self.f["events/ts"][idx0:idx1],
+            self.f["events/ps"][idx0:idx1],
+            self.t0,
+        )
 
     def search_time(self, t: float, side: str = "left") -> int:
         """Binary search over the on-disk timestamp dataset (chunked reads)."""

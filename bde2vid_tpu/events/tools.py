@@ -473,11 +473,8 @@ def h5_precompute_voxels(
         ts_d, ps_d = f["events/ts"], f["events/ps"]
         for i in todo:
             i0, i1 = int(windows[i][0]), int(windows[i][1])
-            sl = EventSlice(
-                xs_d[i0:i1].astype(np.int32),
-                ys_d[i0:i1].astype(np.int32),
-                (ts_d[i0:i1] - t0).astype(np.float32),
-                ps_d[i0:i1].astype(np.float32) * 2.0 - 1.0,
+            sl = EventSlice.from_raw(
+                xs_d[i0:i1], ys_d[i0:i1], ts_d[i0:i1], ps_d[i0:i1], t0
             )
             vox, dt = _between_frames_voxel(
                 sl, num_bins, sensor, combined_voxel_channels

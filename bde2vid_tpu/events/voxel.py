@@ -183,6 +183,88 @@ def events_to_image_bilinear(
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("sensor_size", "padding"))
+def events_to_image_drv(
+    xs: Array,
+    ys: Array,
+    ps: Array,
+    jx: Array,
+    jy: Array,
+    n_events: Array | int,
+    *,
+    sensor_size: Tuple[int, int] = (180, 240),
+    padding: bool = True,
+) -> Tuple[Array, Array]:
+    """Bilinear IWE plus its ANALYTIC derivative image wrt warp parameters.
+
+    Reference ``events_to_image_drv`` / ``interpolate_to_derivative_img``
+    (event_utils.py:186-249): each warp parameter i gets a derivative plane
+    accumulating, per corner, ``w1*d(corner)/dx + w2*d(corner)/dy`` where
+    ``w1 = jx[i]*ps`` and ``w2 = jy[i]*ps``; ``jx``/``jy`` are the (P, N)
+    jacobians of the warped coordinates wrt each parameter. The main image
+    matches :func:`events_to_image_bilinear` exactly.
+
+    Autodiff through the IWE replaces this for optimization (see cmax.py);
+    this path exists for parity (the reference exposes derivative images as
+    outputs) and as a cross-check of autodiff gradients. Out-of-range events
+    must be pre-masked to coordinate 0 (the cmax chain's bounds mask does
+    this); unlike torch, negative coordinates never wrap here.
+    """
+    h, w = sensor_size
+    if padding:
+        h, w = h + 1, w + 1
+    n_params = jx.shape[0]
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    valid = _valid_mask(xs.shape[0], n_events)
+    inb = ((xs < w - 1) & (ys < h - 1) & (xs >= 0) & (ys >= 0)).astype(jnp.float32)
+    px = jnp.floor(xs)
+    py = jnp.floor(ys)
+    dx = xs - px
+    dy = ys - py
+    pxi = (px * inb).astype(jnp.int32)
+    pyi = (py * inb).astype(jnp.int32)
+    wgt = ps.astype(jnp.float32) * valid * inb
+    w1 = jx.astype(jnp.float32) * wgt  # (P, N)
+    w2 = jy.astype(jnp.float32) * wgt
+    img_corners = jnp.stack(
+        [
+            wgt * (1.0 - dx) * (1.0 - dy),
+            wgt * dx * (1.0 - dy),
+            wgt * (1.0 - dx) * dy,
+            wgt * dx * dy,
+        ],
+        axis=1,
+    )[:, None, :]  # (N, 1, 4)
+    d_corners = jnp.stack(
+        [
+            w1 * (-(1.0 - dy)) + w2 * (-(1.0 - dx)),
+            w1 * (1.0 - dy) + w2 * (-dx),
+            w1 * (-dy) + w2 * (1.0 - dx),
+            w1 * dy + w2 * dx,
+        ],
+        axis=-1,
+    )  # (P, N, 4)
+    cols = jnp.concatenate(
+        [img_corners, jnp.moveaxis(d_corners, 0, 1)], axis=1
+    ).reshape(xs.shape[0], (n_params + 1) * 4)
+    # same one-row-scatter-then-shift trick as events_to_image_bilinear
+    base = pyi * w + pxi
+    acc = (
+        jnp.zeros((h * w, (n_params + 1) * 4), jnp.float32)
+        .at[base]
+        .add(cols, mode="drop")
+    )
+    p = acc.reshape(h, w, n_params + 1, 4)
+    out = (
+        p[:, :, :, 0]
+        + jnp.pad(p[:, :, :, 1], ((0, 0), (1, 0), (0, 0)))[:, :w]
+        + jnp.pad(p[:, :, :, 2], ((1, 0), (0, 0), (0, 0)))[:h, :]
+        + jnp.pad(p[:, :, :, 3], ((1, 0), (1, 0), (0, 0)))[:h, :w]
+    )  # (h, w, P+1)
+    return out[:, :, 0], jnp.moveaxis(out[:, :, 1:], -1, 0)
+
+
 # ---------------------------------------------------------------------------
 # Voxel grids
 # ---------------------------------------------------------------------------
@@ -367,6 +449,11 @@ def events_to_timestamp_image(
         xs, ys, t_norm * neg_mask, n_events, sensor_size=sensor_size, padding=padding
     )
     return img_pos, img_neg
+
+
+# Legacy alias (reference event_utils.py:321-328 keeps the Zhu19 name and
+# forwards to events_to_timestamp_image).
+events_to_zhu_timestamp_image = events_to_timestamp_image
 
 
 # ---------------------------------------------------------------------------

@@ -401,7 +401,7 @@ class BDE2VIDGenerator(nn.Module):
                 step = nn.scan(
                     _AttnStep,
                     # batch_stats broadcast too: eval-mode BN/IN read running stats
-                variable_broadcast=("params", "batch_stats"),
+                    variable_broadcast=("params", "batch_stats"),
                     split_rngs={"params": False, "droppath": True},
                     in_axes=0,
                     out_axes=0,
@@ -425,7 +425,7 @@ class BDE2VIDGenerator(nn.Module):
                 step = nn.scan(
                     _ResFallbackStep,
                     # batch_stats broadcast too: eval-mode BN/IN read running stats
-                variable_broadcast=("params", "batch_stats"),
+                    variable_broadcast=("params", "batch_stats"),
                     split_rngs={"params": False},
                     in_axes=0,
                     out_axes=0,

@@ -76,3 +76,52 @@ def test_all_objectives_finite(rng):
     iwe = get_iwe(jnp.asarray([5.0, 5.0]), px, py, pt, pp, n, img_size=SENSOR)
     for name, fn in OBJECTIVES.items():
         assert np.isfinite(float(fn(iwe))), name
+
+
+def test_analytic_derivative_matches_autodiff(rng):
+    """The reference's analytic derivative-image chain and our autodiff IWE
+    gradient must agree: d(sum(iwe^2))/d(params) computed both ways."""
+    import jax
+
+    from bde2vid_tpu.events.cmax import get_iwe_drv
+
+    xs, ys, ts, ps = _moving_dot_events(rng)
+    # keep warped events well inside the default (180,240) raster that the
+    # analytic chain uses, so both paths see identical masks
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    params = jnp.asarray([5.0, 3.0])
+
+    iwe, d_iwe = get_iwe_drv(params, px, py, pt, pp, n, img_size=(180, 240))
+    analytic = 2.0 * jnp.sum(iwe[None] * d_iwe, axis=(1, 2))
+
+    def loss(p):
+        # same chain as get_iwe_drv but without the jacobian planes
+        return jnp.sum(
+            get_iwe_drv(p, px, py, pt, pp, n, img_size=(180, 240))[0] ** 2
+        )
+
+    auto = jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(analytic), rtol=1e-3)
+
+
+def test_zhu_objective_minimized_near_true_velocity(rng):
+    """The zhu timestamp objective should score the true velocity better
+    than a wrong one, and optimize end-to-end through autodiff."""
+    from bde2vid_tpu.events.cmax import zhu_timestamp_objective
+
+    xs, ys, ts, ps = _moving_dot_events(rng)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    at_true = float(
+        zhu_timestamp_objective(jnp.asarray([20.0, -12.0]), px, py, pt, pp, n)
+    )
+    at_zero = float(
+        zhu_timestamp_objective(jnp.asarray([0.0, 0.0]), px, py, pt, pp, n)
+    )
+    assert at_true < at_zero  # objective is a negative score
+
+    est = optimize_contrast(
+        xs, ys, ts, ps, objective="zhu", blur_sigma=2.0,
+        x0=np.array([15.0, -8.0]),
+    )
+    assert est[0] == pytest.approx(20.0, abs=3.0)
+    assert est[1] == pytest.approx(-12.0, abs=3.0)

@@ -492,6 +492,64 @@ def test_cmax_objectives_match_reference(rng):
     assert got == pytest.approx(want, rel=1e-3)
 
 
+def test_zhu_timestamp_objective_matches_reference(rng):
+    objectives, warps = _ref_cmax_modules()
+    from bde2vid_tpu.events.cmax import zhu_timestamp_objective
+    from bde2vid_tpu.events import pad_events
+
+    # like the IWE oracle: the reference rasterizes at the default (180,240)
+    # no matter what img_size says; keep a margin so warped events stay in
+    h, w = 180, 240
+    xs, ys, ts, ps = _events(rng, 3000, h - 10, w - 10)
+    params = np.array([5.0, -3.0])
+    ref_obj = objectives.zhu_timestamp_objective()
+    want = float(
+        ref_obj.evaluate_function(
+            params=params, xs=xs.astype(np.float64), ys=ys.astype(np.float64),
+            ts=ts, ps=ps.astype(np.float64),
+            warpfunc=warps.linvel_warp(), img_size=(h, w),
+        )
+    )
+    px, py, pt, pp, n = pad_events(
+        xs.astype(np.float32), ys.astype(np.float32), ts, ps
+    )
+    got = float(
+        zhu_timestamp_objective(
+            jnp.asarray(params, jnp.float32), px, py, pt, pp, n,
+            img_size=(h, w), blur_sigma=2.0,
+        )
+    )
+    assert got == pytest.approx(want, rel=2e-3)
+
+
+def test_derivative_image_matches_reference(rng):
+    """Analytic derivative-image path (events_to_image_drv +
+    interpolate_to_derivative_img, event_utils.py:186-249) via the get_iwe
+    compute_gradient=True chain."""
+    objectives, warps = _ref_cmax_modules()
+    from bde2vid_tpu.events.cmax import get_iwe_drv
+    from bde2vid_tpu.events import pad_events
+
+    h, w = 180, 240
+    xs, ys, ts, ps = _events(rng, 2000, h - 8, w - 8)
+    params = np.array([3.0, -2.0])
+    want_iwe, want_div = objectives.get_iwe(
+        params, xs.astype(np.float64), ys.astype(np.float64), ts,
+        ps.astype(np.float64), warps.linvel_warp(), (h, w),
+        compute_gradient=True,
+    )
+    px, py, pt, pp, n = pad_events(
+        xs.astype(np.float32), ys.astype(np.float32), ts, ps
+    )
+    got_iwe, got_div = get_iwe_drv(
+        jnp.asarray(params, jnp.float32), px, py, pt, pp, n,
+        img_size=(h, w), blur_sigma=None,
+    )
+    np.testing.assert_allclose(np.asarray(got_iwe), want_iwe, atol=1e-3)
+    assert got_div.shape == want_div.shape  # (2, h+1, w+1)
+    np.testing.assert_allclose(np.asarray(got_div), want_div, atol=1e-3)
+
+
 # ----------------------- inference utils / viz / norms -----------------------
 
 
