@@ -17,8 +17,24 @@ from bde2vid_tpu.metrics.lpips import (
     score_jnd_dataset,
     voc_ap,
 )
+from bde2vid_tpu.metrics.lpips_util import (
+    bootstrap,
+    im2tensor,
+    lab2rgb,
+    montage,
+    psnr as psnr255,
+    rgb2lab,
+    tensor2im,
+)
 
 __all__ = [
+    "bootstrap",
+    "im2tensor",
+    "lab2rgb",
+    "montage",
+    "psnr255",
+    "rgb2lab",
+    "tensor2im",
     "mse",
     "structural_similarity",
     "LPIPS",

@@ -45,6 +45,23 @@ from bde2vid_tpu.nn.window_attention import SwinTransformerBlock3D
 Array = jax.Array
 
 
+def _fold_tn(a: Array) -> Array:
+    """(T, N, ...) -> (N*T, ...) with N OUTER.
+
+    The naive ``reshape(T*N, ...)`` keeps N inner, merging the (possibly
+    data-sharded) batch axis under the unsharded time axis — a sharding XLA
+    cannot express, forcing a gather AND (observed on CPU SPMD with a
+    combined data+spatial mesh) mis-reducing conv kernel gradients by a
+    factor of n_data. N-outer keeps 'data' cleanly on the merged axis:
+    zero-communication fold, correct gradients."""
+    return jnp.swapaxes(a, 0, 1).reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+
+
+def _unfold_tn(a: Array, t: int, n: int) -> Array:
+    """Inverse of _fold_tn: (N*T, ...) -> (T, N, ...)."""
+    return jnp.swapaxes(a.reshape(n, t, *a.shape[1:]), 0, 1)
+
+
 class _EncoderCell(nn.Module):
     """One level's strided conv + recurrent cell as a scan cell:
     (carry, x) -> (carry, y). Key layout matches RecurrentConv
@@ -191,12 +208,16 @@ class _AttnParallel(nn.Module):
             safe = jnp.clip(offs, 0, T - 1)
             buf = merged[safe]  # (S, D, N, H, W, C)
             buf = jnp.where(valid[:, :, None, None, None, None], buf, 0.0)
-            x = buf.transpose(1, 0, 2, 3, 4, 5).reshape(D, (s1 - s0) * N, H, W, C)
+            # N-outer fold of (S, N) -> one attention batch, same rationale
+            # as _fold_tn (keeps a data-sharded N expressible when sharded)
+            x = buf.transpose(1, 2, 0, 3, 4, 5).reshape(D, N * (s1 - s0), H, W, C)
             center = x[q_ind]
             for blk in blocks:
                 x = x.at[q_ind].set(center)
                 center = blk(x)
-            outs.append(center.reshape(s1 - s0, N, H, W, C))
+            outs.append(
+                center.reshape(N, s1 - s0, H, W, C).transpose(1, 0, 2, 3, 4)
+            )
         return merged + jnp.concatenate(outs, axis=0)
 
 
@@ -332,7 +353,8 @@ class BDE2VIDGenerator(nn.Module):
             dtype=self.dtype,
             train=self.train,
             name="head",
-        )(voxels.reshape(T * N, H, W, -1)).reshape(T, N, H, W, self.basechannels)
+        )(_fold_tn(voxels))
+        head = _unfold_tn(head, T, N)
 
         target = head
         all_lvl_feats = []
@@ -467,9 +489,10 @@ class BDE2VIDGenerator(nn.Module):
         # reference's per-step N (norm defaults to None, and the reference
         # ships no BDE2VID training loop to compare against).
         t, n = head.shape[:2]
-        fold = lambda a: a.reshape(t * n, *a.shape[2:])
-        _, images = decode((), (fold(head), tuple(fold(f) for f in all_lvl_feats)))
-        return images.reshape(t, n, *images.shape[1:])
+        _, images = decode(
+            (), (_fold_tn(head), tuple(_fold_tn(f) for f in all_lvl_feats))
+        )
+        return _unfold_tn(images, t, n)
 
 
 @register_model("BDE2VID")

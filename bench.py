@@ -56,11 +56,15 @@ def bench_tpu():
     jax.block_until_ready(imgs)  # compile + warm-up
 
     iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        imgs = run(voxels)
-    jax.block_until_ready(imgs)
-    dt = (time.perf_counter() - t0) / iters
+    best_dt = float("inf")
+    # best-of-2 timing windows, matching bench_family: the first window can
+    # absorb residual tunnel/compile work (observed 5x-low outliers)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            imgs = run(voxels)
+        jax.block_until_ready(imgs)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
 
     # compiler-verified FLOPs of the exact benched program
     gflops_per_frame = float("nan")
@@ -71,7 +75,42 @@ def bench_tpu():
         gflops_per_frame = float(cost.get("flops", 0.0)) / T / 1e9
     except Exception:
         pass
-    return T / dt, gflops_per_frame
+    return T / best_dt, gflops_per_frame
+
+
+def pallas_parity_on_chip():
+    """Fused-Pallas vs XLA attention parity ON THE REAL CHIP (the thing the
+    bench times; the pytest suite only covers interpret mode on CPU).
+
+    Runs one short flagship forward per (dtype, attention-path) pair on
+    shared params and reports max-abs-diff and MSE between the fused and
+    XLA outputs at f32 and bf16. Small T bounds the extra compiles; the
+    persistent cache makes repeats free."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _FLAGSHIP_CFG
+    from bde2vid_tpu.models import build_model
+
+    t_par = 4
+    rng = np.random.default_rng(1)
+    voxels = jnp.asarray(rng.normal(size=(t_par, 1, H, W, BINS)).astype(np.float32))
+    out = {}
+    gen = dict(_FLAGSHIP_CFG["generator"])
+    params = None
+    for dt_name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        imgs = {}
+        for pallas in (False, True):
+            cfg = {"generator": dict(gen, use_pallas_attention=pallas)}
+            model = build_model("BDE2VID", cfg, dtype=dtype)
+            if params is None:  # same params for every variant
+                params = model.init(jax.random.PRNGKey(0), voxels[:2])
+            y = jax.jit(lambda v, m=model: m.apply(params, v)[0]["image"])(voxels)
+            imgs[pallas] = np.asarray(y, np.float32)
+        diff = imgs[True] - imgs[False]
+        out[f"pallas_max_abs_diff_{dt_name}"] = round(float(np.abs(diff).max()), 6)
+        out[f"pallas_mse_delta_{dt_name}"] = float(f"{np.mean(diff**2):.3e}")
+    return out
 
 
 def bench_torch_cpu() -> float:
@@ -181,6 +220,12 @@ def main():
         cpu_fps = bench_torch_cpu()
     except Exception:
         cpu_fps = float("nan")
+    parity = {}
+    if "--no-parity" not in sys.argv:
+        try:
+            parity = pallas_parity_on_chip()
+        except Exception as err:
+            parity = {"pallas_parity_error": str(err)[:200]}
     vs = fps / cpu_fps if cpu_fps == cpu_fps else float("nan")
     mfu = fps * gflops * 1e9 / V5E_BF16_PEAK_FLOPS if gflops == gflops else float("nan")
     print(
@@ -191,8 +236,12 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
                 "baseline": "torch-cpu BDE2VID replica (same arch)",
+                # the eval CLI defaults to f32/XLA for parity; this number
+                # needs `--bf16 --pallas` (the throughput mode benched here)
+                "mode": "bf16+pallas_attention",
                 "gflops_per_frame": round(gflops, 1) if gflops == gflops else None,
                 "mfu": round(mfu, 4) if mfu == mfu else None,
+                **parity,
             }
         )
     )

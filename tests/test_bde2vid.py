@@ -315,6 +315,60 @@ def test_bde2vid_checkpoint_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_bde2vid_checkpoint_parity_flagship_scale(rng, tmp_path, monkeypatch):
+    """Parity at the TRUE flagship config (buffer +-3, depths [4,0,6],
+    16 heads, basechannels 32 — bde2vid_cross_scale_propogation_V5.py:19-23)
+    on a small spatial size: the deep attention stacks (4 blocks incl. 2
+    dilated at level 0; 6 incl. 3 dilated at level 2) and the 16-head masks
+    only ever meet the full depth stack here and in the bench. T=8 > 2*3+1
+    so interior steps see a full +-3 buffer and edges see zero-padding."""
+    fl_base, fl_enc, fl_ks, fl_nres = 32, 3, 5, 2
+    fl_buf = [-3, -2, -1, 0, 1, 2, 3]
+    fl_depths = [4, 0, 6]
+    fl_heads = 16
+    import tests.test_bde2vid as tb
+
+    for name, val in [("BASE", fl_base), ("ENC", fl_enc), ("KS", fl_ks),
+                      ("NRES", fl_nres), ("BUF", fl_buf),
+                      ("DEPTHS", fl_depths), ("HEADS", fl_heads)]:
+        monkeypatch.setattr(tb, name, val)
+    torch.manual_seed(1)
+    tnet = TV5().eval()
+    wrapper_sd = {f"generator.{k}": v for k, v in tnet.state_dict().items()}
+    cfg_str = f"""
+model = dict(
+    type='BDE2VID',
+    cpu_cache_length=100,
+    generator=dict(
+        type='BDE2VIDCrossscalePropogationV5',
+        num_bins=5, basechannels={fl_base}, num_encoders={fl_enc}, ks={fl_ks},
+        num_res_blocks={fl_nres}, buffer_index={fl_buf}, depths={fl_depths},
+        num_heads={fl_heads}, window_size=(7, 7),
+        drop_path_rate=0.2,
+        activation=dict(type='Sigmoid'),
+        losses=[],
+    ),
+)
+"""
+    ckpt = {"meta": {"cfg": cfg_str}, "state_dict": wrapper_sd}
+    path = str(tmp_path / "epoch_1.pth")
+    torch.save(ckpt, path)
+
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(path)
+    t_steps, h, w = 8, 56, 56
+    voxels = rng.normal(size=(t_steps, 1, h, w, 5)).astype(np.float32)
+    out, _ = spec.module.apply(spec.params, jnp.asarray(voxels))
+    got = np.asarray(out["image"])[:, 0, :, :, 0]
+
+    with torch.no_grad():
+        tv = [torch.from_numpy(voxels[t].transpose(0, 3, 1, 2))
+              for t in range(t_steps)]
+        want = torch.cat(tnet(tv))[:, 0].numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_bde2vid_batch_independence(rng):
     """Batch items must not leak into each other: the window partition /
     attention reshapes fold (T, N) and window axes — a wrong reshape would

@@ -493,3 +493,102 @@ def test_load_lpips_params_strict_on_missing_lin(rng):
     lin = {f"lin{k}.weight": np.full((1, c, 1, 1), 0.5, np.float32) for k, c in enumerate(chns)}
     params = load_lpips_params(lin, net="alex")
     np.testing.assert_allclose(np.asarray(params["params"]["lin0"]), 0.5)
+
+
+# ----------------------------- lpips_util helpers -----------------------------
+
+
+def test_tensor2im_roundtrip(rng):
+    from bde2vid_tpu.metrics import im2tensor, tensor2im
+
+    img = rng.integers(0, 256, (12, 10, 3)).astype(np.uint8)
+    t = im2tensor(img)
+    assert t.shape == (1, 12, 10, 3)
+    assert t.min() >= -1.0 and t.max() <= 1.0
+    back = tensor2im(t)
+    # float32 division then truncating cast (the reference's own math) can
+    # land one code value low; exact for most pixels, off-by-one at worst
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb2lab_known_values_and_roundtrip(rng):
+    from bde2vid_tpu.metrics import lab2rgb, rgb2lab
+
+    # white -> L=100, a~0, b~0; black -> 0,0,0 (CIE definition)
+    lab_w = rgb2lab(np.ones((1, 1, 3)))
+    np.testing.assert_allclose(lab_w[0, 0], [100.0, 0.0, 0.0], atol=0.02)
+    lab_k = rgb2lab(np.zeros((1, 1, 3)))
+    np.testing.assert_allclose(lab_k[0, 0], [0.0, 0.0, 0.0], atol=0.02)
+    # mid gray is achromatic
+    lab_g = rgb2lab(np.full((1, 1, 3), 0.5))
+    np.testing.assert_allclose(lab_g[0, 0, 1:], [0.0, 0.0], atol=0.02)
+    rgb = rng.uniform(0, 1, (8, 9, 3))
+    np.testing.assert_allclose(lab2rgb(rgb2lab(rgb)), rgb, atol=1e-6)
+
+
+def test_rgb2lab_matches_skimage_if_available(rng):
+    skimage_color = pytest.importorskip("skimage.color")
+    from bde2vid_tpu.metrics import rgb2lab
+
+    rgb = rng.uniform(0, 1, (6, 7, 3))
+    np.testing.assert_allclose(
+        rgb2lab(rgb), skimage_color.rgb2lab(rgb), atol=1e-4
+    )
+
+
+def test_montage_grid(rng):
+    from bde2vid_tpu.metrics import montage
+
+    # 6 images (Y=4, X=3, C=2): explicit 2x3 grid, pad 1
+    imgs = rng.uniform(size=(4, 3, 2, 6)).astype(np.float32)
+    out = montage(imgs, pad=1, mm=2, nn=3)
+    assert out.shape == (2 * 5 - 1, 3 * 4 - 1, 2)
+    # top-to-bottom prime dir: tile i sits at (i % mm, i // mm)
+    np.testing.assert_array_equal(out[0:4, 0:3], imgs[:, :, :, 0])
+    np.testing.assert_array_equal(out[5:9, 0:3], imgs[:, :, :, 1])
+    np.testing.assert_array_equal(out[0:4, 4:7], imgs[:, :, :, 2])
+    # 3-dim input comes back 2-dim
+    out2 = montage(imgs[:, :, 0, :], pad=1, mm=2, nn=3)
+    assert out2.shape == (9, 11)
+
+
+def test_bootstrap_statistics(rng):
+    from bde2vid_tpu.metrics import bootstrap
+
+    vec = rng.normal(loc=3.0, scale=0.5, size=400)
+    stats = bootstrap(vec, num_samples=200, rng=rng)
+    assert stats.shape == (200,)
+    assert abs(stats.mean() - vec.mean()) < 0.1
+    assert 0.0 < stats.std() < 0.1  # ~sigma/sqrt(n)
+
+
+def test_psnr255_and_save_image(tmp_path, rng):
+    from bde2vid_tpu.metrics import psnr255
+    from bde2vid_tpu.metrics.lpips_util import save_image
+
+    a = rng.integers(0, 256, (16, 16)).astype(np.float64)
+    b = np.clip(a + 10.0, 0, 255)
+    got = psnr255(a, b)
+    want = 10 * np.log10(255.0**2 / np.mean((a - b) ** 2))
+    assert got == pytest.approx(want)
+
+    rgbpath = str(tmp_path / "m.png")
+    save_image(rng.integers(0, 256, (8, 9, 3)).astype(np.uint8), rgbpath)
+    graypath = str(tmp_path / "g.png")
+    save_image(rng.integers(0, 256, (8, 9)).astype(np.uint8), graypath)
+    for p, color_type in ((rgbpath, 2), (graypath, 0)):
+        with open(p, "rb") as fp:
+            data = fp.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # IHDR: width=9 height=8, bit depth 8, expected color type
+        import struct
+
+        w, h, depth, ct = struct.unpack(">IIBB", data[16:26])
+        assert (w, h, depth, ct) == (9, 8, 8, color_type)
+    try:
+        import cv2
+
+        img = cv2.imread(rgbpath)
+        assert img is not None and img.shape == (8, 9, 3)
+    except ImportError:
+        pass

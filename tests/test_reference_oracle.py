@@ -931,3 +931,131 @@ def test_normalize_image_sequence_matches_reference(rng):
     want = np.stack([item["frame"].numpy() for item in seq])
     got = np.asarray(normalize_image_sequence(jnp.asarray(frames)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --------------------- end-to-end driver oracle -------------------------------
+
+
+def test_eval_driver_end_to_end_matches_reference_chain(tmp_path, rng):
+    """Authoritative end-to-end oracle: the reference's FULL metric
+    aggregation chain (InferenceDataLoader item -> Croper pad -> model ->
+    crop -> per-step metric -> sum/T -> results[dataset][seq] JSON,
+    eval_models_seq.py:147-282 + :123-144) executed with the reference's
+    own data layer and a torch replica model, diffed against this repo's
+    eval driver output on the SAME h5 tree and converted checkpoint —
+    schema (exact key nesting) and values."""
+    import json
+
+    import torch.nn.functional as F
+
+    from tests.test_checkpoint_convert import TWrap, _torch_states
+
+    eu, da, h5d = _ref_modules()
+    iu, _, _ = _ref_utils_func()
+
+    # -- synthetic dataset tree: HQF/{s1,s2}.h5 (non-/4 sensor: pad matters)
+    from bde2vid_tpu.events import H5EventWriter
+
+    sensor = (38, 46)
+    os.makedirs(tmp_path / "HQF")
+    n_frames = 5
+    for name in ("s1", "s2"):
+        xs = rng.integers(0, sensor[1], 9000).astype(np.int64)
+        ys = rng.integers(0, sensor[0], 9000).astype(np.int64)
+        ts = np.sort(rng.uniform(0, 1.0, 9000))
+        ps = rng.choice([0, 1], 9000).astype(bool)
+        with H5EventWriter(str(tmp_path / "HQF" / f"{name}.h5"), sensor_size=sensor) as w:
+            w.append_events(xs, ys, ts, ps)
+            for i in range(n_frames):
+                w.add_image(
+                    rng.uniform(0, 255, sensor).astype(np.uint8),
+                    (i + 0.5) / n_frames,
+                )
+
+    # -- shared model: torch replica + pytorch-template checkpoint
+    torch.manual_seed(0)
+    base, num_enc = 8, 2
+    tmodel = TWrap(num_bins=5, base=base, num_enc=num_enc, num_res=1).eval()
+    ckpt = {
+        "arch": "E2VIDRecurrent",
+        "config": {"arch": {"args": {"unet_kwargs": {
+            "num_bins": 5, "base_num_channels": base, "num_encoders": num_enc,
+            "num_residual_blocks": 1, "skip_type": "sum",
+            "recurrent_block_type": "convlstm"}}}},
+        "state_dict": tmodel.state_dict(),
+    }
+    ckpt_path = str(tmp_path / "epoch_3.pth")
+    torch.save(ckpt, ckpt_path)
+
+    # -- reference chain (eval_model / eval_model_alldata transcription)
+    dataset_kwargs = {
+        "transforms": {}, "max_length": None, "sensor_resolution": None,
+        "num_bins": 5, "filter_hot_events": False,
+        "voxel_method": {"method": "between_frames", "k": 0, "t": 0,
+                         "sliding_window_w": 0, "sliding_window_t": 0},
+    }
+    ref_results = {}
+    ref_details = {}
+    for name in ("s1", "s2"):
+        loader = h5d.InferenceDataLoader(
+            str(tmp_path / "HQF" / f"{name}.h5"),
+            dataset_kwargs=dict(dataset_kwargs), ltype="H5",
+            num_workers=0, pin_memory=False,
+        )
+        crop = iu.Croper(num_enc)
+        states = None
+        result = {"mse": 0.0}
+        detail = {"mse": []}
+        items = list(loader)
+        T = len(items)
+        with torch.no_grad():
+            for item in items:
+                h, w = item["frame"].shape[-2:]
+                crop.update_params(w, h)
+                padded = crop.pad(item["events"])
+                if states is None:  # lazy zero-state at the PADDED size,
+                    # like the reference ConvLSTM (submodules.py:300-310)
+                    states = _torch_states(
+                        1, padded.shape[-2], padded.shape[-1], base, num_enc
+                    )
+                pred, states = tmodel.unetrecurrent(padded, states)
+                image_float = crop.crop(pred)
+                v = F.mse_loss(image_float, item["frame"])
+                result["mse"] += float(v)
+                detail["mse"].append(float(v))
+        result["mse"] /= T
+        ref_results.setdefault("HQF", {})[name] = result
+        ref_details.setdefault("HQF", {})[name] = detail
+    ref_file = str(tmp_path / "ref_org.txt")
+    with open(ref_file, "w") as fp:
+        json.dump(ref_results, fp)
+
+    # -- this repo's driver on the converted checkpoint
+    from bde2vid_tpu.eval import EvalConfig, evaluate_all
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(ckpt_path)
+    out_file = str(tmp_path / "out" / "epoch_3_org.txt")
+    cfg = EvalConfig(metrics=("mse",), subseq_L=None, max_length=None)
+    evaluate_all(spec, ["HQF/s1.h5", "HQF/s2.h5"], str(tmp_path), out_file,
+                 cfg, progress=False)
+
+    with open(out_file) as fp:
+        got = json.load(fp)
+    with open(ref_file) as fp:
+        want = json.load(fp)
+    # schema: exact nesting and key order (both insertion-ordered dicts)
+    assert list(got) == list(want)
+    assert list(got["HQF"]) == list(want["HQF"])
+    for name in ("s1", "s2"):
+        assert list(got["HQF"][name]) == list(want["HQF"][name])
+        assert got["HQF"][name]["mse"] == pytest.approx(
+            want["HQF"][name]["mse"], rel=1e-4, abs=1e-6
+        ), name
+    with open(out_file.replace(".txt", "_detail.txt")) as fp:
+        got_detail = json.load(fp)
+    for name in ("s1", "s2"):
+        np.testing.assert_allclose(
+            got_detail["HQF"][name]["mse"], ref_details["HQF"][name]["mse"],
+            rtol=1e-4, atol=1e-6,
+        )

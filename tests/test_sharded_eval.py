@@ -106,6 +106,35 @@ def test_spatial_sharding_matches_unsharded(rng):
     )
 
 
+def test_spatial_sharded_flagship_attention_forward_matches(rng):
+    """BDE2VID's WINDOW ATTENTION under spatial sharding must be numerically
+    inert — the window-partition reshapes over H are exactly where sharding
+    can go wrong, so this runs attention ON (depths [2,2]: a normal AND a
+    dilated block at both levels) at 7x7 windows with >=2x2 windows per
+    level (H=W=56 -> 28x28 and 14x14 feature maps), sharded 2-way over H."""
+    from bde2vid_tpu.parallel.mesh import make_mesh, spatial_sharding, replicate
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 2], "num_heads": 4, "window_size": [7, 7],
+                         "drop_path_rate": 0.0}}
+    model = build_model("BDE2VID", cfg)
+    T, N, H, W = 5, 1, 56, 56
+    voxels = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), voxels[:2])
+    want = np.asarray(model.apply(params, voxels)[0]["image"])
+
+    mesh = make_mesh(1, 2)
+    sh = spatial_sharding(mesh, 5, batch_axis=1, h_axis=2)
+    fwd = jax.jit(lambda p, v: model.apply(p, v)[0]["image"])
+    with mesh:
+        got = fwd(
+            jax.device_put(params, replicate(mesh)), jax.device_put(voxels, sh)
+        )
+    assert len(got.sharding.device_set) > 1 or got.committed is False
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
 def test_evaluate_sequence_shard_data_matches(tmp_path, rng):
     """The driver's --shard_data path must produce identical metrics to the
     sequential path on the 8-device mesh."""

@@ -137,6 +137,75 @@ def test_spatial_sharded_train_step_matches_unsharded(rng):
     _tree_allclose(got_p, want_p)
 
 
+def test_spatial_sharded_flagship_attention_train_matches_unsharded(rng):
+    """The FLAGSHIP's window attention through fwd+BWD+update under
+    data+spatial sharding: gradients flowing back through the window
+    partition/merge and temporal-buffer gathers must match the unsharded
+    step. depths [2,2] include a dilated-window block at both levels;
+    H=W=56 gives >=2x2 7x7 windows at both attention resolutions."""
+    import jax.flatten_util
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 2], "num_heads": 4, "window_size": [7, 7],
+                         "drop_path_rate": 0.0}}
+    model = build_model("BDE2VID", cfg, train=True)
+    T, N, H, W = 3, 2, 56, 56
+    voxels, frames = _batch(rng, T, N, H, W)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        voxels[:2],
+    )
+    # SGD, not Adam: the proof target is the GRADIENTS; Adam's 1/sqrt(v)
+    # amplifies benign 1e-8 reduction-order grad noise into ~lr-sized param
+    # diffs near g~0, which would test the optimizer's conditioning, not
+    # the sharding. (Caught a real bug on the way in: the T*N batch fold
+    # with N inner made XLA SPMD double conv kernel grads on a combined
+    # data+spatial mesh — see models/bde2vid.py _fold_tn.)
+    tx = optax.sgd(1e-2)
+    comp = SequenceLossComputer([{"type": "L1Loss"}])
+    step = make_train_step(model, tx, comp, is_sequence_model=True, donate=False)
+    key = jax.random.PRNGKey(3)
+
+    def loss_fn(p, vox, tgt):
+        out, _ = model.apply(p, vox, rngs={"droppath": key})
+        return jnp.mean(jnp.abs(out["image"] - tgt))
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    want_l, want_g = grad_fn(params, voxels, frames)
+    want_p, _, want_loss = step(params, tx.init(params), key, voxels, frames, None)
+
+    mesh = make_mesh(2, 4)
+    ssh = spatial_sharding(mesh, 5, batch_axis=1, h_axis=2)
+    rep = replicate(mesh)
+    with mesh:
+        got_l, got_g = grad_fn(
+            jax.device_put(params, rep),
+            jax.device_put(voxels, ssh),
+            jax.device_put(frames, ssh),
+        )
+        got_p, _, got_loss = step(
+            jax.device_put(params, rep),
+            jax.device_put(tx.init(params), rep),
+            key,
+            jax.device_put(voxels, ssh),
+            jax.device_put(frames, ssh),
+            None,
+        )
+    np.testing.assert_allclose(float(got_l), float(want_l), atol=1e-6)
+    np.testing.assert_allclose(
+        float(got_loss["loss"]), float(want_loss["loss"]), atol=1e-6
+    )
+    # gradients through attention + encoders must match hard
+    _tree_allclose(got_g, want_g, atol=1e-6)
+    # the update must be non-degenerate (params actually moved)...
+    flat_before = jax.flatten_util.ravel_pytree(params)[0]
+    flat_after = jax.flatten_util.ravel_pytree(want_p)[0]
+    assert float(jnp.abs(flat_after - flat_before).max()) > 1e-6
+    # ...and the full sharded SGD step == unsharded
+    _tree_allclose(got_p, want_p)
+
+
 def test_orbax_roundtrip_sharded_params(rng, tmp_path):
     """Params living sharded on the mesh must save/restore losslessly and
     still drive the same forward after re-placement."""
