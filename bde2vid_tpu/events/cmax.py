@@ -225,9 +225,13 @@ def zhu_timestamp_objective(
 
     Like the reference, the timestamp images rasterize at the DEFAULT
     (180, 240) sensor size regardless of img_size (the zhu objective passes
-    no sensor_size through, objectives.py:387). The reference declares this
-    objective derivative-free; here autodiff supplies the gradient, so it
-    plugs into optimize_contrast like any other objective."""
+    no sensor_size through, objectives.py:387), and ``blur_sigma=None``
+    substitutes the zhu default 2.0 (objectives.py:388) — pass 0 to
+    disable blurring. The reference declares this objective
+    derivative-free; here autodiff supplies the gradient, so it plugs into
+    optimize_contrast like any other objective."""
+    if blur_sigma is None:
+        blur_sigma = 2.0
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
     wx, wy = linvel_warp(xs, ys, ts, params, t0=ts[-1])
@@ -251,13 +255,24 @@ def _cached_value_and_grad(objective, img_size, use_polarity, blur_sigma):
     constants, recompiling for every window and defeating pad_events'
     power-of-two capacity bucketing."""
     if objective == "zhu":
-        # full-chain objective (needs events, not just the IWE); reference
-        # default_blur is 2.0 — pass blur_sigma=2.0 for exact parity
+        # full-chain objective (needs events, not just the IWE). Two
+        # reference behaviors preserved (objectives.py:366-393): blur_sigma
+        # None substitutes zhu's default_blur=2.0 (unlike the repo-wide
+        # None-means-no-blur convention — pass 0 to disable), and
+        # use_polarity is IGNORED (zhu splits on raw polarity itself; its
+        # evaluate_function never routes through get_iwe's abs()).
+        if not use_polarity:
+            raise ValueError(
+                "the zhu objective ignores use_polarity (it splits events "
+                "by raw polarity); pass use_polarity=True"
+            )
+        zhu_sigma = 2.0 if blur_sigma is None else blur_sigma
+
         @jax.jit
         def zhu_value_and_grad(params, px, py, pt, pp, n):
             def f(p):
                 return zhu_timestamp_objective(
-                    p, px, py, pt, pp, n, img_size=img_size, blur_sigma=blur_sigma
+                    p, px, py, pt, pp, n, img_size=img_size, blur_sigma=zhu_sigma
                 )
 
             return jax.value_and_grad(f)(params)

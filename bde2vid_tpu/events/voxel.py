@@ -142,21 +142,8 @@ def events_to_image_bilinear(
     h, w = sensor_size
     if padding:
         h, w = h + 1, w + 1
-    xs = xs.astype(jnp.float32)
-    ys = ys.astype(jnp.float32)
-    valid = _valid_mask(xs.shape[0], n_events)
-    # reference clips to img_size-1 on the bilinear path
-    inb = ((xs < w - 1) & (ys < h - 1) & (xs >= 0) & (ys >= 0)).astype(jnp.float32)
-    px = jnp.floor(xs)
-    py = jnp.floor(ys)
-    dx = xs - px
-    dy = ys - py
-    # reference zeroes the *coordinates* of masked events (pxs*mask) rather
-    # than the weights-at-corners; match that: masked events land at (0,0)
-    # with full weight of ps*mask (weight itself masked below).
-    pxi = (px * inb).astype(jnp.int32)
-    pyi = (py * inb).astype(jnp.int32)
-    wgt = ps.astype(jnp.float32) * valid * inb
+    pxi, pyi, dx, dy, gate = _bilinear_coords(xs, ys, n_events, h, w)
+    wgt = ps.astype(jnp.float32) * gate
     corners = jnp.stack(
         [
             wgt * (1.0 - dx) * (1.0 - dy),
@@ -165,22 +152,51 @@ def events_to_image_bilinear(
             wgt * dx * dy,
         ],
         axis=1,
-    )  # (N, 4)
-    # ONE width-4 row scatter at the base corner, then shift-and-add the
-    # four planes — 4N scalar scatter updates (measured 29 Mev/s on-chip)
-    # become N row updates like the voxel path (~70 Mev/s) plus three
-    # cheap shifted adds. base+1 / base+w offsets are in-bounds by the
-    # inb clip (xs < w-1, ys < h-1), matching the old flat-scatter result.
+    )[:, None, :]  # (N, 1, 4)
+    return _corner_scatter(pxi, pyi, corners, h, w)[:, :, 0]
+
+
+def _bilinear_coords(xs: Array, ys: Array, n_events, h: int, w: int):
+    """Shared bilinear-scatter front end: floor/fractional coordinates and
+    the combined validity gate. Matches the reference mask chain
+    (event_utils.py:223-237): clip at img_size-1, and zero the
+    *coordinates* of masked events (``pxs*mask``) rather than the corner
+    weights — masked events land at (0,0) with their (gated) weight."""
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    valid = _valid_mask(xs.shape[0], n_events)
+    inb = ((xs < w - 1) & (ys < h - 1) & (xs >= 0) & (ys >= 0)).astype(jnp.float32)
+    px = jnp.floor(xs)
+    py = jnp.floor(ys)
+    pxi = (px * inb).astype(jnp.int32)
+    pyi = (py * inb).astype(jnp.int32)
+    return pxi, pyi, xs - px, ys - py, valid * inb
+
+
+def _corner_scatter(pxi: Array, pyi: Array, corners: Array, h: int, w: int) -> Array:
+    """(N, K, 4) per-corner column blocks -> (h, w, K) accumulated planes.
+
+    ONE width-4K row scatter at the base corner, then shift-and-add the
+    four corner planes — 4N scalar scatter updates (measured 29 Mev/s
+    on-chip) become N row updates like the voxel path (~70 Mev/s) plus
+    three cheap shifted adds. base+1 / base+w offsets are in-bounds by the
+    _bilinear_coords clip (xs < w-1, ys < h-1), matching a flat scatter.
+    Single source of truth for events_to_image_bilinear (K=1) and
+    events_to_image_drv (K=1+n_params)."""
+    n, k, _ = corners.shape
     base = pyi * w + pxi
-    acc = jnp.zeros((h * w, 4), jnp.float32).at[base].add(corners, mode="drop")
-    p = acc.reshape(h, w, 4)
-    img = (
-        p[:, :, 0]
-        + jnp.pad(p[:, :, 1], ((0, 0), (1, 0)))[:, :w]  # corner (x+1, y)
-        + jnp.pad(p[:, :, 2], ((1, 0), (0, 0)))[:h, :]  # corner (x, y+1)
-        + jnp.pad(p[:, :, 3], ((1, 0), (1, 0)))[:h, :w]  # corner (x+1, y+1)
+    acc = (
+        jnp.zeros((h * w, k * 4), jnp.float32)
+        .at[base]
+        .add(corners.reshape(n, k * 4), mode="drop")
     )
-    return img
+    p = acc.reshape(h, w, k, 4)
+    return (
+        p[:, :, :, 0]
+        + jnp.pad(p[:, :, :, 1], ((0, 0), (1, 0), (0, 0)))[:, :w]  # (x+1, y)
+        + jnp.pad(p[:, :, :, 2], ((1, 0), (0, 0), (0, 0)))[:h, :]  # (x, y+1)
+        + jnp.pad(p[:, :, :, 3], ((1, 0), (1, 0), (0, 0)))[:h, :w]  # (x+1, y+1)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sensor_size", "padding"))
@@ -213,18 +229,8 @@ def events_to_image_drv(
     h, w = sensor_size
     if padding:
         h, w = h + 1, w + 1
-    n_params = jx.shape[0]
-    xs = xs.astype(jnp.float32)
-    ys = ys.astype(jnp.float32)
-    valid = _valid_mask(xs.shape[0], n_events)
-    inb = ((xs < w - 1) & (ys < h - 1) & (xs >= 0) & (ys >= 0)).astype(jnp.float32)
-    px = jnp.floor(xs)
-    py = jnp.floor(ys)
-    dx = xs - px
-    dy = ys - py
-    pxi = (px * inb).astype(jnp.int32)
-    pyi = (py * inb).astype(jnp.int32)
-    wgt = ps.astype(jnp.float32) * valid * inb
+    pxi, pyi, dx, dy, gate = _bilinear_coords(xs, ys, n_events, h, w)
+    wgt = ps.astype(jnp.float32) * gate
     w1 = jx.astype(jnp.float32) * wgt  # (P, N)
     w2 = jy.astype(jnp.float32) * wgt
     img_corners = jnp.stack(
@@ -245,23 +251,8 @@ def events_to_image_drv(
         ],
         axis=-1,
     )  # (P, N, 4)
-    cols = jnp.concatenate(
-        [img_corners, jnp.moveaxis(d_corners, 0, 1)], axis=1
-    ).reshape(xs.shape[0], (n_params + 1) * 4)
-    # same one-row-scatter-then-shift trick as events_to_image_bilinear
-    base = pyi * w + pxi
-    acc = (
-        jnp.zeros((h * w, (n_params + 1) * 4), jnp.float32)
-        .at[base]
-        .add(cols, mode="drop")
-    )
-    p = acc.reshape(h, w, n_params + 1, 4)
-    out = (
-        p[:, :, :, 0]
-        + jnp.pad(p[:, :, :, 1], ((0, 0), (1, 0), (0, 0)))[:, :w]
-        + jnp.pad(p[:, :, :, 2], ((1, 0), (0, 0), (0, 0)))[:h, :]
-        + jnp.pad(p[:, :, :, 3], ((1, 0), (1, 0), (0, 0)))[:h, :w]
-    )  # (h, w, P+1)
+    cols = jnp.concatenate([img_corners, jnp.moveaxis(d_corners, 0, 1)], axis=1)
+    out = _corner_scatter(pxi, pyi, cols, h, w)  # (h, w, P+1)
     return out[:, :, 0], jnp.moveaxis(out[:, :, 1:], -1, 0)
 
 

@@ -159,6 +159,11 @@ def montage(
         mm = int(np.ceil(1.0 * n / nn))
     elif nn == -1:
         nn = int(np.ceil(1.0 * n / mm))
+    if n > mm * nn:
+        raise ValueError(
+            f"montage grid {mm}x{nn} cannot hold {n} images "
+            "(the reference would IndexError here too)"
+        )
     if prime_dir == 0:  # top-to-bottom
         grid_mm, grid_nn = np.meshgrid(np.arange(mm), np.arange(nn))
     else:  # left-to-right
@@ -179,7 +184,15 @@ def montage(
 
 def save_image(image: np.ndarray, path: str) -> None:
     """uint8 (H, W[, C]) -> PNG on disk (reference util.save_image :201-203,
-    via the repo's dependency-free PNG writer instead of matplotlib)."""
+    via the repo's dependency-free PNG writer instead of matplotlib).
+    Rejects non-uint8 input: a silent cast would truncate float images in
+    [0,1] to black (use ``tensor2im`` / explicit scaling first)."""
     from bde2vid_tpu.utils.png import write_png
 
-    write_png(path, np.asarray(image, np.uint8))
+    image = np.asarray(image)
+    if image.dtype != np.uint8:
+        raise ValueError(
+            f"save_image expects uint8, got {image.dtype}; scale floats "
+            "explicitly (e.g. tensor2im) before saving"
+        )
+    write_png(path, image)
