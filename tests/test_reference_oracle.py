@@ -1059,3 +1059,54 @@ def test_eval_driver_end_to_end_matches_reference_chain(tmp_path, rng):
             got_detail["HQF"][name]["mse"], ref_details["HQF"][name]["mse"],
             rtol=1e-4, atol=1e-6,
         )
+
+    # -- eq variant: the reference's cv2.equalizeHist round-trip on BOTH
+    # pred and gt (eval_models_seq.py:246-252, torch2cv2/cv2torch) vs the
+    # driver's --eq path (histogram-op equalize, cv2-parity-tested)
+    cv2 = pytest.importorskip("cv2")
+    import dataclasses
+
+    ref_eq = {}
+    for name in ("s1", "s2"):
+        loader = h5d.InferenceDataLoader(
+            str(tmp_path / "HQF" / f"{name}.h5"),
+            dataset_kwargs=dict(dataset_kwargs), ltype="H5",
+            num_workers=0, pin_memory=False,
+        )
+        crop = iu.Croper(num_enc)
+        states = None
+        total, count = 0.0, 0
+        with torch.no_grad():
+            for item in loader:
+                h, w = item["frame"].shape[-2:]
+                crop.update_params(w, h)
+                padded = crop.pad(item["events"])
+                if states is None:
+                    states = _torch_states(
+                        1, padded.shape[-2], padded.shape[-1], base, num_enc
+                    )
+                pred, states = tmodel.unetrecurrent(padded, states)
+                image_float = crop.crop(pred)
+
+                def eq_roundtrip(t):  # torch2cv2 -> equalizeHist -> cv2torch
+                    u8 = (np.clip(t.squeeze().numpy(), 0, 1) * 255).astype(np.uint8)
+                    return torch.from_numpy(cv2.equalizeHist(u8)).float()[None, None] / 255.0
+
+                v = F.mse_loss(eq_roundtrip(image_float), eq_roundtrip(item["frame"]))
+                total += float(v)
+                count += 1
+        ref_eq[name] = total / count
+
+    out_eq = str(tmp_path / "out" / "epoch_3_eq.txt")
+    evaluate_all(
+        spec, ["HQF/s1.h5", "HQF/s2.h5"], str(tmp_path), out_eq,
+        dataclasses.replace(cfg, eq=True), progress=False,
+    )
+    with open(out_eq) as fp:
+        got_eq = json.load(fp)
+    for name in ("s1", "s2"):
+        # our equalize is histogram-op (>=99.9% of pixels within one code
+        # value of cv2); per-sequence mse agrees to ~1e-5
+        assert got_eq["HQF"][name]["mse"] == pytest.approx(
+            ref_eq[name], rel=1e-3, abs=2e-5
+        ), name
