@@ -153,13 +153,16 @@ class _AttnStep(nn.Module):
 
 
 class _AttnParallel(nn.Module):
-    """FAST (non-parity) attention mode: every frame's buffer reads the
+    """Non-parity batched attention mode: every frame's buffer reads the
     ORIGINAL merged features, so all T frames batch through the attention
-    blocks at once — window matmuls across T*nW stay large on the MXU.
-    Differs from the reference's sequential in-place semantics (frame t
-    seeing already-attended past frames); enable via
-    ``parallel_attention=True`` when throughput matters more than
-    checkpoint-exact outputs."""
+    blocks at once. Differs from the reference's sequential in-place
+    semantics (frame t seeing already-attended past frames). NOTE: measured
+    SLOWER than the sequential parity scan on one chip at the flagship
+    config (160 vs 194 f/s, r2+r3 — the (S, D, H, W, C) slab buffer
+    materialization costs more HBM traffic than the batched kernel grid
+    saves; docs/DESIGN.md "Sequential vs parallel attention"). Kept for
+    experimentation and as the natural shape if a future config is
+    MXU-bound rather than bandwidth-bound."""
 
     dim: int
     depth: int
