@@ -77,11 +77,17 @@ def gaussian_blur(img: Array, sigma: Optional[float]) -> Array:
     img = img[None, :, :, None]
     kh = k.reshape(-1, 1, 1, 1)
     kw = k.reshape(1, -1, 1, 1)
+    # HIGHEST precision: at the TPU default the MXU multiplies in bf16,
+    # whose ~1e-3 relative noise swamps the ~1e-4 function deltas BFGS's
+    # Wolfe line search probes — observed as "precision loss" at iteration
+    # 0 on chip while CPU converged; full-f32 conv restores convergence
     img = jax.lax.conv_general_dilated(
-        img, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        img, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     img = jax.lax.conv_general_dilated(
-        img, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        img, kw, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return img[0, :, :, 0]
 
@@ -102,11 +108,19 @@ def get_iwe(
 
     The reference warps to the LAST timestamp's frame (get_iwe passes
     t0=ts[-1], :63); pad_events fills the tail with the last valid
-    timestamp, so ts[-1] is correct for padded buffers too."""
+    timestamp, so ts[-1] is correct for padded buffers too. Events warped
+    outside (0, img_size] are dropped via events_bounds_mask BEFORE the
+    raster, exactly like the reference (:65-66) — note its open-at-min
+    convention drops x==0 / y==0 events, which the raster's own clip would
+    have kept. One deliberate divergence: the raster runs at img_size
+    (the reference always rasterizes at the default (180, 240) regardless
+    of img_size — meaningless for other sensors)."""
     wx, wy = linvel_warp(
         xs.astype(jnp.float32), ys.astype(jnp.float32), ts, params, t0=ts[-1]
     )
     weights = ps if use_polarity else jnp.abs(ps)
+    mask = events_bounds_mask(wx, wy, 0, img_size[1], 0, img_size[0])
+    wx, wy, weights = wx * mask, wy * mask, weights * mask
     iwe = events_to_image_bilinear(wx, wy, weights, n_events, sensor_size=img_size)
     return gaussian_blur(iwe, blur_sigma)
 

@@ -35,8 +35,16 @@ def im2tensor(image: np.ndarray, cent: float = 1.0,
 
 
 def psnr(p0: np.ndarray, p1: np.ndarray, peak: float = 255.0) -> float:
-    """255-range PSNR (reference util.psnr :52-53)."""
-    return float(10.0 * np.log10(peak**2 / np.mean((1.0 * p0 - 1.0 * p1) ** 2)))
+    """255-range PSNR (reference util.psnr :52-53) — thin host-side wrapper
+    over the one vendored formula in metrics.basic.psnr (zero-mse guarded
+    there), with the reference's uint8-scale peak default."""
+    from bde2vid_tpu.metrics.basic import psnr as _psnr
+
+    return float(
+        _psnr(
+            np.asarray(p0, np.float32), np.asarray(p1, np.float32), peak=peak
+        )
+    )
 
 
 def rand_flip(input1, input2, rng: Optional[np.random.Generator] = None):
@@ -116,16 +124,19 @@ def lab2rgb(lab: np.ndarray) -> np.ndarray:
 
 def tensor2tensorlab(image: np.ndarray, to_norm: bool = True,
                      mc_only: bool = False) -> np.ndarray:
-    """(N, H, W, 3) [-1,1] -> Lab, optionally mean-centered/normalized to
-    ~[-1,1] (reference util.tensor2tensorlab :102-116, NHWC)."""
-    rgb = (np.asarray(image, np.float64) + 1.0) / 2.0
-    lab = np.stack([rgb2lab(rgb[i]) for i in range(rgb.shape[0])])
+    """(N, H, W, 3) [-1,1] -> (1, H, W, 3) Lab of element 0, optionally
+    mean-centered/normalized (reference util.tensor2tensorlab :102-116,
+    NHWC here). Faithful to the reference chain: tensor2im FIRST (uint8
+    quantization of element 0 only), then rgb2lab of the quantized image —
+    skipping the round-trip would shift L by up to the 1/255 code step."""
+    img = tensor2im(image)  # uint8 (H, W, 3)
+    lab = rgb2lab(img.astype(np.float64) / 255.0)
     if mc_only:
         lab[..., 0] -= 50.0
     if to_norm and not mc_only:
         lab[..., 0] -= 50.0
         lab /= 100.0
-    return lab.astype(np.float32)
+    return lab[np.newaxis].astype(np.float32)
 
 
 # -------------------------------- montage ------------------------------------

@@ -592,3 +592,20 @@ def test_psnr255_and_save_image(tmp_path, rng):
         assert img is not None and img.shape == (8, 9, 3)
     except ImportError:
         pass
+
+
+def test_tensor2tensorlab_reference_chain(rng):
+    """tensor2im quantization FIRST (reference :105), element 0 only; L in
+    [0,100] raw, ~[-0.5,0.5] normalized."""
+    from bde2vid_tpu.metrics.lpips_util import tensor2tensorlab
+
+    x = rng.uniform(-1, 1, (2, 6, 7, 3)).astype(np.float32)
+    raw = tensor2tensorlab(x, to_norm=False)
+    assert raw.shape == (1, 6, 7, 3)
+    assert raw[..., 0].min() >= 0.0 and raw[..., 0].max() <= 100.0
+    norm = tensor2tensorlab(x)
+    assert np.abs(norm[..., 0]).max() <= 0.51
+    mc = tensor2tensorlab(x, mc_only=True)
+    # mc_only centers L but leaves a/b unscaled
+    np.testing.assert_allclose(mc[..., 1:], raw[..., 1:], atol=1e-4)
+    np.testing.assert_allclose(mc[..., 0], raw[..., 0] - 50.0, atol=1e-4)

@@ -466,6 +466,38 @@ def test_get_iwe_matches_reference(rng):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_get_iwe_boundary_events_match_reference(rng):
+    """Events ON the image bounds (x==0, y==0, x/y at the far edge) after
+    warping: the reference's events_bounds_mask drops x<=0 / y<=0 (open at
+    min!) before rasterizing — a raster-side clip alone would keep x==0
+    events and differ by a full event weight per boundary pixel (caught by
+    review in r3: ~1% objective error on real windows)."""
+    objectives, warps = _ref_cmax_modules()
+    from bde2vid_tpu.events.cmax import get_iwe
+    from bde2vid_tpu.events import pad_events
+
+    h, w = 180, 240
+    # full-frame events including hard zeros and far-edge coordinates
+    xs, ys, ts, ps = _events(rng, 3000, h, w)
+    xs[:50] = 0
+    ys[50:100] = 0
+    xs[100:150] = w - 1
+    ys[150:200] = h - 1
+    for params in (np.array([0.0, 0.0]), np.array([3.0, -2.0])):
+        want, _ = objectives.get_iwe(
+            params, xs.astype(np.float64), ys.astype(np.float64), ts,
+            ps.astype(np.float64), warps.linvel_warp(), (h, w),
+        )
+        px, py, pt, pp, n = pad_events(
+            xs.astype(np.float32), ys.astype(np.float32), ts, ps
+        )
+        got = np.asarray(
+            get_iwe(jnp.asarray(params, jnp.float32), px, py, pt, pp, n,
+                    img_size=(h, w), blur_sigma=None)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_cmax_objectives_match_reference(rng):
     objectives, _ = _ref_cmax_modules()
     from bde2vid_tpu.events import cmax
