@@ -2,8 +2,6 @@
 replica of the V5 generator (bidirectional LSTM sweeps, cross-frame window
 attention with relative bias + dilated windows, aliased-skip decode)."""
 
-import math
-
 import numpy as np
 import pytest
 import torch

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from bde2vid_tpu.data import load_sequence
-from bde2vid_tpu.eval import EvalConfig, evaluate_all, evaluate_sequence, generate_table
+from bde2vid_tpu.eval import EvalConfig, evaluate_all, evaluate_sequence
 from bde2vid_tpu.events import H5EventWriter
 from bde2vid_tpu.models import build_model
 from bde2vid_tpu.models.api import ModelSpec
@@ -24,7 +24,13 @@ def _make_spec(name="E2VIDRecurrent"):
     model = build_model(name, CFG)
     voxel = jnp.zeros((1, 64, 64, 5))
     params = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, 64, 64))
-    return ModelSpec(name=name, module=model, params=params, num_bins=5, num_encoders=2)
+    # num_encoders must match what the real checkpoint loader would set:
+    # FireNet has no strided encoders (num_encoders=0, no Croper padding,
+    # asserted in test_checkpoint_convert) — testing it with 2 would run a
+    # padding path production FireNet eval never takes
+    n_enc = 0 if name == "FireNet" else 2
+    return ModelSpec(name=name, module=model, params=params, num_bins=5,
+                     num_encoders=n_enc)
 
 
 def _write_seq(path, rng, num_frames=6):

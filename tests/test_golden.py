@@ -7,7 +7,6 @@ to values computed at framework build time with fixed seeds. A drift here
 means a silent numeric change somewhere in the stack.
 """
 
-import os
 
 import numpy as np
 import pytest

@@ -20,8 +20,6 @@ from bde2vid_tpu.metrics import (
 
 # --------------------------- SSIM oracle (NumPy) ---------------------------
 def _uniform_valid_np(x, win):
-    h, w = x.shape
-    out = np.zeros((h - win + 1, w - win + 1), np.float64)
     c = np.cumsum(np.cumsum(np.pad(x, ((1, 0), (1, 0))), axis=0), axis=1)
     out = (
         c[win:, win:] - c[:-win, win:] - c[win:, :-win] + c[:-win, :-win]

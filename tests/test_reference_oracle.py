@@ -233,7 +233,10 @@ def test_legacy_norm_matches_reference(rng):
     from bde2vid_tpu.utils.norm import legacy_norm
 
     x = rng.normal(size=(5, 16, 24)).astype(np.float32)
-    x[x < 0.3] = 0.0  # plenty of zeros: the nonzero-only statistics matter
+    # plenty of zeros (the nonzero-only statistics matter) while KEEPING
+    # negative values — real voxels are signed, and an abs() slipped into
+    # the nonzero mean/std would pass on positive-only inputs
+    x[np.abs(x) < 0.3] = 0.0
     want = da.LegacyNorm()(torch.from_numpy(x.copy())).numpy()
     got = np.asarray(legacy_norm(jnp.asarray(x)))
     # float32 sum-reduction order differs between torch and XLA
@@ -654,7 +657,21 @@ def test_flow2rgb_matches_reference(rng):
     assert (np.abs(got_m - want_m) <= 1).mean() > 0.995
 
 
-def test_npy_dataset_items_match_reference(tmp_path, rng):
+@pytest.fixture
+def np_alltrue_shim():
+    """The reference calls np.alltrue (removed in NumPy 2.0). SCOPED shim:
+    removed on teardown so the rest of the suite runs against stock numpy —
+    a permanent monkeypatch would let product code that accidentally calls
+    np.alltrue pass full-suite runs while crashing in production."""
+    added = not hasattr(np, "alltrue")
+    if added:
+        np.alltrue = np.all  # type: ignore[attr-defined]
+    yield
+    if added and hasattr(np, "alltrue"):
+        del np.alltrue
+
+
+def test_npy_dataset_items_match_reference(tmp_path, rng, np_alltrue_shim):
     """Raw-NPY backend vs the reference SynchronizedNPYDataset: explicit
     (possibly non-contiguous) frame_event_idxes pairs must be honored
     verbatim and per-item voxels must match (min_event_rate set high
@@ -690,9 +707,6 @@ def test_npy_dataset_items_match_reference(tmp_path, rng):
                       [2650, 3000]])
     np.savetxt(ff / "frame_event_idxes.txt", idxes, fmt="%d")
 
-    # the reference calls np.alltrue, removed in NumPy 2.0 — shim for import
-    if not hasattr(np, "alltrue"):
-        np.alltrue = np.all  # type: ignore[attr-defined]
     ds = dsmod.SynchronizedNPYDataset(
         str(base), "events", frame_folder="frames", flow_folder=None,
         min_event_rate=1e9,  # never subsample -> deterministic
@@ -709,15 +723,13 @@ def test_npy_dataset_items_match_reference(tmp_path, rng):
         )
 
 
-def test_prevoxelized_npy_matches_reference(tmp_path, rng):
+def test_prevoxelized_npy_matches_reference(tmp_path, rng, np_alltrue_shim):
     """PrevoxelizedSequence vs the reference SynchronizedFramesEventsDataset
     (VoxelGridDataset inside) on a tree produced by h5_to_prevoxelized_npy:
     voxels, normalization, and first-frame-at-or-after pairing."""
     _ref_modules()
     import importlib
 
-    if not hasattr(np, "alltrue"):
-        np.alltrue = np.all  # removed in NumPy 2.0; reference still calls it
     dsmod = importlib.import_module("data_loader.dataset")
 
     from bde2vid_tpu.data import load_sequence
@@ -861,7 +873,9 @@ def test_h5_schema_cross_compatible_with_reference_packager(tmp_path, rng):
     """Files written by the reference hdf5_packager must load through our
     reader/pipeline, and files from our writer must carry the identical
     schema (datasets, dtypes, attrs, per-image event_idx)."""
-    sys.path.insert(0, os.path.join(REF, "events_contrast_maximization", "tools"))
+    tools_path = os.path.join(REF, "events_contrast_maximization", "tools")
+    if tools_path not in sys.path:  # guarded like _ref_modules: repeated
+        sys.path.insert(0, tools_path)  # runs must not stack duplicates
     import importlib
 
     ep = importlib.import_module("event_packagers")

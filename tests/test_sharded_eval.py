@@ -5,7 +5,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
 from bde2vid_tpu.models import build_model
 from bde2vid_tpu.models.api import ModelSpec, run_sequence, run_sequence_chunked
@@ -19,7 +18,11 @@ def _spec(name="E2VIDRecurrent"):
     model = build_model(name, CFG)
     v = jnp.zeros((1, 32, 32, 5))
     params = model.init(jax.random.PRNGKey(0), v, model.initial_state(1, 32, 32))
-    return ModelSpec(name=name, module=model, params=params, num_bins=5, num_encoders=2)
+    # FireNet has no strided encoders: the real checkpoint loader sets
+    # num_encoders=0 (no Croper padding) — match production config
+    n_enc = 0 if name == "FireNet" else 2
+    return ModelSpec(name=name, module=model, params=params, num_bins=5,
+                     num_encoders=n_enc)
 
 
 def test_devices_available():
@@ -80,8 +83,6 @@ def test_shard_batch_places_data():
 def test_spatial_sharding_matches_unsharded(rng):
     """Sharding the sensor-height axis over the 'spatial' mesh axis must be
     numerically inert — XLA inserts the conv halo exchanges."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from bde2vid_tpu.parallel.mesh import make_mesh, spatial_sharding
 
     spec = _spec()
@@ -126,12 +127,16 @@ def test_spatial_sharded_flagship_attention_forward_matches(rng):
 
     mesh = make_mesh(1, 2)
     sh = spatial_sharding(mesh, 5, batch_axis=1, h_axis=2)
+    voxels_sharded = jax.device_put(voxels, sh)
+    # the input must REALLY be split over both spatial devices (half the
+    # rows each) — otherwise the parity assert below compares unsharded
+    # against unsharded and proves nothing
+    shards = voxels_sharded.addressable_shards
+    assert len({s.device for s in shards}) == 2
+    assert {s.data.shape[2] for s in shards} == {H // 2}
     fwd = jax.jit(lambda p, v: model.apply(p, v)[0]["image"])
     with mesh:
-        got = fwd(
-            jax.device_put(params, replicate(mesh)), jax.device_put(voxels, sh)
-        )
-    assert len(got.sharding.device_set) > 1 or got.committed is False
+        got = fwd(jax.device_put(params, replicate(mesh)), voxels_sharded)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
 
 
