@@ -313,6 +313,62 @@ def test_bde2vid_checkpoint_parity(rng, tmp_path):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "win,buf,depths,heads,hw",
+    [
+        # asymmetric window composed with dilated blocks in the FULL model
+        # (the partition/reverse roundtrip test covers them in isolation)
+        ((3, 5), [-1, 0, 1], [2, 0, 2], 4, (40, 40)),
+        # EVEN window: adjacent dilated windows collide in the fold-sum —
+        # .add vs .set divergence only shows composed with the residuals
+        ((4, 6), [-2, -1, 0, 1, 2], [0, 2, 2], 2, (48, 48)),
+    ],
+)
+def test_bde2vid_checkpoint_parity_window_variants(
+    rng, tmp_path, monkeypatch, win, buf, depths, heads, hw
+):
+    import tests.test_bde2vid as tb
+
+    for name, val in [("BUF", buf), ("DEPTHS", depths), ("HEADS", heads),
+                      ("WIN", win)]:
+        monkeypatch.setattr(tb, name, val)
+    torch.manual_seed(2)
+    tnet = TV5().eval()
+    cfg_str = f"""
+model = dict(
+    type='BDE2VID',
+    generator=dict(
+        type='BDE2VIDCrossscalePropogationV5',
+        num_bins=5, basechannels={BASE}, num_encoders={ENC}, ks={KS},
+        num_res_blocks={NRES}, buffer_index={buf}, depths={depths},
+        num_heads={heads}, window_size=({win[0]}, {win[1]}),
+        drop_path_rate=0.2,
+        activation=dict(type='Sigmoid'),
+        losses=[],
+    ),
+)
+"""
+    ckpt = {
+        "meta": {"cfg": cfg_str},
+        "state_dict": {f"generator.{k}": v for k, v in tnet.state_dict().items()},
+    }
+    path = str(tmp_path / "epoch_1.pth")
+    torch.save(ckpt, path)
+
+    from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+    spec = load_model_from_torch(path)
+    t_steps, (h, w) = 4, hw
+    voxels = rng.normal(size=(t_steps, 1, h, w, 5)).astype(np.float32)
+    out, _ = spec.module.apply(spec.params, jnp.asarray(voxels))
+    got = np.asarray(out["image"])[:, 0, :, :, 0]
+    with torch.no_grad():
+        tv = [torch.from_numpy(voxels[t].transpose(0, 3, 1, 2))
+              for t in range(t_steps)]
+        want = torch.cat(tnet(tv))[:, 0].numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_bde2vid_checkpoint_parity_flagship_scale(rng, tmp_path, monkeypatch):
     """Parity at the TRUE flagship config (buffer +-3, depths [4,0,6],
     16 heads, basechannels 32 — bde2vid_cross_scale_propogation_V5.py:19-23)
