@@ -111,3 +111,27 @@ def test_concat_skip_and_no_upsample_conv(rng):
     out, _ = model.apply(params, voxel, state)
     assert out["image"].shape == (1, H, W, 1)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+@pytest.mark.parametrize("name", ["E2VIDRecurrent", "FireNet", "SPADEE2VID", "EITR", "EVSNN"])
+def test_bf16_drift_within_tolerance(name, rng):
+    """The eval CLI's --bf16 switch applies to EVERY family: each must stay
+    within bf16 noise of its f32 outputs on shared params over a short
+    recurrent sequence (thresholded/spiking dynamics could in principle
+    diverge hard — pin that they don't at these scales)."""
+    cfg = {"num_bins": B} if name not in ("E2VIDRecurrent", "FireNet") else CFG
+    m32 = build_model(name, dict(cfg))
+    m16 = build_model(name, dict(cfg), dtype=jnp.bfloat16)
+    h = w = 32 if name != "EITR" else 32  # /8-compatible
+    voxels = jnp.asarray(rng.normal(size=(4, 1, h, w, B)).astype(np.float32))
+    state = m32.initial_state(1, h, w)
+    params = m32.init(jax.random.PRNGKey(0), voxels[0], state)
+    a, _ = run_sequence(m32, params, voxels, state)
+    b, _ = run_sequence(m16, params, voxels, m16.initial_state(1, h, w))
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    assert np.isfinite(b).all(), name
+    # sigmoid-scale outputs; spiking families get a looser bound (binary
+    # spike flips move membrane sums by whole quanta)
+    tol = 0.25 if "SNN" in name else 0.08
+    assert np.abs(a - b).max() < tol, (name, np.abs(a - b).max())
