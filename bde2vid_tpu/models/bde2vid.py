@@ -521,6 +521,13 @@ class BDE2VID(nn.Module):
             out_act = {"Sigmoid": "sigmoid", "Identity": "identity", "LReLU": "lrelu"}[
                 act.get("type", "Sigmoid")
             ]
+        skip_type = gcfg.get("skip_type", "sum")
+        if skip_type not in ("sum", "concat"):
+            # the reference also declares 'no_skip' (V5:33-35) but its
+            # Identity is called with two args — a TypeError upstream, so
+            # no real checkpoint uses it; fail loudly rather than silently
+            # substituting sum
+            raise ValueError(f"unsupported skip_type {skip_type!r}")
         kw = dict(
             num_bins=gcfg.get("num_bins", 5),
             basechannels=gcfg.get("basechannels", 32),
@@ -530,7 +537,7 @@ class BDE2VID(nn.Module):
             norm=gcfg.get("norm", None),
             recurrent_block_type=gcfg.get("recurrent_block_type", "convlstm"),
             useRC=gcfg.get("useRC", True),
-            skip_type=gcfg.get("skip_type", "sum"),
+            skip_type=skip_type,
             out_activation=out_act,
             num_output_channels=gcfg.get("num_output_channels", 1),
             act_net=gcfg.get("act_net", "default"),

@@ -670,3 +670,12 @@ def test_nwindow_kv_reduction_matches_torch(rng):
     with torch.no_grad():
         want = t2n(tnet(torch.from_numpy(x.transpose(0, 1, 4, 2, 3))))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_bde2vid_rejects_no_skip():
+    """'no_skip' exists in the reference config surface but its Identity is
+    called with two args — a TypeError upstream, so no checkpoint carries
+    it; we fail loudly instead of silently substituting sum."""
+    with pytest.raises(ValueError, match="skip_type"):
+        m = build_model("BDE2VID", {"generator": {"skip_type": "no_skip"}})
+        m.init(jax.random.PRNGKey(0), jnp.zeros((2, 1, 16, 16, 5)))

@@ -366,3 +366,54 @@ def test_parse_embedded_cfg_free_variables():
     model = parse_embedded_cfg(cfg)
     assert model["basechannels"] == 16
     assert model["enc"] == [16, 32, 64]
+
+
+def test_parse_embedded_cfg_realistic_training_dialect():
+    """A realistic mmengine cfg string of the shape a real BDE2VID.pth
+    embeds: loss dicts (incl. nested args), activation dict, training-side
+    sections, comments, and derived variables — the converter must pull
+    the generator config out intact and ignore the rest."""
+    cfg = """
+# training config (written by mmengine Config.dump)
+base_ch = 32
+buffer = [-3, -2, -1, 0, 1, 2, 3]
+model = dict(
+    type='BDE2VID',
+    cpu_cache_length=100,
+    generator=dict(
+        type='BDE2VIDCrossscalePropogationV5',
+        num_bins=5, basechannels=base_ch, num_encoders=3, ks=5,
+        num_res_blocks=2, buffer_index=buffer, depths=[4, 0, 6],
+        num_heads=16, window_size=(7, 7), drop_path_rate=0.2,
+        use_checkpoint=False,
+        activation=dict(type='Sigmoid'),
+        losses=[
+            dict(type='PerceptualLoss', weight=1.0),
+            dict(type='L1Loss', weight=20.0),
+            dict(type='TemporalConsistencyLoss', L0=2),
+        ],
+        loss_inds=2,
+    ),
+)
+optimizer = dict(type='Adam', lr=1e-4)
+train_dataloader = dict(batch_size=2, num_workers=4)
+"""
+    model = parse_embedded_cfg(cfg)
+    gen = model["generator"]
+    assert gen["basechannels"] == 32
+    assert gen["buffer_index"] == [-3, -2, -1, 0, 1, 2, 3]
+    assert gen["losses"][1] == {"type": "L1Loss", "weight": 20.0}
+    assert gen["activation"] == {"type": "Sigmoid"}
+    assert model["cpu_cache_length"] == 100
+    # the full model still builds from this config (loss/train keys and
+    # use_checkpoint are inert at inference)
+    from bde2vid_tpu.models import build_model
+
+    m = build_model("BDE2VID", model)
+    import jax
+    import jax.numpy as jnp
+
+    v = jnp.zeros((2, 1, 16, 16, 5))
+    params = m.init(jax.random.PRNGKey(0), v)
+    out, _ = m.apply(params, v)
+    assert out["image"].shape == (2, 1, 16, 16, 1)
