@@ -208,6 +208,15 @@ class EventSequence:
         return xs, ys, ts, ps, n
 
     def item(self, i: int) -> SequenceItem:
+        if self.item_last is not None:
+            # under ev_rate splitting, self.windows holds FLAT sub-windows;
+            # pairing sub-window i with frame i would silently mismatch
+            # events and ground truth. The device path (voxels() +
+            # item_last) is the supported surface there.
+            raise ValueError(
+                "item() is undefined for ev_rate-split (SpadeH5) sequences "
+                "— iterate voxels() and map items via item_last"
+            )
         xs, ys, ts, ps, n = self.raw_window(i)
         dt = float(ts[n - 1]) if n > 0 else 0.0
         frame = self.reader.frame(i) if self.has_frames else None
@@ -310,7 +319,8 @@ def load_sequence(
         return PrevoxelizedSequence(path, normalize=normalize, max_length=max_length)
     elif ltype == "H5VOX":
         return H5VoxelCacheSequence(
-            path, num_bins=num_bins, normalize=normalize, max_length=max_length
+            path, num_bins=num_bins, normalize=normalize, max_length=max_length,
+            combined_voxel_channels=combined_voxel_channels,
         )
     else:
         raise ValueError(f"unknown loader type {ltype!r}")
@@ -458,9 +468,16 @@ class H5VoxelCacheSequence:
         num_bins: int = 5,
         normalize: bool = False,
         max_length: Optional[int] = None,
+        combined_voxel_channels: bool = True,
     ):
         self.reader = H5EventReader(path)
-        self.group = f"events_voxels_{num_bins}"
+        # combined = the reference layout; separate-polarity caches live in
+        # their own group (see events.tools.h5_precompute_voxels)
+        self.group = (
+            f"events_voxels_{num_bins}"
+            if combined_voxel_channels
+            else f"events_voxels_{num_bins}_negpos"
+        )
         if self.group not in self.reader.f:
             raise ValueError(
                 f"{path} has no '{self.group}' cache; run "

@@ -154,13 +154,16 @@ def _cached_run_fn(spec: ModelSpec, padded_hw, for_sequence_model: bool):
         if for_sequence_model:
             fn = jax.jit(lambda params, v: module.apply(params, v)[0]["image"])
         else:
-            state0 = module.initial_state(1, *padded_hw)
-            fn = jax.jit(
-                lambda params, v: run_sequence(module, params, v, state0)[0]
-            )
+            # state in/out: the driver THREADS recurrent state across
+            # subseq_L chunks — the reference's per-step loop never resets
+            # mid-sequence (eval_models_seq.py:169,209-213; only sequence
+            # models chunk-reset, :216-219 + bde2vid.py:31)
+            fn = jax.jit(lambda params, v, st: run_sequence(module, params, v, st))
         _RUN_FN_CACHE[arch_key] = fn
     fn = _RUN_FN_CACHE[arch_key]
-    return lambda v: fn(spec.params, v)
+    if for_sequence_model:
+        return lambda v: fn(spec.params, v)
+    return lambda v, st: fn(spec.params, v, st)
 
 
 def _pause_item_map(T: int, pause_st: int, pause_ed: int):
@@ -190,6 +193,18 @@ def evaluate_sequence(
             f"(got pause_st={cfg.pause_st}, pause_ed={cfg.pause_ed})"
         )
     if cfg.pause_st is not None and cfg.pause_ed is not None:
+        if cfg.pause_ed < cfg.pause_st:
+            raise ValueError(
+                f"pause_ed ({cfg.pause_ed}) must be >= pause_st "
+                f"({cfg.pause_st}) — a negative pause would silently skip "
+                "items"
+            )
+        if cfg.pause_st >= len(seq):
+            raise ValueError(
+                f"pause_st ({cfg.pause_st}) is beyond the sequence "
+                f"({len(seq)} items) — the reference would exhaust the "
+                "dataloader before pausing"
+            )
         # reference: T = max_length outright (eval_models_seq.py:174-177) —
         # the pause consumes no real items, so the run extends past len(seq).
         # Bound real consumption at len(seq) (the reference would raise
@@ -251,10 +266,18 @@ def evaluate_sequence(
         print("note: --shard_data inactive (needs >1 device, subseq_L "
               "chunking with multiple chunks, and no ev_rate splitting)")
     if use_shard:
-        # chunks are state-reset-independent -> shard them over the mesh's
-        # 'data' axis (exactness proven in tests/test_sharded_eval.py)
+        # chunks shard over the mesh's 'data' axis (exactness vs the
+        # chunk-reset semantics proven in tests/test_sharded_eval.py).
+        # For SEQUENCE models chunk independence is the reference's own
+        # semantic (state resets per call); for step models sharding
+        # NECESSARILY resets recurrent state at chunk boundaries — a
+        # documented divergence from the sequential default (which
+        # threads state), traded for multi-chip throughput.
         from bde2vid_tpu.parallel.sharded_eval import eval_chunks_sharded
 
+        if not spec.is_sequence_model:
+            print("note: --shard_data resets recurrent state every "
+                  f"{chunk} steps (chunk independence is what shards)")
         preds = [eval_chunks_sharded(spec, x, chunk)]
     elif spec.is_sequence_model:
         # BDE2VID-style: the whole (sub)sequence is one forward; the
@@ -266,7 +289,12 @@ def evaluate_sequence(
             # (jit re-traces per length; tail lengths recur across sequences)
             preds.append(run(x[s : s + chunk]))
     else:
-        state0 = spec.module.initial_state(1, *padded_hw)
+        # step models: state THREADS across chunks (the reference's
+        # per-step loop carries state for the whole run and resets only
+        # once up front, eval_models_seq.py:169; chunk resets are a
+        # sequence-model-only semantic). subseq_L here only bounds the
+        # per-dispatch scan length.
+        state = spec.module.initial_state(1, *padded_hw)
         run = _cached_run_fn(spec, padded_hw, False)
         for s in range(0, n_steps, chunk):
             piece = x[s : s + chunk]
@@ -276,13 +304,16 @@ def evaluate_sequence(
                 # cannot affect earlier outputs, so the tail reuses the one
                 # compiled chunk shape (a ragged BDE2VID tail cannot — its
                 # backward sweep would see the padding — and keeps its own
-                # compile in the sequence-model branch above)
+                # compile in the sequence-model branch above). The returned
+                # state absorbed the zero steps, but a tail only occurs on
+                # the LAST chunk, after which state is dead.
                 piece = jnp.concatenate(
                     [piece, jnp.zeros((tail, *piece.shape[1:]), piece.dtype)]
                 )
-                imgs = run(piece)[: chunk - tail]
+                imgs, state = run(piece, state)
+                imgs = imgs[: chunk - tail]
             else:
-                imgs = run(piece)
+                imgs, state = run(piece, state)
             preds.append(imgs)
     preds = jnp.concatenate(preds, axis=0)  # (T, 1, H', W', 1)
 

@@ -88,6 +88,12 @@ def main(argv=None) -> int:
         arr = np.asarray(chunk, np.float64)
         ts, xs, ys, ps = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
         ps = np.where(ps > 0, 1.0, -1.0).astype(np.float32)
+        # rebase in float64 BEFORE the float32 cast (reference
+        # EVSNN/utils/util.py:51-58 normalizes (t - first)/deltaT in
+        # float64): epoch-scale stamps (~1.6e9 s) have ~128 s float32
+        # resolution — a raw cast collapses a whole chunk to 1-2 distinct
+        # values and garbles the temporal bins
+        ts = ts - ts[0]
         px, py, pt, pp, n = pad_events(
             xs.astype(np.int32), ys.astype(np.int32), ts.astype(np.float32), ps
         )

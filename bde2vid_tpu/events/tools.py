@@ -155,7 +155,8 @@ def h5_cut(
     input_path: str, output_path: str, t_start: float, t_end: float
 ) -> None:
     """Slice an h5 sequence to [t_start, t_end) seconds (relative to t0),
-    keeping frames/flow in range (reference h5_cut.py)."""
+    keeping the frames in range. Flow is NOT copied — parity with the
+    reference h5_cut.py, which also writes the cut file with num_flow=0."""
     with H5EventReader(input_path) as r:
         i0 = r.search_time(t_start)
         i1 = r.search_time(t_end)
@@ -286,14 +287,12 @@ class NPYEventReader:
     def events(self, i0: int, i1: int):
         from bde2vid_tpu.events.h5_io import EventSlice
 
-        # convert polarities AFTER the float cast: the reference computes
-        # ps*2-1 on the raw dtype, which wraps to +255 for uint8-stored
-        # zeros (dataset.py:307) — a storage-dtype hazard this avoids
-        return EventSlice(
-            xs=np.asarray(self.xs[i0:i1], np.int32),
-            ys=np.asarray(self.ys[i0:i1], np.int32),
-            ts=(np.asarray(self.t[i0:i1]) - self.t0).astype(np.float32),
-            ps=np.asarray(self.p[i0:i1], np.float32) * 2.0 - 1.0,
+        # from_raw converts polarities AFTER the float cast: the reference
+        # computes ps*2-1 on the raw dtype, which wraps to +255 for
+        # uint8-stored zeros (dataset.py:307) — a storage-dtype hazard
+        return EventSlice.from_raw(
+            self.xs[i0:i1], self.ys[i0:i1], self.t[i0:i1], self.p[i0:i1],
+            self.t0,
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
@@ -378,11 +377,8 @@ class MemMapEventReader:
         from bde2vid_tpu.events.h5_io import EventSlice
 
         xy = np.asarray(self.xy[i0:i1])
-        return EventSlice(
-            xs=xy[:, 0].astype(np.int32),
-            ys=xy[:, 1].astype(np.int32),
-            ts=(np.asarray(self.t[i0:i1]) - self.t0).astype(np.float32),
-            ps=np.asarray(self.p[i0:i1]).astype(np.float32) * 2.0 - 1.0,
+        return EventSlice.from_raw(
+            xy[:, 0], xy[:, 1], self.t[i0:i1], self.p[i0:i1], self.t0
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
@@ -463,7 +459,17 @@ def h5_precompute_voxels(
     # would hold the whole recording's events in RAM), and a rerun on a
     # cached file is a cheap no-op
     with h5py.File(path, "r+") as f:
-        grp = f.require_group(f"events_voxels_{num_bins}")
+        # combined voxels use the reference layout (events_voxels_{B});
+        # separate-polarity grids are an extension the reference never
+        # caches — a distinct group name, otherwise a rerun with the other
+        # polarity mode would see every dataset present, write nothing,
+        # and silently serve wrong-channel voxels
+        group_name = (
+            f"events_voxels_{num_bins}"
+            if combined_voxel_channels
+            else f"events_voxels_{num_bins}_negpos"
+        )
+        grp = f.require_group(group_name)
         existing = set(grp)
         todo = [
             i for i in range(length)
@@ -527,11 +533,20 @@ def h5_to_prevoxelized_npy(
             )
             voxels.append(vox)
         fts = r.frame_timestamps + r.t0  # absolute, like the source files
+        if r.num_frames == 0:
+            raise ValueError(
+                f"{h5_path} has no frames — the pre-voxelized NPY layout "
+                "pairs every voxel with a frame"
+            )
+        # grayscale via the reader (handles the reference's BGR storage);
+        # saving raw (F, H, W, 3) would break the (T, H, W) frame surface
         frames = np.stack(
-            [np.asarray(r.f["images"][k]) for k in r._frame_keys]
-        ).astype(np.uint8)
+            [np.rint(r.frame(i) * 255.0).astype(np.uint8)
+             for i in range(r.num_frames)]  # rint: /255*255 must round-trip
+        )
+    channels = num_bins if combined_voxel_channels else 2 * num_bins
     np.save(os.path.join(ef, "voxels.npy"), np.stack(voxels) if voxels else
-            np.zeros((0, num_bins, *frames.shape[-2:]), np.float32))
+            np.zeros((0, channels, *frames.shape[-2:]), np.float32))
     with open(os.path.join(ef, "timestamps.txt"), "w") as fp:
         for i in range(length):
             fp.write(f"{i} {fts[i]:.9f}\n")

@@ -195,3 +195,35 @@ def test_evaluate_sequence_pause_delays_stream(tmp_path, rng):
     )
     _, detail_big = evaluate_sequence(spec, seq, cfg_big)
     assert len(detail_big["mse"]) == n_items + 3
+
+
+def test_subseq_chunking_threads_state_for_step_models(tmp_path, rng):
+    """subseq_L must NOT reset recurrent state for step models — the
+    reference runs them as one per-step loop with state persisting for the
+    whole sequence (eval_models_seq.py:169,209-213); only sequence models
+    chunk-reset. Chunked metrics must equal unchunked exactly."""
+    _write_seq(tmp_path / "a.h5", rng, num_frames=8)
+    spec = _make_spec()  # E2VIDRecurrent: ConvLSTM state at every level
+    cfg_full = EvalConfig(metrics=("mse",), subseq_L=None, max_length=None)
+    _, d_full = evaluate_sequence(
+        spec, load_sequence(str(tmp_path / "a.h5"), num_bins=5), cfg_full
+    )
+    cfg_chunk = EvalConfig(metrics=("mse",), subseq_L=2, max_length=None)
+    _, d_chunk = evaluate_sequence(
+        spec, load_sequence(str(tmp_path / "a.h5"), num_bins=5), cfg_chunk
+    )
+    np.testing.assert_allclose(d_chunk["mse"], d_full["mse"], rtol=1e-5, atol=1e-7)
+
+
+def test_pause_bounds_validated(tmp_path, rng):
+    _write_seq(tmp_path / "a.h5", rng, num_frames=6)
+    spec = _make_spec()
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    with pytest.raises(ValueError, match="pause_ed"):
+        evaluate_sequence(spec, seq, EvalConfig(
+            metrics=("mse",), subseq_L=None, max_length=None,
+            pause_st=4, pause_ed=2))
+    with pytest.raises(ValueError, match="beyond the sequence"):
+        evaluate_sequence(spec, seq, EvalConfig(
+            metrics=("mse",), subseq_L=None, max_length=None,
+            pause_st=150, pause_ed=160))

@@ -142,7 +142,12 @@ def test_spatial_sharded_flagship_attention_forward_matches(rng):
 
 def test_evaluate_sequence_shard_data_matches(tmp_path, rng):
     """The driver's --shard_data path must produce identical metrics to the
-    sequential path on the 8-device mesh."""
+    sequential path on the 8-device mesh — for a SEQUENCE model, where
+    chunk independence is the reference's own semantic. (For step models
+    the sequential default THREADS state across chunks while sharding
+    necessarily resets it — a documented divergence, so they are not
+    comparable; eval_chunks_sharded's exactness against the chunk-reset
+    baseline is proven separately above.)"""
     import dataclasses
 
     from bde2vid_tpu.data import load_sequence
@@ -158,7 +163,13 @@ def test_evaluate_sequence_shard_data_matches(tmp_path, rng):
         for i in range(9):
             w.add_image(rng.uniform(0, 255, sensor).astype(np.uint8), (i + 0.5) / 9)
 
-    spec = _spec()
+    cfg_m = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                           "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                           "depths": [1, 1], "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg_m)
+    v = jnp.zeros((2, 1, 16, 16, 5))
+    params = model.init(jax.random.PRNGKey(0), v)
+    spec = ModelSpec("BDE2VID", model, params, 5, 2, is_sequence_model=True)
     cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=2, max_length=None)
     res_seq, det_seq = evaluate_sequence(spec, load_sequence(path, num_bins=5), cfg)
     cfg_sh = dataclasses.replace(cfg, shard_data=True)
