@@ -189,6 +189,10 @@ class FlowNet(nn.Module):
         kw = _unet_common(self.config)
         return UNetFlow(
             recurrent_block_type=str(self.config.get("recurrent_block_type", "convlstm")),
+            # unlike UNet/UNetRecurrent (hardcoded k=5), the reference
+            # UNetFlow builds head/encoders from the configurable
+            # kernel_size (unet.py:293-300)
+            kernel_size=int(self.config.get("kernel_size", 5)),
             dtype=self.dtype,
             train=self.train,
             name=name,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bde2vid_tpu.models.api import register_model
-from bde2vid_tpu.nn.layers import pixel_shuffle
+from bde2vid_tpu.nn.layers import pixel_shuffle, resize_nearest_torch
 from bde2vid_tpu.nn.recurrent import ConvLSTMCell, lstm_initial_state
 
 Array = jax.Array
@@ -50,12 +50,11 @@ class SPADE(nn.Module):
             dtype=self.dtype,
             name="param_free_norm",
         )(x)
-        # nearest-resize segmap to x's spatial size (reference F.interpolate
-        # mode='nearest')
+        # nearest-resize segmap to x's spatial size with TORCH floor
+        # semantics (reference F.interpolate mode='nearest'; jax's
+        # half-pixel nearest samples different source pixels)
         n, h, w, _ = x.shape
-        seg = jax.image.resize(
-            segmap, (segmap.shape[0], h, w, segmap.shape[-1]), method="nearest"
-        )
+        seg = resize_nearest_torch(segmap, h, w)
         conv = lambda f, name: nn.Conv(
             f, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name=name
         )

@@ -155,11 +155,19 @@ class UNet(_UNetBase):
 class UNetRecurrent(_UNetBase):
     """UNet with a recurrent cell after every encoder (reference :139-200)."""
 
+    def _enc_kernel(self) -> int:
+        """Head/encoder kernel. The reference UNetRecurrent HARDCODES 5
+        (unet.py:153-160) while its UNetFlow subclass builds from the
+        configurable kernel_size (unet.py:293-300) — subclass hook."""
+        return 5
+
     @nn.compact
     def __call__(self, x: Array, states: Tuple) -> Tuple[Array, Tuple]:
         apply_skip = _skip(self.skip_type)
+        k = self._enc_kernel()
         x = ConvLayer(
-            self.base_num_channels, 5, padding=2, dtype=self.dtype, train=self.train, name="head"
+            self.base_num_channels, k, padding=k // 2, dtype=self.dtype,
+            train=self.train, name="head"
         )(x)
         head = x
         blocks = []
@@ -167,9 +175,9 @@ class UNetRecurrent(_UNetBase):
         for i, out_size in enumerate(self.encoder_output_sizes):
             x, st = RecurrentConvLayer(
                 out_size,
-                kernel_size=5,
+                kernel_size=k,
                 stride=2,
-                padding=2,
+                padding=k // 2,
                 recurrent_block_type=self.recurrent_block_type,
                 norm=self.norm,
                 dtype=self.dtype,
@@ -187,10 +195,12 @@ class UNetRecurrent(_UNetBase):
 
     def initial_state(self, batch: int, height: int, width: int, dtype=None):
         dtype = dtype or self.dtype
+        k = self._enc_kernel()
         states = []
         h, w = height, width
         for out_size in self.encoder_output_sizes:
-            h, w = (h + 2 * 2 - 5) // 2 + 1, (w + 2 * 2 - 5) // 2 + 1
+            h = (h + 2 * (k // 2) - k) // 2 + 1
+            w = (w + 2 * (k // 2) - k) // 2 + 1
             if self.recurrent_block_type == "convlstm":
                 states.append(lstm_initial_state(batch, h, w, out_size, dtype))
             else:
@@ -269,7 +279,13 @@ class UNetFire(_UNetBase):
 
 class UNetFlow(UNetRecurrent):
     """UNetRecurrent with 3 output channels and no activation; the image is
-    channel 0, the remaining 2 channels are flow (reference :281-338)."""
+    channel 0, the remaining 2 channels are flow (reference :281-338).
+    Unlike its parent, the reference UNetFlow builds head/encoders from the
+    CONFIGURABLE kernel_size (unet.py:293-300) — honored here so non-k5
+    FlowNet checkpoints convert."""
 
     num_output_channels: int = 3
     activation: Optional[str] = None
+
+    def _enc_kernel(self) -> int:
+        return self.kernel_size

@@ -68,27 +68,47 @@ def torch_pad(kernel_size: int, padding: Optional[int] = None):
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d with running stats, NO affine transform (torch's
-    ``affine=False`` default — this module creates no scale/bias params).
+    """InstanceNorm2d, NO affine transform (torch's ``affine=False``
+    default — this module creates no scale/bias params).
 
-    The reference uses ``nn.InstanceNorm2d(track_running_stats=True)``
-    (e2vid/submodules.py:33): at eval time torch then normalizes with the
-    *running* mean/var, not per-instance stats — replicated here.
-    ``use_running_average=False`` gives the per-instance (training) behavior.
+    Two reference flavors, selected by ``track_stats``:
+    - ConvLayer/Upsample/Transposed sites use
+      ``nn.InstanceNorm2d(track_running_stats=True)``
+      (e2vid/submodules.py:33): at eval torch normalizes with the
+      *running* mean/var — ``track_stats=True`` + ``use_running_average``.
+    - ResidualBlock uses plain ``nn.InstanceNorm2d(out_channels)``
+      (model/submodules.py:337-338, e2vid/submodules.py:224): stat-less,
+      per-instance statistics at train AND eval, no checkpoint tensors —
+      ``track_stats=False`` (creates no batch_stats variables; normalizing
+      with never-populated zeros/ones here was an r3 review finding).
     """
 
     features: int
     epsilon: float = 1e-5
     use_running_average: bool = True
+    track_stats: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,)))
-        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,)))
-        if self.use_running_average:
+        if self.track_stats and self.use_running_average:
+            mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+            )
+            var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((self.features,))
+            )
             m, v = mean.value, var.value
         else:
+            if self.track_stats:
+                # variables must exist in train mode too, so the param tree
+                # is mode-independent (checkpoints convert identically)
+                self.variable(
+                    "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+                )
+                self.variable(
+                    "batch_stats", "var", lambda: jnp.ones((self.features,))
+                )
             m = jnp.mean(x, axis=(1, 2), keepdims=True)
             v = jnp.var(x, axis=(1, 2), keepdims=True)
         y = (x - m) * jax.lax.rsqrt(v + self.epsilon)
@@ -97,8 +117,15 @@ class InstanceNorm(nn.Module):
 
 
 def _make_norm(
-    norm: Optional[str], features: int, dtype, train: bool, name: str = "norm_layer"
+    norm: Optional[str],
+    features: int,
+    dtype,
+    train: bool,
+    name: str = "norm_layer",
+    in_track_stats: bool = True,
 ):
+    """``in_track_stats=False`` selects the reference ResidualBlock's
+    stat-less InstanceNorm (see InstanceNorm docstring); BN is unaffected."""
     if norm == "BN":
         return nn.BatchNorm(
             use_running_average=not train,
@@ -109,7 +136,11 @@ def _make_norm(
         )
     if norm == "IN":
         return InstanceNorm(
-            features=features, use_running_average=not train, dtype=dtype, name=name
+            features=features,
+            use_running_average=not train,
+            track_stats=in_track_stats,
+            dtype=dtype,
+            name=name,
         )
     return None
 
@@ -206,8 +237,26 @@ def resize_bilinear_2x(x: Array) -> Array:
 
 
 def resize_bilinear_half(x: Array) -> Array:
+    """0.5x bilinear downsample matching torch F.interpolate(scale=0.5,
+    bilinear, align_corners=False): antialias OFF — torch samples 2 taps;
+    jax's default antialias widens the kernel to 4 taps and diverges by
+    ~0.6 on unit-normal inputs (r3 review, verified empirically)."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h // 2, w // 2, c), method="linear")
+    return jax.image.resize(
+        x, (n, h // 2, w // 2, c), method="linear", antialias=False
+    )
+
+
+def resize_nearest_torch(x: Array, out_h: int, out_w: int) -> Array:
+    """Nearest-neighbor resize with TORCH semantics: src = floor(dst * in/out)
+    (F.interpolate mode='nearest'). jax.image.resize('nearest') rounds at
+    half-pixel centers and samples DIFFERENT pixels (e.g. rows {1,3,5...}
+    instead of {0,2,4...} on a 2x downscale) — a checkpoint-parity trap for
+    SPADE's segmap conditioning (r3 review, verified empirically)."""
+    n, h, w, c = x.shape
+    rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
 
 
 class UpsampleConvLayer(nn.Module):
@@ -309,7 +358,10 @@ class ResidualBlock(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        n1 = _make_norm(self.norm, self.features, self.dtype, self.train, name="bn1")
+        # in_track_stats=False: the reference ResidualBlock's IN is the
+        # stat-less nn.InstanceNorm2d(out_channels) (model/submodules.py:337)
+        n1 = _make_norm(self.norm, self.features, self.dtype, self.train,
+                        name="bn1", in_track_stats=False)
         if n1 is not None:
             y = n1(y)
         y = jax.nn.relu(y)
@@ -322,7 +374,8 @@ class ResidualBlock(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(y)
-        n2 = _make_norm(self.norm, self.features, self.dtype, self.train, name="bn2")
+        n2 = _make_norm(self.norm, self.features, self.dtype, self.train,
+                        name="bn2", in_track_stats=False)
         if n2 is not None:
             y = n2(y)
         if self.downsample:

@@ -34,15 +34,28 @@ import time
 import numpy as np
 
 
+_SEQ_CACHE: dict = {}
+
+
+def _open_sequence(path, num_bins):
+    """Keep sequences open across windows: a fresh load_sequence per batch
+    element per step re-opens + re-parses the h5 on the single host core,
+    serializing data assembly with the device step (r3 review)."""
+    key = (path, num_bins)
+    if key not in _SEQ_CACHE:
+        from bde2vid_tpu.data import load_sequence
+
+        _SEQ_CACHE[key] = load_sequence(path, num_bins=num_bins)
+    return _SEQ_CACHE[key]
+
+
 def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
-    from bde2vid_tpu.data import load_sequence
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
-    while True:
+    for _ in range(10 * len(files) + 10):
         path = files[int(rng.integers(len(files)))]
-        seq = load_sequence(path, num_bins=num_bins)
+        seq = _open_sequence(path, num_bins)
         if len(seq) < seq_len + 1:
-            seq.reader.close()
             continue
         start = int(rng.integers(0, len(seq) - seq_len))
         idx, paused = sample_pause_mask(
@@ -53,7 +66,6 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
         )
         vox = np.asarray(seq.voxels(start, start + seq_len))  # (L, B, H, W)
         frames = seq.frames(start, start + seq_len)  # (L, H, W)
-        seq.reader.close()
         vox = vox[idx]
         frames = frames[idx]
         vox[paused] = 0.0
@@ -76,6 +88,10 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
         vox = vox[:, :, y0 : y0 + ch, x0 : x0 + cw]
         frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
         return vox.transpose(0, 2, 3, 1), frames[..., None]
+    raise ValueError(
+        f"no h5 sequence under consideration has >= {seq_len + 1} items "
+        f"({len(files)} files tried) — shorten sequence_length or add data"
+    )
 
 
 def iterate_training_windows(
@@ -114,6 +130,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1,
                    help="independent windows per step; sharded over the "
                         "device mesh 'data' axis when divisible")
+    p.add_argument("--lpips_lin", default=None,
+                   help="LPIPS lin-head .pth for PerceptualLoss/VIPLoss "
+                        "(auto-discovered when omitted)")
+    p.add_argument("--lpips_backbone", default=None,
+                   help="converted LPIPS backbone weights (.pth/.npz)")
     args = p.parse_args(argv)
 
     import jax
@@ -192,13 +213,38 @@ def main(argv=None) -> int:
     tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
     opt_state = tx.init(params)
 
-    comp = SequenceLossComputer(
-        cfg.get("losses", [{"type": "L1Loss"}]), cfg.get("loss_inds")
-    )
+    losses_cfg = cfg.get("losses", [{"type": "L1Loss"}])
+    comp = SequenceLossComputer(losses_cfg, cfg.get("loss_inds"))
+
+    # LPIPS-backed losses need feature-net params (reference PerceptualLoss/
+    # VIPLoss build an LPIPS net, losses.py:15-162); without weights the
+    # first step would die with an opaque flax scope error inside jit
+    lpips_params = None
+    lpips_names = {"PerceptualLoss", "VIPLoss"} & {c["type"] for c in losses_cfg}
+    if lpips_names:
+        from bde2vid_tpu.eval.checkpoint import _to_numpy_state, load_torch_file
+        from bde2vid_tpu.metrics.lpips import find_default_lpips_lin, load_lpips_params
+
+        lpips_lin = args.lpips_lin or find_default_lpips_lin()
+        if not lpips_lin:
+            raise SystemExit(
+                f"losses {sorted(lpips_names)} need LPIPS weights: pass "
+                "--lpips_lin (and optionally --lpips_backbone)"
+            )
+        lin = _to_numpy_state(load_torch_file(lpips_lin))
+        backbone = (
+            _to_numpy_state(load_torch_file(args.lpips_backbone))
+            if args.lpips_backbone
+            else None
+        )
+        lpips_params = load_lpips_params(lin, backbone)
+        print(f"lpips: lin weights {lpips_lin}")
+
     step_fn = make_train_step(
         model,
         tx,
         comp,
+        lpips_params=lpips_params,
         is_sequence_model=is_seq,
         remat=bool(cfg.get("train", {}).get("remat", False)),
     )

@@ -66,6 +66,10 @@ class SequenceLossComputer:
     ) -> Tuple[Array, Dict[str, Array]]:
         T = preds.shape[0]
         gate = self._gate(T)
+        if "TemporalConsistencyLoss" in self.losses and flows is None:
+            # same clear error the scan path raises — without it the
+            # unrolled path dies on flows[t] with a bare TypeError
+            raise ValueError("TemporalConsistencyLoss requires flows")
         if int(gate.sum()) > self.unroll_threshold:
             return self._call_scan(lpips_params, preds, gts, flows, gate)
         sums: Dict[str, Array] = {}
@@ -218,21 +222,50 @@ def make_train_step(
 
     from bde2vid_tpu.models.api import run_sequence
 
-    def forward(params, voxels, rngs):
+    def forward(variables, voxels, rngs):
+        # BN/IN-bearing models (train=True) mutate "batch_stats": declare
+        # it mutable and thread the updates out of the step — without this
+        # flax raises ModifyScopeVariableError on the first step, and a
+        # mutable-and-discard would silently never train the running
+        # averages (r3 review, verified). Returns (preds, mutated_stats)
+        # where mutated_stats is {} for stat-free models.
         if is_sequence_model:
-            out, _ = model.apply(params, voxels, rngs=rngs)
-            return out["image"]
+            (out, _), mut = model.apply(
+                variables, voxels, rngs=rngs, mutable=["batch_stats"]
+            )
+            return out["image"], mut
+
         n, h, w = voxels.shape[1], voxels.shape[2], voxels.shape[3]
-        state = model.initial_state(n, h, w)
-        imgs, _ = run_sequence(model, params, voxels, state)
-        return imgs
+        state0 = model.initial_state(n, h, w)
+        has_stats = "batch_stats" in variables
+        if not has_stats:
+            imgs, _ = run_sequence(model, variables, voxels, state0)
+            return imgs, {}
+
+        base = {k: v for k, v in variables.items() if k != "batch_stats"}
+
+        def step_fn(carry, voxel):
+            state, bstats = carry
+            (out, new_state), mut = model.apply(
+                {**base, "batch_stats": bstats},
+                voxel,
+                state,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return (new_state, mut["batch_stats"]), out["image"]
+
+        (_, final_stats), imgs = jax.lax.scan(
+            step_fn, (state0, variables["batch_stats"]), voxels
+        )
+        return imgs, {"batch_stats": final_stats}
 
     fwd = jax.checkpoint(forward, static_argnums=()) if remat else forward
 
     def loss_fn(params, voxels, frames, flows, rngs):
-        preds = fwd(params, voxels, rngs)
+        preds, mut = fwd(params, voxels, rngs)
         total, loss_dict = loss_computer(lpips_params, preds, frames, flows)
-        return total, loss_dict
+        return total, (loss_dict, mut)
 
     # donate params/opt_state buffers: the old trees are dead after the
     # update, so XLA reuses their HBM instead of holding both generations
@@ -241,12 +274,18 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=donate_argnums)
     def step(params, opt_state, rng, voxels, frames, flows):
         rngs = {"droppath": rng}
-        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (_, (loss_dict, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, voxels, frames, flows, rngs
         )
+        # grads for non-"params" collections are zero (batch_stats are
+        # written, not read, in train mode); the optimizer update is a
+        # no-op on them and the fresh stats from the forward overwrite
+        # whatever the update left (so the external params/opt_state trees
+        # keep the full-variables layout callers already use)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_dict
+        new_vars = dict(optax.apply_updates(params, updates))
+        new_vars.update(mut)
+        return new_vars, opt_state, loss_dict
 
     return step
 

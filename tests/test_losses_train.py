@@ -274,3 +274,51 @@ def test_train_cli_end_to_end_nondivisible_sensor(tmp_path, rng):
 
     spec = load_checkpoint(str(ckpts[0]))
     assert spec.name == "E2VIDRecurrent"
+
+
+def test_train_step_updates_batch_stats_bn_model(rng):
+    """A BatchNorm-bearing model must train: batch_stats is mutable in the
+    step and the running averages actually move (previously flax raised
+    ModifyScopeVariableError on the first step — r3 review finding)."""
+    import optax
+
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.train.trainer import SequenceLossComputer, make_train_step
+
+    model = build_model(
+        "E2VIDRecurrent",
+        {"num_bins": 5, "num_encoders": 2, "base_num_channels": 8,
+         "num_residual_blocks": 1, "norm": "BN"},
+        train=True,
+    )
+    T, N, H, W = 3, 1, 32, 32
+    voxels = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(size=(T, N, H, W, 1)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), voxels[0], model.initial_state(N, H, W)
+    )
+    assert "batch_stats" in variables
+    tx = optax.adam(1e-3)
+    step = make_train_step(model, tx, SequenceLossComputer([{"type": "L1Loss"}]),
+                           is_sequence_model=False, donate=False)
+    new_vars, _, loss = step(variables, tx.init(variables),
+                             jax.random.PRNGKey(1), voxels, frames, None)
+    assert np.isfinite(float(loss["loss"]))
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(new_vars["batch_stats"])
+    moved = max(float(jnp.abs(a - b).max()) for a, b in zip(after, before))
+    assert moved > 1e-6  # running stats actually updated
+
+
+def test_unrolled_tc_loss_without_flows_raises(rng):
+    """The unrolled loss path must give the same clear error as the scan
+    path when TemporalConsistencyLoss is configured without flows."""
+    from bde2vid_tpu.train.trainer import SequenceLossComputer
+
+    comp = SequenceLossComputer(
+        [{"type": "L1Loss"}, {"type": "TemporalConsistencyLoss", "L0": 0}]
+    )
+    preds = jnp.asarray(rng.uniform(size=(4, 1, 16, 16, 1)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(size=(4, 1, 16, 16, 1)).astype(np.float32))
+    with pytest.raises(ValueError, match="flows"):
+        comp(None, preds, gts, None)

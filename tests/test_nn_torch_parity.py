@@ -179,3 +179,105 @@ def test_convgru_matches_torch(rng):
     want = nchw(h0) * (1 - z) + cand * z
     np.testing.assert_allclose(np.asarray(h1), nhwc(want), atol=ATOL)
     np.testing.assert_allclose(np.asarray(y), nhwc(want), atol=ATOL)
+
+
+def test_resize_nearest_matches_torch(rng):
+    """resize_nearest_torch must floor-sample like F.interpolate('nearest')
+    — jax.image.resize's half-pixel nearest picks different pixels (r3
+    review: SPADE segmap conditioning sampled the wrong rows)."""
+    from bde2vid_tpu.nn.layers import resize_nearest_torch
+
+    for (h, w), (oh, ow) in [((32, 40), (16, 20)), ((17, 23), (9, 12)),
+                             ((8, 8), (16, 16)), ((30, 20), (11, 7))]:
+        x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+        got = np.asarray(resize_nearest_torch(jnp.asarray(x), oh, ow))
+        want = (
+            F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                          size=(oh, ow), mode="nearest")
+            .numpy().transpose(0, 2, 3, 1)
+        )
+        np.testing.assert_array_equal(got, want), (h, w, oh, ow)
+
+
+def test_resize_bilinear_half_matches_torch(rng):
+    """Non-antialiased 0.5x bilinear must match F.interpolate(scale=0.5,
+    bilinear, align_corners=False) — jax's default antialias widens the
+    kernel and diverged by ~0.6 (r3 review)."""
+    from bde2vid_tpu.nn.layers import resize_bilinear_half
+
+    x = rng.normal(size=(2, 16, 24, 3)).astype(np.float32)
+    got = np.asarray(resize_bilinear_half(jnp.asarray(x)))
+    want = (
+        F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                      scale_factor=0.5, mode="bilinear", align_corners=False)
+        .numpy().transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_residual_block_instance_norm_matches_torch(rng):
+    """ResidualBlock norm='IN' must be the reference's STAT-LESS
+    nn.InstanceNorm2d (per-instance stats at eval; model/submodules.py:337)
+    — running-stats zeros/ones made it a near-no-op (r3 review)."""
+    from bde2vid_tpu.nn.layers import ResidualBlock
+
+    c = 8
+
+    class TRes(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(c, c, 3, padding=1)
+            self.bn1 = torch.nn.InstanceNorm2d(c)
+            self.conv2 = torch.nn.Conv2d(c, c, 3, padding=1)
+            self.bn2 = torch.nn.InstanceNorm2d(c)
+
+        def forward(self, x):
+            r = x
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + r)
+
+    torch.manual_seed(0)
+    tnet = TRes().eval()
+    x = rng.normal(size=(2, 12, 14, c)).astype(np.float32)
+    blk = ResidualBlock(c, norm="IN")
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # stat-less: the IN layers must create NO batch_stats variables
+    assert "batch_stats" not in params
+    t2n = lambda t: t.detach().numpy()
+    p = dict(params["params"])
+    p["conv1"] = {"kernel": t2n(tnet.conv1.weight).transpose(2, 3, 1, 0),
+                  "bias": t2n(tnet.conv1.bias)}
+    p["conv2"] = {"kernel": t2n(tnet.conv2.weight).transpose(2, 3, 1, 0),
+                  "bias": t2n(tnet.conv2.bias)}
+    got = np.asarray(blk.apply({"params": p}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = t2n(tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_unet_flow_uses_configured_kernel(rng):
+    """The reference UNetFlow builds head/encoders from kernel_size
+    (unet.py:293-300) while UNetRecurrent hardcodes 5 — a k=3 FlowNet
+    checkpoint must produce k=3 param shapes here."""
+    from bde2vid_tpu.models import build_model
+
+    m = build_model("FlowNet", {"num_bins": 5, "num_encoders": 2,
+                                "base_num_channels": 8,
+                                "num_residual_blocks": 1, "kernel_size": 3})
+    v = jnp.zeros((1, 32, 32, 5))
+    params = m.init(jax.random.PRNGKey(0), v, m.initial_state(1, 32, 32))
+    flat = {"/".join(map(str, [getattr(k, "key", k) for k in path])): leaf.shape
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]}
+    head_shapes = [s for k, s in flat.items() if "head" in k and "kernel" in k]
+    assert any(s[:2] == (3, 3) for s in head_shapes), head_shapes
+    # and E2VIDRecurrent stays hardcoded at 5 regardless of kernel_size
+    m5 = build_model("E2VIDRecurrent", {"num_bins": 5, "num_encoders": 2,
+                                        "base_num_channels": 8,
+                                        "num_residual_blocks": 1,
+                                        "kernel_size": 3})
+    p5 = m5.init(jax.random.PRNGKey(0), v, m5.initial_state(1, 32, 32))
+    flat5 = {"/".join(map(str, [getattr(k, "key", k) for k in path])): leaf.shape
+             for path, leaf in jax.tree_util.tree_flatten_with_path(p5)[0]}
+    head5 = [s for k, s in flat5.items() if "head" in k and "kernel" in k]
+    assert any(s[:2] == (5, 5) for s in head5), head5
