@@ -136,9 +136,13 @@ class H5EventReader:
         self._frame_ts = np.asarray(tss, np.float64)
         self._frame_event_idx = np.asarray(eidx, np.int64)
         if len(keys) and (self._frame_event_idx < 0).any():
-            # recover missing event_idx attrs by searching timestamps
+            # recover missing event_idx attrs with the PACKAGER convention:
+            # max(0, searchsorted_left - 1) (event_packagers.py:83-89 and
+            # H5EventWriter.finalize) — a bare searchsorted would shift
+            # every recovered window by one event vs attr-carrying files
             for i in np.nonzero(self._frame_event_idx < 0)[0]:
-                self._frame_event_idx[i] = self.search_time(float(self._frame_ts[i]))
+                idx = self.search_time(float(self._frame_ts[i]), side="left")
+                self._frame_event_idx[i] = max(0, idx - 1)
 
     @property
     def num_frames(self) -> int:

@@ -57,9 +57,15 @@ def decode_image_msg(msg, is_color: bool = False) -> np.ndarray:
         if enc == "rgb8":
             img = img[..., ::-1]  # to bgr, like CvBridge 'bgr8'
         if not is_color:
-            # ITU-R 601 luma, same rounding as OpenCV's BGR2GRAY
-            b, g, r = img[..., 0], img[..., 1], img[..., 2]
-            img = np.round(0.114 * b + 0.587 * g + 0.299 * r).astype(np.uint8)
+            # OpenCV's exact fixed-point BGR2GRAY (ITU-R 601 luma):
+            # (B*1868 + G*9617 + R*4899 + 8192) >> 14 — integer math so
+            # packaged frames are byte-identical to a CvBridge('mono8')
+            # path; float np.round is half-to-even and can differ by one
+            # code value at .5 luma boundaries
+            b = img[..., 0].astype(np.int32)
+            g = img[..., 1].astype(np.int32)
+            r = img[..., 2].astype(np.int32)
+            img = ((b * 1868 + g * 9617 + r * 4899 + 8192) >> 14).astype(np.uint8)
         return img
     raise ValueError(f"unsupported image encoding {enc!r}")
 

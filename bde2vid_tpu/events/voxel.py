@@ -472,6 +472,18 @@ def hot_event_mask(
     degenerate cases.
     """
     h, w = sensor_size
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    if len(xs) and (
+        xs.min() < 0 or ys.min() < 0 or xs.max() >= w or ys.max() >= h
+    ):
+        # the reference raises here too (events_to_image's
+        # np.ravel_multi_index, event_utils.py:165-171); a silent flat-index
+        # wraparound would corrupt the count image and mask wrong pixels
+        raise ValueError(
+            f"events outside the {h}x{w} sensor: x in "
+            f"[{xs.min()}, {xs.max()}], y in [{ys.min()}, {ys.max()}]"
+        )
     img = np.zeros((h * w,), np.float64)
     flat = ys.astype(np.int64) * w + xs.astype(np.int64)
     np.add.at(img, flat, ps.astype(np.float64))
@@ -530,12 +542,13 @@ def voxel_grids_fixed_n(
 ):
     """List of voxel grids over consecutive fixed-count event windows
     (reference voxel_grids_fixed_n_torch, event_utils.py:377-410).
-    Host-level convenience over the windowing + device voxelizer."""
-    from bde2vid_tpu.data.windowing import k_events_windows
-
-    windows = k_events_windows(len(xs), n)
+    Host-level convenience over the device voxelizer. Window boundaries
+    replicate the reference's ``range(0, len(xs)-n, n)`` EXACTLY — the
+    trailing partial window is dropped, and so is a final FULL window
+    starting at len-n (a reference quirk of the exclusive stop)."""
     out = []
-    for i0, i1 in windows:
+    for i0 in range(0, len(xs) - n, n):
+        i1 = i0 + n
         px, py, pt, pp, nv = pad_events(
             np.asarray(xs[i0:i1]), np.asarray(ys[i0:i1]),
             np.asarray(ts[i0:i1]) - np.asarray(ts[i0]), np.asarray(ps[i0:i1]),
@@ -553,14 +566,16 @@ def voxel_grids_fixed_t(
     sensor_size: Tuple[int, int] = (180, 240),
 ):
     """List of voxel grids over consecutive fixed-duration windows
-    (reference voxel_grids_fixed_t_torch, event_utils.py:412-460)."""
+    (reference voxel_grids_fixed_t_torch, event_utils.py:412-460). Window
+    starts replicate the reference's ``np.arange(ts[0], ts[-1]-t, t)``
+    EXACTLY — the trailing partial window is dropped. One deliberate
+    deviation: an empty window is skipped here where the reference's
+    timesync assert would abort the whole conversion."""
     ts_np = np.asarray(ts)
     out = []
-    start = float(ts_np[0])
-    end = float(ts_np[-1])
-    i0 = 0
-    while start < end:
-        i1 = int(np.searchsorted(ts_np, start + t))
+    for t_start in np.arange(float(ts_np[0]), float(ts_np[-1]) - t, t):
+        i0 = int(np.searchsorted(ts_np, t_start))
+        i1 = int(np.searchsorted(ts_np, t_start + t))
         if i1 > i0:
             px, py, pt, pp, nv = pad_events(
                 np.asarray(xs[i0:i1]), np.asarray(ys[i0:i1]),
@@ -570,8 +585,6 @@ def voxel_grids_fixed_t(
                 events_to_voxel(px, py, pt, pp, nv, num_bins=num_bins,
                                 sensor_size=sensor_size)
             )
-        i0 = i1
-        start += t
     return out
 
 

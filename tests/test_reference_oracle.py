@@ -1156,3 +1156,62 @@ def test_eval_driver_end_to_end_matches_reference_chain(tmp_path, rng):
         assert got_eq["HQF"][name]["mse"] == pytest.approx(
             ref_eq[name], rel=1e-3, abs=2e-5
         ), name
+
+
+def test_voxel_grids_fixed_n_t_match_reference(rng):
+    """Window COUNTS and contents of the fixed-n / fixed-t grid lists must
+    match the reference exactly — including its dropped-tail quirks
+    (range(0, len-n, n) excludes a final full window; np.arange(t0, tk-t, t)
+    drops the trailing window). r3 review: the port silently emitted them."""
+    eu, _, _ = _ref_modules()
+    from bde2vid_tpu.events.voxel import voxel_grids_fixed_n, voxel_grids_fixed_t
+
+    h, w = 24, 32
+    xs, ys, ts, ps = _events(rng, 5000, h, w, t1=1.0)
+    t_xs = torch.from_numpy(xs.astype(np.float32))
+    t_ys = torch.from_numpy(ys.astype(np.float32))
+    t_ts = torch.from_numpy(ts.astype(np.float32))
+    t_ps = torch.from_numpy(ps.astype(np.float32))
+
+    want = eu.voxel_grids_fixed_n_torch(t_xs, t_ys, t_ts, t_ps, 5, 1000,
+                                        sensor_size=(h, w))
+    got = voxel_grids_fixed_n(xs, ys, ts, ps, 5, 1000, sensor_size=(h, w))
+    assert len(got) == len(want) == 4
+    for g, wv in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), wv.numpy(), atol=1e-3)
+
+    want_t = eu.voxel_grids_fixed_t_torch(t_xs, t_ys, t_ts, t_ps, 5, 0.25,
+                                          sensor_size=(h, w))
+    got_t = voxel_grids_fixed_t(xs, ys, ts, ps, 5, 0.25, sensor_size=(h, w))
+    assert len(got_t) == len(want_t) == 3
+    for g, wv in zip(got_t, want_t):
+        np.testing.assert_allclose(np.asarray(g), wv.numpy(), atol=1e-3)
+
+
+def test_event_idx_recovery_matches_packager_convention(tmp_path, rng):
+    """Frames WITHOUT event_idx attrs must recover max(0, searchsorted-1)
+    (event_packagers.py:83-89) — a bare searchsorted shifted every
+    recovered window by one event vs attr-carrying files (r3 review)."""
+    import h5py
+
+    from bde2vid_tpu.events import H5EventReader, H5EventWriter
+
+    h, w = 16, 20
+    xs = rng.integers(0, w, 2000)
+    ys = rng.integers(0, h, 2000)
+    ts = np.sort(rng.uniform(0, 1.0, 2000))
+    ps = rng.choice([0, 1], 2000).astype(bool)
+    path = str(tmp_path / "a.h5")
+    with H5EventWriter(path, sensor_size=(h, w)) as wtr:
+        wtr.append_events(xs, ys, ts, ps)
+        for i in range(5):
+            wtr.add_image(rng.uniform(0, 255, (h, w)).astype(np.uint8),
+                          (i + 0.5) / 5)
+    with H5EventReader(path) as r:
+        with_attrs = np.array(r.frame_event_indices)
+    with h5py.File(path, "r+") as f:
+        for k in f["images"]:
+            del f["images"][k].attrs["event_idx"]
+    with H5EventReader(path) as r:
+        recovered = np.array(r.frame_event_indices)
+    np.testing.assert_array_equal(recovered, with_attrs)
