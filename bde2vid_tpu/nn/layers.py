@@ -89,6 +89,8 @@ class InstanceNorm(nn.Module):
     track_stats: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    momentum: float = 0.1  # torch InstanceNorm2d default
+
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.track_stats and self.use_running_average:
@@ -100,17 +102,29 @@ class InstanceNorm(nn.Module):
             )
             m, v = mean.value, var.value
         else:
-            if self.track_stats:
-                # variables must exist in train mode too, so the param tree
-                # is mode-independent (checkpoints convert identically)
-                self.variable(
-                    "batch_stats", "mean", lambda: jnp.zeros((self.features,))
-                )
-                self.variable(
-                    "batch_stats", "var", lambda: jnp.ones((self.features,))
-                )
             m = jnp.mean(x, axis=(1, 2), keepdims=True)
             v = jnp.var(x, axis=(1, 2), keepdims=True)
+            if self.track_stats:
+                # torch IN(track_running_stats=True) in TRAIN mode updates
+                # the running stats with momentum 0.1: batch-mean of the
+                # per-instance means, and the UNBIASED per-instance vars
+                # (n/(n-1), n = H*W) — previously the variables were
+                # created but never written, so eval normalized with
+                # zeros/ones after any training run (r3 review)
+                mean = self.variable(
+                    "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+                )
+                var = self.variable(
+                    "batch_stats", "var", lambda: jnp.ones((self.features,))
+                )
+                if not self.is_initializing():
+                    n = x.shape[1] * x.shape[2]
+                    unbias = n / max(n - 1, 1)
+                    new_m = jnp.mean(m, axis=(0, 1, 2))
+                    new_v = jnp.mean(v, axis=(0, 1, 2)) * unbias
+                    mom = self.momentum
+                    mean.value = (1 - mom) * mean.value + mom * new_m
+                    var.value = (1 - mom) * var.value + mom * new_v
         y = (x - m) * jax.lax.rsqrt(v + self.epsilon)
         # torch InstanceNorm2d default affine=False
         return y.astype(self.dtype)
@@ -256,7 +270,9 @@ def resize_nearest_torch(x: Array, out_h: int, out_w: int) -> Array:
     n, h, w, c = x.shape
     rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
-    return x[:, rows][:, :, cols]
+    # one fused gather (an x[:, rows][:, :, cols] chain materializes an
+    # (N, out_h, W, C) intermediate)
+    return x[:, rows[:, None], cols[None, :]]
 
 
 class UpsampleConvLayer(nn.Module):

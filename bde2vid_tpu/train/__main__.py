@@ -34,26 +34,43 @@ import time
 import numpy as np
 
 
-_SEQ_CACHE: dict = {}
+_SEQ_CACHE: "OrderedDict" = None  # type: ignore[assignment]
+_SEQ_CACHE_MAX = 64  # bound open h5 handles well under typical fd limits
 
 
 def _open_sequence(path, num_bins):
-    """Keep sequences open across windows: a fresh load_sequence per batch
+    """Keep sequences open across windows (a fresh load_sequence per batch
     element per step re-opens + re-parses the h5 on the single host core,
-    serializing data assembly with the device step (r3 review)."""
-    key = (path, num_bins)
-    if key not in _SEQ_CACHE:
-        from bde2vid_tpu.data import load_sequence
+    serializing data assembly with the device step), with LRU eviction so
+    open h5 handles stay bounded on large datasets (r3 review)."""
+    global _SEQ_CACHE
+    from collections import OrderedDict
 
-        _SEQ_CACHE[key] = load_sequence(path, num_bins=num_bins)
-    return _SEQ_CACHE[key]
+    if _SEQ_CACHE is None:
+        _SEQ_CACHE = OrderedDict()
+    key = (path, num_bins)
+    if key in _SEQ_CACHE:
+        _SEQ_CACHE.move_to_end(key)
+        return _SEQ_CACHE[key]
+    from bde2vid_tpu.data import load_sequence
+
+    seq = load_sequence(path, num_bins=num_bins)
+    _SEQ_CACHE[key] = seq
+    while len(_SEQ_CACHE) > _SEQ_CACHE_MAX:
+        _, old = _SEQ_CACHE.popitem(last=False)
+        old.reader.close()
+    return seq
 
 
 def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
-    for _ in range(10 * len(files) + 10):
-        path = files[int(rng.integers(len(files)))]
+    # random draws first; if unlucky, fall back to a DETERMINISTIC scan for
+    # any long-enough file before giving up (a purely random bound would
+    # spuriously abort a long run whose valid files are rare — r3 review)
+    candidates = [files[int(rng.integers(len(files)))] for _ in range(20)]
+    candidates += list(files)
+    for path in candidates:
         seq = _open_sequence(path, num_bins)
         if len(seq) < seq_len + 1:
             continue
@@ -89,8 +106,8 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
         frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
         return vox.transpose(0, 2, 3, 1), frames[..., None]
     raise ValueError(
-        f"no h5 sequence under consideration has >= {seq_len + 1} items "
-        f"({len(files)} files tried) — shorten sequence_length or add data"
+        f"no h5 sequence under {len(files)} files has >= {seq_len + 1} "
+        "items — shorten sequence_length or add data"
     )
 
 
@@ -229,16 +246,21 @@ def main(argv=None) -> int:
         if not lpips_lin:
             raise SystemExit(
                 f"losses {sorted(lpips_names)} need LPIPS weights: pass "
-                "--lpips_lin (and optionally --lpips_backbone)"
+                "--lpips_lin (and --lpips_backbone)"
+            )
+        if not args.lpips_backbone:
+            # unlike eval (where a missing backbone only degrades a
+            # REPORTED metric), training against random backbone features
+            # is a silently wrong loss — refuse
+            raise SystemExit(
+                f"losses {sorted(lpips_names)} need a REAL feature "
+                "backbone: pass --lpips_backbone (converted torchvision "
+                "weights); lin heads alone leave the alexnet at random init"
             )
         lin = _to_numpy_state(load_torch_file(lpips_lin))
-        backbone = (
-            _to_numpy_state(load_torch_file(args.lpips_backbone))
-            if args.lpips_backbone
-            else None
-        )
+        backbone = _to_numpy_state(load_torch_file(args.lpips_backbone))
         lpips_params = load_lpips_params(lin, backbone)
-        print(f"lpips: lin weights {lpips_lin}")
+        print(f"lpips: lin {lpips_lin} backbone {args.lpips_backbone}")
 
     step_fn = make_train_step(
         model,

@@ -230,6 +230,19 @@ def make_train_step(
         # averages (r3 review, verified). Returns (preds, mutated_stats)
         # where mutated_stats is {} for stat-free models.
         if is_sequence_model:
+            if "batch_stats" in variables:
+                # BDE2VID's nn.scan sweeps broadcast batch_stats (the right
+                # layout for eval-mode running stats); flax forbids mutating
+                # broadcast collections inside scan, so BN-normed sequence
+                # models cannot train yet. Fail with a clear message instead
+                # of a flax broadcast-mutation error mid-jit. (The reference
+                # ships no BDE2VID training loop and its default norm is
+                # None; supporting this needs variable_carry in the scans.)
+                raise NotImplementedError(
+                    "training a sequence model with BN/IN running stats is "
+                    "not supported (batch_stats is scan-broadcast); use "
+                    "norm=None like the reference flagship config"
+                )
             (out, _), mut = model.apply(
                 variables, voxels, rngs=rngs, mutable=["batch_stats"]
             )

@@ -322,3 +322,53 @@ def test_unrolled_tc_loss_without_flows_raises(rng):
     gts = jnp.asarray(rng.uniform(size=(4, 1, 16, 16, 1)).astype(np.float32))
     with pytest.raises(ValueError, match="flows"):
         comp(None, preds, gts, None)
+
+
+def test_instance_norm_running_stats_update_in_train(rng):
+    """track_stats IN must UPDATE its running stats during training like
+    torch InstanceNorm2d(track_running_stats=True, momentum=0.1) — the
+    variables were previously created but never written (r3 review)."""
+    from bde2vid_tpu.nn.layers import InstanceNorm
+
+    x = jnp.asarray(rng.normal(loc=3.0, scale=2.0,
+                               size=(2, 8, 9, 4)).astype(np.float32))
+    mod = InstanceNorm(features=4, use_running_average=False, track_stats=True)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(variables["batch_stats"]["mean"]), 0.0)
+    _, mut = mod.apply(variables, x, mutable=["batch_stats"])
+    new_mean = np.asarray(mut["batch_stats"]["mean"])
+    new_var = np.asarray(mut["batch_stats"]["var"])
+    # torch: running = 0.9*old + 0.1*batch stat
+    import torch as _torch
+
+    tin = _torch.nn.InstanceNorm2d(4, track_running_stats=True).train()
+    tin(_torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(new_mean, tin.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(new_var, tin.running_var.numpy(), atol=1e-4)
+
+
+def test_sequence_model_bn_training_raises_clearly(rng):
+    """BN-normed sequence models cannot train (batch_stats is
+    scan-broadcast); the step must say so instead of a flax scope error."""
+    import optax
+
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.train.trainer import SequenceLossComputer, make_train_step
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "norm": "BN",
+                         "buffer_index": [-1, 0, 1], "depths": [0, 0],
+                         "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg, train=True)
+    voxels = jnp.asarray(rng.normal(size=(2, 1, 16, 16, 5)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(size=(2, 1, 16, 16, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        voxels,
+    )
+    tx = optax.sgd(1e-3)
+    step = make_train_step(model, tx, SequenceLossComputer([{"type": "L1Loss"}]),
+                           is_sequence_model=True, donate=False)
+    with pytest.raises(NotImplementedError, match="batch_stats"):
+        step(variables, tx.init(variables), jax.random.PRNGKey(2),
+             voxels, frames, None)
