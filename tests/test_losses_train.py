@@ -276,6 +276,89 @@ def test_train_cli_end_to_end_nondivisible_sensor(tmp_path, rng):
     assert spec.name == "E2VIDRecurrent"
 
 
+def _write_h5_seq(path, rng, n_frames, sensor=(16, 16)):
+    from bde2vid_tpu.events import H5EventWriter
+    from tests.conftest import make_events
+
+    xs, ys, ts, ps = make_events(rng, n=4000, sensor_size=sensor, t1=1.0)
+    with H5EventWriter(str(path), sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(n_frames):
+            w.add_image(
+                rng.integers(0, 255, sensor).astype(np.uint8),
+                (i + 0.5) / n_frames,
+            )
+
+
+def test_one_window_deterministic_fallback_finds_rare_long_file(tmp_path, rng):
+    """When every random draw lands on a too-short file, _one_window must
+    still find the one long-enough file via its deterministic scan instead
+    of aborting (r3 review: a purely random bound spuriously failed runs
+    whose valid files are rare)."""
+    import bde2vid_tpu.train.__main__ as tm
+
+    short = tmp_path / "short.h5"
+    long_ = tmp_path / "long.h5"
+    _write_h5_seq(short, rng, n_frames=2)
+    _write_h5_seq(long_, rng, n_frames=8)
+
+    class _ShortBiasedRng:
+        """First 20 integers() calls (the file draws) always pick index 0."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self._n = 0
+
+        def integers(self, *a, **k):
+            self._n += 1
+            if self._n <= 20:
+                return 0
+            return self._inner.integers(*a, **k)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    tm._SEQ_CACHE = None  # isolate from other tests
+    vox, frames = tm._one_window(
+        [str(short), str(long_)],
+        _ShortBiasedRng(np.random.default_rng(0)),
+        seq_len=3,
+        num_bins=5,
+        pause_cfg={},
+    )
+    assert vox.shape[0] == 3 and frames.shape[0] == 3
+    tm._SEQ_CACHE = None
+
+
+def test_open_sequence_cache_is_lru_bounded(tmp_path, rng, monkeypatch):
+    """The open-h5 cache must evict (and close) the least-recently-used
+    reader once it exceeds _SEQ_CACHE_MAX (r3 review: unbounded handles)."""
+    import bde2vid_tpu.train.__main__ as tm
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.h5"
+        _write_h5_seq(p, rng, n_frames=3)
+        paths.append(str(p))
+
+    monkeypatch.setattr(tm, "_SEQ_CACHE_MAX", 2)
+    tm._SEQ_CACHE = None
+    s0 = tm._open_sequence(paths[0], 5)
+    s1 = tm._open_sequence(paths[1], 5)
+    # re-touch s0 so s1 is the LRU entry
+    assert tm._open_sequence(paths[0], 5) is s0
+    tm._open_sequence(paths[2], 5)
+    assert len(tm._SEQ_CACHE) == 2
+    keys = [k[0] for k in tm._SEQ_CACHE]
+    assert paths[1] not in keys and paths[0] in keys and paths[2] in keys
+    # the evicted reader's h5 handle is actually closed (h5py File is
+    # falsy once closed); the survivor stays open
+    assert not bool(s1.reader.f)
+    assert bool(s0.reader.f)
+    assert tm._open_sequence(paths[0], 5) is s0  # survived (recently used)
+    tm._SEQ_CACHE = None
+
+
 def test_train_step_updates_batch_stats_bn_model(rng):
     """A BatchNorm-bearing model must train: batch_stats is mutable in the
     step and the running averages actually move (previously flax raised
