@@ -142,11 +142,13 @@ def get_iwe_drv(
     Mirrors the reference get_iwe(..., compute_gradient=True) chain
     (objectives.py:57-71): warp to ts[-1] with jacobians, zero out-of-bounds
     events/coords/jacobians via events_bounds_mask, then the double-weighted
-    bilinear scatter (event_utils.py:186-249). Like the reference, the
-    rasterization itself always happens at the DEFAULT (180, 240) sensor
-    size; img_size only shapes the bounds mask. Autodiff through get_iwe is
-    the optimization path — this exists for parity and as a numerical
-    cross-check of those autodiff gradients (tests/test_cmax.py)."""
+    bilinear scatter (event_utils.py:186-249). The reference always
+    rasterizes at its hardcoded (180, 240) default; like get_iwe above we
+    deliberately rasterize at img_size instead (the fixed-size raster is
+    meaningless for other sensors), so the two functions stay cross-checkable
+    at ANY sensor size. Autodiff through get_iwe is the optimization path —
+    this exists for parity and as a numerical cross-check of those autodiff
+    gradients (tests/test_cmax.py)."""
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
     wx, wy = linvel_warp(xs, ys, ts, params, t0=ts[-1])
@@ -155,7 +157,9 @@ def get_iwe_drv(
     mask = events_bounds_mask(wx, wy, 0, img_size[1], 0, img_size[0])
     wx, wy, weights = wx * mask, wy * mask, weights * mask
     jx, jy = jx * mask, jy * mask
-    iwe, d_iwe = events_to_image_drv(wx, wy, weights, jx, jy, n_events)
+    iwe, d_iwe = events_to_image_drv(
+        wx, wy, weights, jx, jy, n_events, sensor_size=img_size
+    )
     if blur_sigma is not None and blur_sigma > 0:
         iwe = gaussian_blur(iwe, blur_sigma)
         d_iwe = jax.vmap(lambda im: gaussian_blur(im, blur_sigma))(d_iwe)
@@ -237,11 +241,12 @@ def zhu_timestamp_objective(
     timestamp images, blur (default sigma 2.0), and return
     ``-(sum(pos^2) + sum(neg^2))``.
 
-    Like the reference, the timestamp images rasterize at the DEFAULT
-    (180, 240) sensor size regardless of img_size (the zhu objective passes
-    no sensor_size through, objectives.py:387), and ``blur_sigma=None``
-    substitutes the zhu default 2.0 (objectives.py:388) — pass 0 to
-    disable blurring. The reference declares this objective
+    The reference rasterizes its timestamp images at the hardcoded
+    (180, 240) default regardless of img_size (it passes no sensor_size
+    through, objectives.py:387); like get_iwe we deliberately rasterize at
+    img_size so non-default sensors get a meaningful objective.
+    ``blur_sigma=None`` substitutes the zhu default 2.0 (objectives.py:388)
+    — pass 0 to disable blurring. The reference declares this objective
     derivative-free; here autodiff supplies the gradient, so it plugs into
     optimize_contrast like any other objective."""
     if blur_sigma is None:
@@ -252,7 +257,9 @@ def zhu_timestamp_objective(
     mask = events_bounds_mask(wx, wy, 0, img_size[1], 0, img_size[0])
     wx, wy = wx * mask, wy * mask
     mts, mps = ts * mask, ps * mask
-    img_pos, img_neg = events_to_timestamp_image(wx, wy, mts, mps, n_events)
+    img_pos, img_neg = events_to_timestamp_image(
+        wx, wy, mts, mps, n_events, sensor_size=img_size
+    )
     if blur_sigma is not None and blur_sigma > 0:
         img_pos = gaussian_blur(img_pos, blur_sigma)
         img_neg = gaussian_blur(img_neg, blur_sigma)

@@ -35,16 +35,14 @@ def im2tensor(image: np.ndarray, cent: float = 1.0,
 
 
 def psnr(p0: np.ndarray, p1: np.ndarray, peak: float = 255.0) -> float:
-    """255-range PSNR (reference util.psnr :52-53) — thin host-side wrapper
-    over the one vendored formula in metrics.basic.psnr (zero-mse guarded
-    there), with the reference's uint8-scale peak default."""
-    from bde2vid_tpu.metrics.basic import psnr as _psnr
-
-    return float(
-        _psnr(
-            np.asarray(p0, np.float32), np.asarray(p1, np.float32), peak=peak
-        )
+    """255-range PSNR (reference util.psnr :52-53), pure NumPy like the
+    rest of this module — routing the scalar through metrics.basic.psnr
+    would dispatch jnp ops over the device tunnel per call (same zero-mse
+    guard as there), with the reference's uint8-scale peak default."""
+    mse = float(
+        np.mean((np.asarray(p0, np.float32) - np.asarray(p1, np.float32)) ** 2)
     )
+    return float(10.0 * np.log10(peak * peak / max(mse, 1e-12)))
 
 
 def rand_flip(input1, input2, rng: Optional[np.random.Generator] = None):

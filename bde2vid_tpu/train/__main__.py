@@ -65,11 +65,13 @@ def _open_sequence(path, num_bins):
 def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
-    # random draws first; if unlucky, fall back to a DETERMINISTIC scan for
-    # any long-enough file before giving up (a purely random bound would
-    # spuriously abort a long run whose valid files are rare — r3 review)
+    # random draws first; if unlucky, fall back to an exhaustive scan over
+    # all files before giving up (a purely random bound would spuriously
+    # abort a long run whose valid files are rare — r3 review). The
+    # fallback order is rng-SHUFFLED, not list order: a fixed order would
+    # bias the rare-valid-file regime toward the first long file on disk.
     candidates = [files[int(rng.integers(len(files)))] for _ in range(20)]
-    candidates += list(files)
+    candidates += [files[int(i)] for i in rng.permutation(len(files))]
     for path in candidates:
         seq = _open_sequence(path, num_bins)
         if len(seq) < seq_len + 1:

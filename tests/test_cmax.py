@@ -104,6 +104,31 @@ def test_analytic_derivative_matches_autodiff(rng):
     np.testing.assert_allclose(np.asarray(auto), np.asarray(analytic), rtol=1e-3)
 
 
+def test_iwe_drv_rasterizes_at_img_size(rng):
+    """get_iwe_drv must make the SAME raster-size choice as get_iwe at a
+    non-default sensor (r3 review: it previously rasterized at the
+    hardcoded (180,240) default, so the advertised analytic-vs-autodiff
+    cross-check only held at one sensor size)."""
+    import jax
+
+    from bde2vid_tpu.events.cmax import get_iwe_drv
+
+    xs, ys, ts, ps = _moving_dot_events(rng)
+    px, py, pt, pp, n = pad_events(xs, ys, ts, ps)
+    params = jnp.asarray([5.0, 3.0])
+
+    iwe_ref = get_iwe(params, px, py, pt, pp, n, img_size=SENSOR)
+    iwe, d_iwe = get_iwe_drv(params, px, py, pt, pp, n, img_size=SENSOR)
+    assert iwe.shape == iwe_ref.shape  # same (sensor+pad) raster
+    np.testing.assert_allclose(np.asarray(iwe), np.asarray(iwe_ref), atol=1e-5)
+
+    analytic = 2.0 * jnp.sum(iwe[None] * d_iwe, axis=(1, 2))
+    auto = jax.grad(
+        lambda p: jnp.sum(get_iwe(p, px, py, pt, pp, n, img_size=SENSOR) ** 2)
+    )(params)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(analytic), rtol=1e-3)
+
+
 def test_zhu_objective_minimized_near_true_velocity(rng):
     """The zhu timestamp objective should score the true velocity better
     than a wrong one, and optimize end-to-end through autodiff."""

@@ -122,7 +122,7 @@ def test_bf16_drift_within_tolerance(name, rng):
     cfg = {"num_bins": B} if name not in ("E2VIDRecurrent", "FireNet") else CFG
     m32 = build_model(name, dict(cfg))
     m16 = build_model(name, dict(cfg), dtype=jnp.bfloat16)
-    h = w = 32 if name != "EITR" else 32  # /8-compatible
+    h = w = 32  # /8-compatible (EITR's CropSize needs multiples of 8)
     voxels = jnp.asarray(rng.normal(size=(4, 1, h, w, B)).astype(np.float32))
     state = m32.initial_state(1, h, w)
     params = m32.init(jax.random.PRNGKey(0), voxels[0], state)
