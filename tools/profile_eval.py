@@ -1,0 +1,185 @@
+"""Phase breakdown of warm end-to-end evaluation (the reference's headline
+workload: eval_models_seq.py on one h5 sequence).
+
+Writes a synthetic 240x180 sequence, runs the library eval path
+(`evaluate_sequence`) with the flagship BDE2VID at the bench configuration
+(bf16 + fused Pallas attention by default), and separates the warm
+per-sequence wall time into:
+
+  voxelize   — window assembly (native packer) + device voxelization
+  frames     — host h5 ground-truth image reads
+  forward    — the driver's own jitted chunked forward (same _cached_run_fn,
+               same padded shapes), block_until_ready
+  metrics    — the driver's jitted device metric batch
+
+Each phase is timed DIRECTLY with device sync (block_until_ready /
+np.asarray) against the same cached jit objects the driver uses, so phases
+sum to ~the warm evaluate_sequence total (also reported; JAX async dispatch
+makes subtraction-based phase accounting meaningless). First run pays XLA
+compiles (cold total reported separately).
+
+Run:  python tools/profile_eval.py [--frames 300] [--f32] [--lpips]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _write_sequence(path: str, n_frames: int, ev_per_frame: int) -> None:
+    from bde2vid_tpu.events import H5EventWriter
+
+    rng = np.random.default_rng(0)
+    h, w = 180, 240
+    with H5EventWriter(path, sensor_size=(h, w)) as wr:
+        t0 = 0.0
+        for i in range(n_frames):
+            n = ev_per_frame
+            xs = rng.integers(0, w, n)
+            ys = rng.integers(0, h, n)
+            ts = np.sort(rng.uniform(t0, t0 + 0.04, n))
+            ps = rng.integers(0, 2, n)
+            wr.append_events(xs, ys, ts, ps > 0)
+            wr.add_image(
+                rng.integers(0, 255, (h, w)).astype(np.uint8), float(ts[-1])
+            )
+            t0 += 0.04
+
+
+def _flagship_spec(use_bf16: bool, use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _FLAGSHIP_CFG
+    from bde2vid_tpu.models import ModelSpec, build_model
+
+    cfg = {"generator": dict(_FLAGSHIP_CFG["generator"])}
+    cfg["generator"]["use_pallas_attention"] = use_pallas
+    model = build_model(
+        "BDE2VID", cfg, dtype=jnp.bfloat16 if use_bf16 else jnp.float32
+    )
+    voxels = jnp.zeros((1, 1, 184, 240, 5))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        voxels,
+    )
+    return ModelSpec(
+        name="BDE2VID",
+        module=model,
+        params=params,
+        num_bins=5,
+        num_encoders=3,
+        is_sequence_model=True,
+    )
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--events_per_frame", type=int, default=6000)
+    ap.add_argument("--f32", action="store_true", help="f32 + XLA attention")
+    ap.add_argument("--lpips", action="store_true",
+                    help="include p_loss (random-lin LPIPS; timing only)")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.eval.driver import (
+        EvalConfig,
+        _cached_run_fn,
+        _metric_batch,
+        evaluate_sequence,
+    )
+    from bde2vid_tpu.utils.padding import CropParameters
+
+    tmp = tempfile.mkdtemp(prefix="profile_eval_")
+    h5 = os.path.join(tmp, "seq.h5")
+    _write_sequence(h5, args.frames, args.events_per_frame)
+
+    spec = _flagship_spec(use_bf16=not args.f32, use_pallas=not args.f32)
+    seq = load_sequence(h5, num_bins=5)
+    T = len(seq)
+
+    metrics = ("mse", "ssim") + (("p_loss",) if args.lpips else ())
+    lpips = None
+    if args.lpips:
+        from bde2vid_tpu.metrics.lpips import LPIPS
+
+        module = LPIPS(net="alex")
+        lp_params = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 64, 64, 3)),
+        )
+        lpips = (module, lp_params)
+
+    cfg = EvalConfig(metrics=metrics, lpips=lpips)
+
+    # cold pass (compiles everything the warm phases reuse)
+    t_cold, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
+    # warm ground truth
+    t_full, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
+
+    # warm phases, timed directly against the driver's own cached jit
+    # objects with device sync
+    t_vox, voxels = _timed(
+        lambda: jax.block_until_ready(seq.voxels(0, T, batch=cfg.voxel_batch))
+    )
+    t_frames, frames = _timed(lambda: seq.frames(0, T))
+
+    h, w = seq.sensor_size
+    crop = CropParameters(w, h, spec.num_encoders)
+    x = crop.pad(jnp.transpose(voxels, (0, 2, 3, 1))[:, None])
+    run = _cached_run_fn(spec, (x.shape[2], x.shape[3]), True)
+    t_fwd, preds = _timed(lambda: jax.block_until_ready(run(x)))
+    preds = crop.crop(preds)[:, 0, :, :, 0]
+    gts = jnp.asarray(frames)
+    t_metrics, _ = _timed(
+        lambda: {
+            k: np.asarray(v)
+            for k, v in _metric_batch(preds, gts, metrics, lpips).items()
+        }
+    )
+
+    fps = T / t_full
+    rows = [
+        {"phase": "cold_total_incl_compile", "s": round(t_cold, 2)},
+        {"phase": "warm_total", "s": round(t_full, 2),
+         "frames": T, "eval_frames_per_s": round(fps, 1)},
+        {"phase": "voxelize(assembly+device)", "s": round(t_vox, 2),
+         "share": round(t_vox / t_full, 3)},
+        {"phase": "gt_frame_reads", "s": round(t_frames, 2),
+         "share": round(t_frames / t_full, 3)},
+        {"phase": "forward", "s": round(t_fwd, 2),
+         "share": round(t_fwd / t_full, 3)},
+        {"phase": "metrics", "s": round(t_metrics, 2),
+         "share": round(t_metrics / t_full, 3), "metrics": list(metrics)},
+    ]
+    for r in rows:
+        print(json.dumps(r))
+    print(json.dumps({
+        "config": "f32+xla" if args.f32 else "bf16+pallas",
+        "frames": T, "events": args.frames * args.events_per_frame,
+        "phase_sum_s": round(t_vox + t_frames + t_fwd + t_metrics, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
