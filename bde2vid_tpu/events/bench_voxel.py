@@ -20,11 +20,22 @@ import time
 import numpy as np
 
 
+def _readback(out):
+    """Warm-up barrier: a VALUE readback, not block_until_ready — the axon
+    plugin defers its real compile to first execution and block returns
+    early while it is pending (r3 finding; block is reliable only after
+    one readback-synced execution)."""
+    import jax
+    import numpy as np
+
+    leaf = out[0] if isinstance(out, tuple) else out
+    np.asarray(jax.tree_util.tree_leaves(leaf)[0]).ravel()[:1]
+
+
 def _timeit(fn, iters):
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)
+    _readback(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
@@ -56,7 +67,7 @@ def _chained_timeit(op_of_p, pp, iters, chain=20):
             ).astype(p.dtype)
         return carry
 
-    jax.block_until_ready(run(pp))
+    _readback(run(pp))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(pp)

@@ -26,6 +26,7 @@ Config schema (see utils/config.py):
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import os
 import sys
@@ -62,7 +63,33 @@ def _open_sequence(path, num_bins):
     return seq
 
 
+@functools.lru_cache(maxsize=None)
+def _window_device_fn(ch: int, cw: int):
+    """Jitted on-device window finisher: item-select (pause repeats), zero
+    paused steps, NHWC transpose, crop. Keeping this on device matters on
+    a remote-TPU host: the old numpy path read the full-sensor voxels back
+    to the host and re-uploaded the crop every window — two ~7 MB tunnel
+    transfers per window that dominated data assembly (measured r3,
+    tools/profile_train.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def f(vox, idx, paused, y0, x0):
+        v = vox[idx]  # (L, B, H, W)
+        v = jnp.where(paused[:, None, None, None], 0.0, v)
+        v = jnp.transpose(v, (0, 2, 3, 1))  # (L, H, W, B)
+        return lax.dynamic_slice(
+            v, (0, y0, x0, 0), (v.shape[0], ch, cw, v.shape[3])
+        )
+
+    return f
+
+
 def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
+    import jax.numpy as jnp
+
     from bde2vid_tpu.data.transforms import sample_pause_mask
 
     # random draws first; if unlucky, fall back to an exhaustive scan over
@@ -83,18 +110,16 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
             pause_cfg.get("proba_pause_when_running", 0.0),
             pause_cfg.get("proba_pause_when_paused", 0.0),
         )
-        vox = np.asarray(seq.voxels(start, start + seq_len))  # (L, B, H, W)
-        frames = seq.frames(start, start + seq_len)  # (L, H, W)
-        vox = vox[idx]
+        vox = seq.voxels(start, start + seq_len)  # device (L, B, H, W)
+        frames = seq.frames(start, start + seq_len)  # host (L, H, W)
         frames = frames[idx]
-        vox[paused] = 0.0
         # spatial crop: the decoders upsample x2 per level, so H/W must be
         # multiples of 2^num_encoders (the eval driver pads via
         # CropParameters; training crops instead — synthetic zero borders
         # would teach the model to paint black margins). Random offset per
         # window = the reference's RandomCrop training protocol
         # (utils_func/data_augmentation.py:127-180).
-        h, w = vox.shape[2], vox.shape[3]
+        h, w = int(vox.shape[2]), int(vox.shape[3])
         ch, cw = crop_size if crop_size else (h, w)
         ch = min(ch, h) // multiple * multiple
         cw = min(cw, w) // multiple * multiple
@@ -104,9 +129,17 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
             )
         y0 = int(rng.integers(0, h - ch + 1))
         x0 = int(rng.integers(0, w - cw + 1))
-        vox = vox[:, :, y0 : y0 + ch, x0 : x0 + cw]
+        # voxels stay ON DEVICE end to end (select/zero/transpose/crop in
+        # one jitted program); only the small uint8 frames cross the tunnel
+        vox = _window_device_fn(ch, cw)(
+            vox,
+            jnp.asarray(idx, jnp.int32),
+            jnp.asarray(paused),
+            jnp.int32(y0),
+            jnp.int32(x0),
+        )
         frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
-        return vox.transpose(0, 2, 3, 1), frames[..., None]
+        return vox, frames[..., None]
     raise ValueError(
         f"no h5 sequence under {len(files)} files has >= {seq_len + 1} "
         "items — shorten sequence_length or add data"
@@ -136,7 +169,9 @@ def iterate_training_windows(
                 for _ in range(batch)
             )
         )
-        yield jnp.asarray(np.stack(vs, axis=1)), jnp.asarray(np.stack(fs, axis=1))
+        # voxels are device arrays (stack stays on device); frames are
+        # small host uint8-derived arrays uploaded once here
+        yield jnp.stack(vs, axis=1), jnp.asarray(np.stack(fs, axis=1))
 
 
 def main(argv=None) -> int:

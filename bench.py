@@ -53,7 +53,12 @@ def bench_tpu():
 
     run = jax.jit(lambda v: model.apply(params, v)[0]["image"])
     imgs = run(voxels)
-    jax.block_until_ready(imgs)  # compile + warm-up
+    # warm up with a VALUE READBACK, not block_until_ready: the axon
+    # plugin defers its real compile to first execution, and block returns
+    # early while that compile is pending — a readback is the only
+    # reliable barrier (r3 finding; block-synced timing windows are fine
+    # AFTER one readback-synced execution, verified identical here)
+    float(jnp.sum(imgs))
 
     iters = 3
     best_dt = float("inf")
@@ -175,7 +180,7 @@ def bench_family(name: str) -> float:
         return imgs
 
     run = jax.jit(run)
-    jax.block_until_ready(run(voxels))  # compile + warm-up
+    float(jnp.sum(run(voxels)))  # compile + warm-up (readback barrier)
     iters = 3
     best = 0.0
     # best-of-2: in a multi-family sweep the first timed window can absorb

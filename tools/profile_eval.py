@@ -137,7 +137,11 @@ def main(argv=None) -> int:
     t_full, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
 
     # warm phases, timed directly against the driver's own cached jit
-    # objects with device sync
+    # objects with device sync. NOTE: block_until_ready is only reliable
+    # here because the two evaluate_sequence passes above did real value
+    # readbacks (their metric floats), which forces the axon plugin's
+    # deferred compiles to completion; a block-only warm-up would let
+    # these phase timers return early (see tools/profile_train.py).
     t_vox, voxels = _timed(
         lambda: jax.block_until_ready(seq.voxels(0, T, batch=cfg.voxel_batch))
     )

@@ -47,7 +47,9 @@ def measure(cfg_overrides, label, batch=1):
     )
     params = model.init(jax.random.PRNGKey(0), voxels[:2, :1])
     run = jax.jit(lambda v: model.apply(params, v)[0]["image"])
-    jax.block_until_ready(run(voxels))
+    # readback barrier: block_until_ready returns early while the axon
+    # plugin's deferred first-execution compile is pending (see bench.py)
+    float(jnp.sum(run(voxels)))
     iters = 3
     best = float("inf")
     for _ in range(2):  # best-of-2 (see bench.py)
