@@ -284,6 +284,23 @@ class EventSequence:
         stop = self.length if stop is None else min(stop, self.length)
         return np.stack([self.reader.frame(i) for i in range(start, stop)])
 
+    def frames_u8(
+        self, start: int = 0, stop: Optional[int] = None
+    ) -> Optional[np.ndarray]:
+        """(T, H, W) uint8 frames exactly as stored, or None when any frame
+        is not single-channel uint8. When available, ``frames() ==
+        frames_u8() / 255`` bit-exactly — the eval driver ships these raw
+        bytes to the device (4x less tunnel traffic than float32) and
+        scales there."""
+        stop = self.length if stop is None else min(stop, self.length)
+        out = []
+        for i in range(start, stop):
+            raw = self.reader.frame_raw(i)
+            if raw is None:
+                return None
+            out.append(raw)
+        return np.stack(out) if out else None
+
 
 def load_sequence(
     path: str,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import json
 import os
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -76,10 +77,25 @@ def _equalize_hist(img: np.ndarray) -> np.ndarray:
     return lut[u8].astype(np.float32) / 255.0
 
 
-_mse_batch = jax.jit(jax.vmap(mse))
-_psnr_batch = jax.jit(jax.vmap(psnr))
 _robust_norm_batch = jax.jit(jax.vmap(lambda im: robust_norm(im, 1, 99)))
-_ssim_batch = jax.jit(jax.vmap(lambda a, b: structural_similarity(a[None], b[None])))
+# uint8 -> [0,1] float32 on device. The f32 divide is correctly rounded
+# (IEEE), while the host's u8/255.0 double-rounds through float64 — they
+# differ by at most 1 ulp (6e-8) on a few of the 256 values, the device
+# being the more accurate of the two. Pinned by tests/test_eval_driver.py.
+_u8_to_unit = jax.jit(lambda x: x.astype(jnp.float32) / 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("names",))
+def _basic_metric_batch(preds, gts, names: Tuple[str, ...]):
+    """All requested non-LPIPS metrics in ONE program: one dispatch + one
+    readback instead of one per metric (the remote-TPU tunnel charges
+    ~1-2 ms per dispatch, and serial np.asarray readbacks serialize)."""
+    fns = {
+        "mse": jax.vmap(mse),
+        "psnr": jax.vmap(psnr),
+        "ssim": jax.vmap(lambda a, b: structural_similarity(a[None], b[None])),
+    }
+    return {n: fns[n](preds, gts) for n in names if n in fns}
 # keyed by the (frozen, hashable) LPIPS module; params are a jit ARGUMENT so
 # a fresh params tree never aliases a stale traced closure (an id(params) key
 # can be recycled by the GC and serve the wrong weights)
@@ -98,12 +114,11 @@ def _metric_batch(
     out: Dict[str, np.ndarray] = {}
     p4 = preds[..., None]  # (T, H, W, 1)
     g4 = gts[..., None]
-    if "mse" in names:
-        out["mse"] = np.asarray(_mse_batch(p4, g4))
-    if "psnr" in names:
-        out["psnr"] = np.asarray(_psnr_batch(p4, g4))
-    if "ssim" in names:
-        out["ssim"] = np.asarray(_ssim_batch(p4, g4))
+    basic = tuple(n for n in ("mse", "psnr", "ssim") if n in names)
+    if basic:
+        vals = _basic_metric_batch(p4, g4, basic)
+        for n in basic:
+            out[n] = np.asarray(vals[n])
     if "p_loss" in names:
         if lpips_pair is None:
             raise ValueError(
@@ -219,6 +234,17 @@ def evaluate_sequence(
     crop = CropParameters(w, h, spec.num_encoders)
 
     # ---- assemble voxels (device) + frames (host) -------------------------
+    def _read_frames(a: int, b: int) -> np.ndarray:
+        """Ground-truth frames for items [a, b): the stored uint8 bytes when
+        the backend can supply them (4x less host->device traffic than
+        float32 through the remote-TPU tunnel; scaled to [0,1] on device),
+        else float32. The eq path needs host floats, so it opts out."""
+        if not cfg.eq and hasattr(seq, "frames_u8"):
+            u8 = seq.frames_u8(a, b)
+            if u8 is not None:
+                return u8
+        return seq.frames(a, b)
+
     if cfg.pause_st is not None and cfg.pause_ed is not None:
         if seq.item_last is not None:
             raise ValueError(
@@ -228,7 +254,7 @@ def evaluate_sequence(
         item_idx, paused = _pause_item_map(T, cfg.pause_st, cfg.pause_ed)
         n_real = int(item_idx[-1]) + 1 if T else 0
         voxels = seq.voxels(0, n_real, batch=cfg.voxel_batch)  # (n_real, B, H, W)
-        frames = seq.frames(0, n_real)[item_idx]  # (T, H, W)
+        frames = _read_frames(0, n_real)[item_idx]  # (T, H, W)
         voxels = jnp.where(
             jnp.asarray(paused)[:, None, None, None],
             0.0,
@@ -238,14 +264,19 @@ def evaluate_sequence(
         # SPADE ev_rate mode: all sub-voxels up to item T-1's last
         flat_stop = int(seq.item_last[T - 1]) + 1
         voxels = seq.voxels(0, flat_stop, batch=cfg.voxel_batch)
-        frames = seq.frames(0, T)  # (T, H, W) float32
+        frames = _read_frames(0, T)  # (T, H, W)
     else:
         voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
-        frames = seq.frames(0, T)  # (T, H, W) float32
+        frames = _read_frames(0, T)  # (T, H, W)
 
     # (T, B, H, W) -> (T, 1, H', W', B) padded NHWC
     x = jnp.transpose(voxels, (0, 2, 3, 1))[:, None]
     x = crop.pad(x)
+
+    # dispatch the ground-truth upload BEFORE the forward: the async H2D
+    # transfer (uint8 when the backend allows) overlaps the device compute
+    # queued below instead of serializing in front of the metric batch
+    gts_dev = None if cfg.eq else jax.device_put(frames)
 
     # ---- model forward (scan per chunk, state reset at chunk boundary) ----
     n_steps = voxels.shape[0]  # == T except in ev_rate (sub-voxel) mode
@@ -327,23 +358,31 @@ def evaluate_sequence(
     # ---- postprocessing ----------------------------------------------------
     if cfg.robust_norm_output:
         preds = _robust_norm_batch(preds)
-    gts = jnp.asarray(frames)
     if cfg.eq:
+        # eq works on host floats (frames is float32 here: _read_frames
+        # only returns uint8 when eq is off)
         preds = jnp.asarray(
             np.stack([_equalize_hist(p) for p in np.asarray(preds)])
         )
         gts = jnp.asarray(np.stack([_equalize_hist(g) for g in frames]))
+    else:
+        gts = _u8_to_unit(gts_dev) if frames.dtype == np.uint8 else gts_dev
 
     if cfg.save_images_to or cfg.show:
         ev = voxels
         if seq.item_last is not None:  # align sub-voxel frames with items
             ev = ev[jnp.asarray(seq.item_last[:T])]
         ev_frame = np.asarray(jnp.sum(ev, axis=1))
+        gt_f32 = (
+            frames.astype(np.float32) / 255.0
+            if frames.dtype == np.uint8
+            else frames
+        )
         if cfg.save_images_to:
             os.makedirs(cfg.save_images_to, exist_ok=True)
-            _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), frames)
+            _save_triptychs(cfg.save_images_to, ev_frame, np.asarray(preds), gt_f32)
         if cfg.show:
-            _show_triptychs(ev_frame, np.asarray(preds), frames, cfg.wait_time)
+            _show_triptychs(ev_frame, np.asarray(preds), gt_f32, cfg.wait_time)
 
     # ---- metrics -----------------------------------------------------------
     detail = _metric_batch(preds, gts, cfg.metrics, cfg.lpips)

@@ -172,6 +172,18 @@ class H5EventReader:
                 img = img[..., 0]
         return (img / 255.0).astype(np.float32)
 
+    def frame_raw(self, i: int) -> Optional[np.ndarray]:
+        """Frame i exactly as stored, when single-channel uint8 — then
+        ``frame(i) == frame_raw(i) / 255`` bit-exactly, so callers can ship
+        the uint8 bytes to the device (4x less transfer) and scale there.
+        Returns None for BGR/float-stored frames (callers fall back to
+        :meth:`frame`)."""
+        self._scan_frames()
+        img = self.f["images"][self._frame_keys[i]]
+        if img.ndim == 2 and img.dtype == np.uint8:
+            return np.asarray(img)
+        return None
+
     # -- flow --------------------------------------------------------------
 
     @property

@@ -227,3 +227,38 @@ def test_pause_bounds_validated(tmp_path, rng):
         evaluate_sequence(spec, seq, EvalConfig(
             metrics=("mse",), subseq_L=None, max_length=None,
             pause_st=150, pause_ed=160))
+
+
+def test_u8_ground_truth_fast_path(tmp_path, rng):
+    """The uint8 ground-truth upload path (driver ships stored bytes and
+    scales on device): frames_u8 returns the exact stored frames, the
+    device u8/255 matches the host float64 conversion to 1 ulp, and the
+    driver's metrics match a forced float32-upload run."""
+    from bde2vid_tpu.eval.driver import _u8_to_unit
+
+    _write_seq(tmp_path / "a.h5", rng, num_frames=6)
+    seq = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+
+    u8 = seq.frames_u8(0, len(seq))
+    assert u8 is not None and u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        seq.frames(0, len(seq)), (u8 / 255.0).astype(np.float32)
+    )
+
+    # device scaling: f32 divide is correctly rounded; the host path
+    # double-rounds through f64 — equal to within 1 ulp on all 256 values
+    all_vals = np.arange(256, dtype=np.uint8)
+    dev = np.asarray(_u8_to_unit(jnp.asarray(all_vals)))
+    host = (all_vals / 255.0).astype(np.float32)
+    assert np.abs(dev - host).max() <= 6e-8
+
+    spec = _make_spec()
+    cfg = EvalConfig(metrics=("mse", "ssim"), subseq_L=None, max_length=None)
+    res_u8, _ = evaluate_sequence(spec, seq, cfg)
+
+    # force the float32 fallback (what non-u8 backends get) and compare
+    seq2 = load_sequence(str(tmp_path / "a.h5"), num_bins=5)
+    seq2.frames_u8 = lambda a, b: None
+    res_f32, _ = evaluate_sequence(spec, seq2, cfg)
+    for k in res_u8:
+        assert res_u8[k] == pytest.approx(res_f32[k], rel=1e-5, abs=1e-7)

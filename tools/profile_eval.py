@@ -95,6 +95,8 @@ def main(argv=None) -> int:
     ap.add_argument("--f32", action="store_true", help="f32 + XLA attention")
     ap.add_argument("--lpips", action="store_true",
                     help="include p_loss (random-lin LPIPS; timing only)")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="warm evaluate_sequence repeats (best taken)")
     args = ap.parse_args(argv)
 
     import jax
@@ -133,8 +135,12 @@ def main(argv=None) -> int:
 
     # cold pass (compiles everything the warm phases reuse)
     t_cold, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
-    # warm ground truth
-    t_full, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
+    # warm ground truth: best-of-N (same guard as bench.py — single windows
+    # on the tunneled TPU show ±15% outliers from residual host/tunnel work)
+    t_full = min(
+        _timed(lambda: evaluate_sequence(spec, seq, cfg))[0]
+        for _ in range(args.repeats)
+    )
 
     # warm phases, timed directly against the driver's own cached jit
     # objects with device sync. NOTE: block_until_ready is only reliable
@@ -145,15 +151,26 @@ def main(argv=None) -> int:
     t_vox, voxels = _timed(
         lambda: jax.block_until_ready(seq.voxels(0, T, batch=cfg.voxel_batch))
     )
-    t_frames, frames = _timed(lambda: seq.frames(0, T))
+
+    def _read_frames():
+        # mirror the driver: ship stored uint8 when available (4x less
+        # tunnel traffic), scale to [0,1] on device
+        u8 = seq.frames_u8(0, T) if hasattr(seq, "frames_u8") else None
+        return u8 if u8 is not None else seq.frames(0, T)
+
+    t_frames, frames = _timed(_read_frames)
 
     h, w = seq.sensor_size
     crop = CropParameters(w, h, spec.num_encoders)
     x = crop.pad(jnp.transpose(voxels, (0, 2, 3, 1))[:, None])
+    # upload dispatched before the forward, like the driver (overlaps H2D)
+    gts_dev = jax.device_put(frames)
     run = _cached_run_fn(spec, (x.shape[2], x.shape[3]), True)
     t_fwd, preds = _timed(lambda: jax.block_until_ready(run(x)))
     preds = crop.crop(preds)[:, 0, :, :, 0]
-    gts = jnp.asarray(frames)
+    from bde2vid_tpu.eval.driver import _u8_to_unit
+
+    gts = _u8_to_unit(gts_dev) if frames.dtype == np.uint8 else gts_dev
     t_metrics, _ = _timed(
         lambda: {
             k: np.asarray(v)
