@@ -58,18 +58,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 i32p(np.int64, flags="C"),
                 i64,
                 i64,
-                i32p(np.int32, flags="C"),
-                i32p(np.int32, flags="C"),
+                i32p(np.int16, flags="C"),
+                i32p(np.int16, flags="C"),
                 i32p(np.float32, flags="C"),
-                i32p(np.float32, flags="C"),
+                i32p(np.int8, flags="C"),
                 i32p(np.int32, flags="C"),
             ]
             lib.voxelize_batch.restype = None
             lib.voxelize_batch.argtypes = [
-                i32p(np.int32, flags="C"),
-                i32p(np.int32, flags="C"),
+                i32p(np.int16, flags="C"),
+                i32p(np.int16, flags="C"),
                 i32p(np.float32, flags="C"),
-                i32p(np.float32, flags="C"),
+                i32p(np.int8, flags="C"),
                 i32p(np.int32, flags="C"),
                 i64,
                 i64,
@@ -98,8 +98,11 @@ def pack_windows(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pack event windows into padded (n, capacity) batch buffers.
 
-    Returns (xs_i32, ys_i32, ts_f32_shifted, ps_pm1_f32, n_i32). Uses the
-    native kernel when available, NumPy otherwise (identical output)."""
+    Returns (xs_i16, ys_i16, ts_f32_shifted, ps_pm1_i8, n_i32) — compact
+    dtypes (9 B/event vs 16) because the buffers cross the ~100 MB/s
+    host->TPU tunnel, which is 83% of the measured voxelize phase; the
+    device voxelizer upcasts on chip. Uses the native kernel when
+    available, NumPy otherwise (identical output)."""
     windows = np.ascontiguousarray(windows, np.int64)
     n_windows = len(windows)
     # validate BEFORE crossing the C boundary: the kernel indexes the raw
@@ -114,10 +117,10 @@ def pack_windows(
             )
         if (windows[:, 1] < windows[:, 0]).any():
             raise ValueError("window end precedes start")
-    oxs = np.empty((n_windows, capacity), np.int32)
-    oys = np.empty((n_windows, capacity), np.int32)
+    oxs = np.empty((n_windows, capacity), np.int16)
+    oys = np.empty((n_windows, capacity), np.int16)
     ots = np.empty((n_windows, capacity), np.float32)
-    ops = np.empty((n_windows, capacity), np.float32)
+    ops = np.empty((n_windows, capacity), np.int8)
     ons = np.empty((n_windows,), np.int32)
 
     lib = get_lib()
@@ -143,12 +146,12 @@ def pack_windows(
         tw = ts[i0:i1]
         t0 = tw[0] if n else 0.0
         ots[w, :n] = (tw - t0).astype(np.float32)
-        ops[w, :n] = np.where(np.asarray(ps[i0:i1]) > 0, 1.0, -1.0)
+        ops[w, :n] = np.where(np.asarray(ps[i0:i1]) > 0, 1, -1)
         fill = ots[w, n - 1] if n else 0.0
         oxs[w, n:] = 0
         oys[w, n:] = 0
         ots[w, n:] = fill
-        ops[w, n:] = 0.0
+        ops[w, n:] = 0
         ons[w] = n
     return oxs, oys, ots, ops, ons
 
@@ -173,10 +176,10 @@ def voxelize_batch_native(
     h, w = sensor_size
     out = np.empty((n_windows, num_bins, h, w), np.float32)
     lib.voxelize_batch(
-        np.ascontiguousarray(xs, np.int32),
-        np.ascontiguousarray(ys, np.int32),
+        np.ascontiguousarray(xs, np.int16),
+        np.ascontiguousarray(ys, np.int16),
         np.ascontiguousarray(ts, np.float32),
-        np.ascontiguousarray(ps, np.float32),
+        np.ascontiguousarray(ps, np.int8),
         np.ascontiguousarray(ns, np.int32),
         n_windows,
         capacity,
