@@ -86,6 +86,63 @@ def _cached_voxelize_fn(num_bins, sensor, combined, normalize, use_hot_mask):
     return _VOXELIZE_FN_CACHE[key]
 
 
+def _pack_to_bytes(xs, ys, ts, ps, ns) -> np.ndarray:
+    """Fuse the five packed window buffers into ONE flat uint8 buffer.
+
+    The remote-TPU tunnel charges ~9 ms latency PER device_put (measured:
+    five puts of a 0.66 MB training window cost 44 ms, ~7x the bytes'
+    bandwidth cost). One buffer -> one put; the voxelize jit bitcasts the
+    slices back (little-endian on both sides). Layout: ts f32 | ns i32 |
+    xs i16 | ys i16 | ps i8."""
+    return np.concatenate(
+        [
+            np.ascontiguousarray(ts, np.float32).view(np.uint8).ravel(),
+            np.ascontiguousarray(ns, np.int32).view(np.uint8).ravel(),
+            np.ascontiguousarray(xs, np.int16).view(np.uint8).ravel(),
+            np.ascontiguousarray(ys, np.int16).view(np.uint8).ravel(),
+            np.ascontiguousarray(ps, np.int8).view(np.uint8).ravel(),
+        ]
+    )
+
+
+def _unpack_bytes(buf, n_windows: int, capacity: int):
+    """Device-side inverse of _pack_to_bytes (inside jit; static shapes)."""
+    w, c = n_windows, capacity
+    off = 0
+    ts = jax.lax.bitcast_convert_type(
+        buf[off : off + 4 * w * c].reshape(w, c, 4), jnp.float32
+    )
+    off += 4 * w * c
+    ns = jax.lax.bitcast_convert_type(buf[off : off + 4 * w].reshape(w, 4), jnp.int32)
+    off += 4 * w
+    xs = jax.lax.bitcast_convert_type(
+        buf[off : off + 2 * w * c].reshape(w, c, 2), jnp.int16
+    )
+    off += 2 * w * c
+    ys = jax.lax.bitcast_convert_type(
+        buf[off : off + 2 * w * c].reshape(w, c, 2), jnp.int16
+    )
+    off += 2 * w * c
+    ps = jax.lax.bitcast_convert_type(buf[off : off + w * c].reshape(w, c), jnp.int8)
+    return xs, ys, ts, ps, ns
+
+
+def _cached_voxelize_bytes_fn(
+    num_bins, sensor, combined, normalize, use_hot_mask, n_windows, capacity
+):
+    """One-put voxelizer: uint8 buffer in, voxels out. Cached per config AND
+    batch shape (tail batches get their own small trace)."""
+    key = (num_bins, sensor, combined, normalize, use_hot_mask, n_windows, capacity)
+    if key not in _VOXELIZE_FN_CACHE:
+        inner = _cached_voxelize_fn(num_bins, sensor, combined, normalize, use_hot_mask)
+
+        def from_bytes(buf, mask):
+            return inner(*_unpack_bytes(buf, n_windows, capacity), mask)
+
+        _VOXELIZE_FN_CACHE[key] = jax.jit(from_bytes)
+    return _VOXELIZE_FN_CACHE[key]
+
+
 @dataclasses.dataclass
 class SequenceItem:
     """One eval step (host-side)."""
@@ -266,10 +323,26 @@ class EventSequence:
         n_windows = len(self.windows)
         stop = n_windows if stop is None else min(stop, n_windows)
         out = []
+        mask = (
+            jnp.asarray(self.hot_mask)
+            if self.hot_mask is not None
+            else jnp.zeros((), jnp.float32)
+        )
         for s in range(start, stop, batch):
             e = min(s + batch, stop)
-            xs, ys, ts, ps, ns = self._pack_batch(s, e)
-            out.append(self._voxelize_batch(xs, ys, ts, ps, ns))
+            packed = self._pack_batch(s, e)
+            # ONE device_put per batch (the tunnel charges ~9 ms latency
+            # per put; see _pack_to_bytes) + one jit call
+            fn = _cached_voxelize_bytes_fn(
+                self.num_bins,
+                self.sensor_size,
+                self.combined,
+                self.normalize,
+                self.hot_mask is not None,
+                e - s,
+                self.capacity,
+            )
+            out.append(fn(_pack_to_bytes(*packed), mask))
         return jnp.concatenate(out, axis=0)
 
     def _pack_batch(self, s: int, e: int):
