@@ -130,9 +130,15 @@ class _AttnStep(nn.Module):
         q_ind = wsz[0] // 2 if self.q_idx is None else self.q_idx
         center = buf[q_ind]
         x = buf
+        # whole-block fused mode (see SwinTransformerBlock3D): center passed
+        # separately -> static frames' pad+partition hoist out of the depth
+        # loop, no per-block buffer copy; blocks fall back internally when
+        # they cannot fuse
+        fused = self.use_pallas and self.nwindow_size is None
         for i in range(self.depth):
-            x = x.at[q_ind].set(center)
-            center = SwinTransformerBlock3D(
+            if not fused:
+                x = x.at[q_ind].set(center)
+            block = SwinTransformerBlock3D(
                 self.dim,
                 self.num_heads,
                 window_size=wsz,
@@ -145,7 +151,8 @@ class _AttnStep(nn.Module):
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
-            )(x)
+            )
+            center = block(x, center=center) if fused else block(x)
         cur = jax.lax.dynamic_index_in_dim(merged, t, 0, keepdims=False)
         new = center + cur
         merged = jax.lax.dynamic_update_index_in_dim(merged, new, t, 0)
@@ -215,9 +222,13 @@ class _AttnParallel(nn.Module):
             # as _fold_tn (keeps a data-sharded N expressible when sharded)
             x = buf.transpose(1, 2, 0, 3, 4, 5).reshape(D, N * (s1 - s0), H, W, C)
             center = x[q_ind]
+            fused = self.use_pallas and self.nwindow_size is None
             for blk in blocks:
-                x = x.at[q_ind].set(center)
-                center = blk(x)
+                if fused:
+                    center = blk(x, center=center)
+                else:
+                    x = x.at[q_ind].set(center)
+                    center = blk(x)
             outs.append(
                 center.reshape(N, s1 - s0, H, W, C).transpose(1, 0, 2, 3, 4)
             )

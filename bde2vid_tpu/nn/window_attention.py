@@ -102,6 +102,21 @@ def get_window_size(x_size, window_size):
     return tuple(min(a, b) for a, b in zip(x_size, window_size))
 
 
+@functools.lru_cache(maxsize=64)
+def _dilated_covered_mask(h: int, w: int, wh: int, ww: int) -> tuple:
+    """(h, w) bool mask of positions sampled by ANY dilation-2 window.
+    Dilated windows do NOT tile the grid (e.g. 7x7 windows on 7-strided
+    starts with stride-2 taps miss ~38% of rows); the reference's fold
+    writes zeros there, so those pixels pass a block as
+    ``center + MLP(LN2(center))``. Returns (mask, fully_covered)."""
+    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
+    rr = np.unique(rows.reshape(-1))
+    cc = np.unique(cols.reshape(-1))
+    mask = np.zeros((h, w), bool)
+    mask[np.ix_(rr[rr < h], cc[cc < w])] = True
+    return mask, bool(mask.all())
+
+
 # ---------------------------------------------------------------------------
 # relative position bias
 # ---------------------------------------------------------------------------
@@ -169,12 +184,21 @@ class WindowAttention3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(
+        self, x: Array, center: Optional[Array] = None, block_extras=None
+    ) -> Array:
         wd, wh0, ww0 = self.window_size
         d, b_, h, w, c = x.shape
         q_ind = wd // 2 if self.q_ind is None else self.q_ind
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
+
+        if center is not None:
+            # whole-block fused mode (see SwinTransformerBlock3D): center
+            # tokens are a separate operand, and block_extras carries the
+            # block's norm2/mlp params so the kernel computes the FULL
+            # block output
+            return self._fused_block(x, center, block_extras, q_ind)
 
         if self.use_pallas and self.nwin_size is None:
             return self._fused_pallas(x, q_ind)
@@ -235,18 +259,14 @@ class WindowAttention3D(nn.Module):
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return out.reshape(b_, h, w, c)
 
-    def _fused_pallas(self, x: Array, q_ind: int) -> Array:
-        """Fully fused path: LN + projections + attention + out-proj in ONE
-        Pallas kernel (ops.fused_window_block). Params are declared via
-        holders with the exact tree layout of the flax modules above, so
-        checkpoints load identically on both paths."""
-        from bde2vid_tpu.ops.window_attn_pallas import fused_window_block
-
+    def _fused_params(self, c: int, h: int, w: int, d: int, q_ind: int):
+        """Declare the attention params (exact tree layout of the flax
+        modules in __call__, so checkpoints load identically on both paths)
+        and build the sliced relative-position bias. Shared by the two
+        fused-kernel paths."""
         wd, wh0, ww0 = self.window_size
-        d, b_, h, w, c = x.shape
         m = h * w
         n = d * m
-
         ln_q = _ParamHolder(
             (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm_q"
         )()
@@ -282,11 +302,7 @@ class WindowAttention3D(nn.Module):
         rows = idx[qs : qs + h * w, :n].reshape(-1)
         bias = table[jnp.asarray(rows)].reshape(m, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # (H, M, N) f32
-
-        x_tok = x.reshape(d, b_, m, c).astype(self.dtype)
-        interpret = jax.devices()[0].platform != "tpu"
-        out = fused_window_block(
-            x_tok,
+        return (
             ln_q,
             ln_kv,
             (wq, bq),
@@ -294,11 +310,72 @@ class WindowAttention3D(nn.Module):
             (wkv[:, c:], bkv[c:]),
             (wp, bp),
             bias,
-            self.num_heads,
-            q_ind,
-            interpret=interpret,
+        )
+
+    def _fused_pallas(self, x: Array, q_ind: int) -> Array:
+        """Fully fused attention path: LN + projections + attention +
+        out-proj in ONE Pallas kernel (ops.fused_window_block)."""
+        from bde2vid_tpu.ops.window_attn_pallas import fused_window_block
+
+        d, b_, h, w, c = x.shape
+        m = h * w
+        ln_q, ln_kv, q_p, k_p, v_p, p_p, bias = self._fused_params(
+            c, h, w, d, q_ind
+        )
+        x_tok = x.reshape(d, b_, m, c).astype(self.dtype)
+        interpret = jax.devices()[0].platform != "tpu"
+        out = fused_window_block(
+            x_tok, ln_q, ln_kv, q_p, k_p, v_p, p_p, bias,
+            self.num_heads, q_ind, interpret=interpret,
         )
         return out.reshape(b_, h, w, c)
+
+    def _fused_block(
+        self, x: Array, center: Array, block_extras, q_ind: int
+    ) -> Array:
+        """Whole-block fused mode (ops.fused_swin_block): x is the STATIC
+        buffer windows (D, B_, Wh, Ww, C) whose q_ind frame is ignored,
+        ``center`` the live center tokens (B_, M, C); returns the FULL
+        block output tokens (B_, M, C) — attention, residual, LN2, MLP."""
+        from bde2vid_tpu.ops.window_attn_pallas import fused_swin_block
+
+        d, b_, h, w, c = x.shape
+        m = h * w
+        ln2, fc1, fc2, activation = block_extras
+        ln_q, ln_kv, q_p, k_p, v_p, p_p, bias = self._fused_params(
+            c, h, w, d, q_ind
+        )
+        x_tok = x.reshape(d, b_, m, c).astype(self.dtype)
+        interpret = jax.devices()[0].platform != "tpu"
+        return fused_swin_block(
+            x_tok, center.astype(self.dtype),
+            ln_q, ln_kv, q_p, k_p, v_p, p_p,
+            ln2, fc1, fc2, bias,
+            self.num_heads, q_ind,
+            activation=activation, interpret=interpret,
+        )
+
+
+class _MlpParams(nn.Module):
+    """Param-only twin of Mlp (same tree: fc1/kernel, fc1/bias, fc2/...)
+    for the whole-block fused kernel."""
+
+    in_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _ParamHolder(
+            (("kernel", (self.in_dim, self.hidden), "lecun"),
+             ("bias", (self.hidden,), "zeros")),
+            name="fc1",
+        )()
+        fc2 = _ParamHolder(
+            (("kernel", (self.hidden, self.in_dim), "lecun"),
+             ("bias", (self.in_dim,), "zeros")),
+            name="fc2",
+        )()
+        return fc1, fc2
 
 
 class Mlp(nn.Module):
@@ -335,10 +412,31 @@ class SwinTransformerBlock3D(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, center: Optional[Array] = None) -> Array:
         d, b, h, w, c = x.shape
         q_ind = self.window_size[0] // 2 if self.q_ind is None else self.q_ind
         win = get_window_size((h, w), self.window_size[-2:])
+
+        if center is not None:
+            # whole-block fused mode: the caller passes the evolving center
+            # frame separately so the STATIC buffer frames' pad + partition
+            # hoist out of the depth loop (XLA CSE) and the Pallas kernel
+            # computes attention + residual + LN2 + MLP in one pass.
+            can_fuse = (
+                self.use_pallas
+                and self.nwindow_size is None
+                and (self.deterministic or self.drop_path == 0.0)
+            )
+            if can_fuse and self.dilate_win and (
+                win[0] % 2 == 0 or win[1] % 2 == 0
+            ):
+                # even dilated windows collide in window_reverse_dilated
+                # (fold SUMS taps); summing full block outputs would
+                # double-count the residual — use the legacy path
+                can_fuse = False
+            if can_fuse:
+                return self._fused_full(x, center, q_ind, win)
+            x = x.at[q_ind].set(center)  # legacy body needs the live buffer
 
         shortcut = x[q_ind]
 
@@ -396,6 +494,71 @@ class SwinTransformerBlock3D(nn.Module):
         mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
         return y * mask.astype(y.dtype) / keep
 
+    def _fused_full(
+        self, x: Array, center: Array, q_ind: int, win: Tuple[int, int]
+    ) -> Array:
+        """Whole block in one Pallas kernel. x: the buffer with a STALE
+        q_ind row (never read); center: (B, H, W, C). Per-token ops
+        (residual, LN2, MLP) commute with the window permutation, so the
+        kernel's final tokens window-reverse directly to the new center."""
+        d, b, h, w, c = x.shape
+        pad_h = (win[0] - h % win[0]) % win[0]
+        pad_w = (win[1] - w % win[1]) % win[1]
+        pt, pb = pad_h // 2, pad_h - pad_h // 2
+        pl, pr = pad_w // 2, pad_w - pad_w // 2
+        pads = ((0, 0), (0, 0), (pt, pb), (pl, pr), (0, 0))
+        xp = jnp.pad(x, pads)  # loop-invariant across blocks -> CSE-hoisted
+        cp = jnp.pad(center[None], pads)
+        hp, wp = h + pad_h, w + pad_w
+        part = window_partition_dilated if self.dilate_win else window_partition
+        xwin = part(xp, win)  # (D, B*nW, Wh, Ww, C)
+        cwin = part(cp, win)[0]  # (B*nW, Wh, Ww, C)
+        ctr_tok = cwin.reshape(-1, win[0] * win[1], c)
+
+        norm2 = _ParamHolder(
+            (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm2"
+        )()
+        fc1, fc2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()
+
+        out = WindowAttention3D(
+            self.dim,
+            self.window_size,
+            self.num_heads,
+            q_ind=q_ind,
+            nwin_size=None,
+            qkv_bias=self.qkv_bias,
+            use_pallas=True,
+            dtype=self.dtype,
+            name="attn",
+        )(xwin, center=ctr_tok, block_extras=(norm2, fc1, fc2, self.activation))
+
+        y = out.reshape(-1, win[0], win[1], c)
+        rev = window_reverse_dilated if self.dilate_win else window_reverse
+        y = rev(y, b, hp, wp)
+        if self.dilate_win:
+            mask, full = _dilated_covered_mask(hp, wp, win[0], win[1])
+            if not full:
+                # pixels no dilated window samples: the reference's fold
+                # writes zeros there, so the block reduces to
+                # center + MLP(LN2(center)) — blend that in XLA-side
+                (w1, b1), (w2, b2m) = fc1, fc2
+                cf = cp[0].astype(jnp.float32)
+                mu = jnp.mean(cf, axis=-1, keepdims=True)
+                var = jnp.mean((cf - mu) ** 2, axis=-1, keepdims=True)
+                z = (cf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2[0] + norm2[1]
+                from bde2vid_tpu.nn.layers import get_activation
+
+                hid = get_activation(self.activation)(
+                    z.astype(self.dtype) @ w1.astype(self.dtype) + b1
+                )
+                idv = cf + (hid.astype(self.dtype) @ w2.astype(self.dtype) + b2m)
+                y = jnp.where(
+                    jnp.asarray(mask)[None, :, :, None], y, idv.astype(y.dtype)
+                )
+        if pad_h or pad_w:
+            y = y[:, pt : hp - pb, pl : wp - pr]
+        return y
+
 
 class DFrameAttention(nn.Module):
     """Stack of Swin blocks over a temporal buffer of D frames; each block's
@@ -415,16 +578,23 @@ class DFrameAttention(nn.Module):
     qkv_bias: bool = True
     activation: str = "gelu"
     drop_path: Sequence[float] = ()
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         q_ind = self.window_size[0] // 2 if self.q_ind is None else self.q_ind
+        # whole-block fused mode: pass the evolving center separately so the
+        # static frames' pad+partition hoist out of the loop and the buffer
+        # copy (x.at[q_ind].set) disappears (blocks fall back internally
+        # when they cannot fuse)
+        fused = self.use_pallas and self.nwindow_size is None
         center = x[q_ind]
         for i in range(self.depth):
-            x = x.at[q_ind].set(center)
-            center = SwinTransformerBlock3D(
+            if not fused:
+                x = x.at[q_ind].set(center)
+            block = SwinTransformerBlock3D(
                 self.dim,
                 self.num_heads,
                 window_size=self.window_size,
@@ -435,8 +605,10 @@ class DFrameAttention(nn.Module):
                 qkv_bias=self.qkv_bias,
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
-            )(x)
+            )
+            center = block(x, center=center) if fused else block(x)
         return center

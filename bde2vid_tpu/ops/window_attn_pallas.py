@@ -284,3 +284,219 @@ def fused_window_block(
         out_shape=jax.ShapeDtypeStruct((b_, m, c), x.dtype),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Whole Swin block fused: attention + residual + LN2 + MLP + residual,
+# with the evolving center frame as a SEPARATE operand
+# ---------------------------------------------------------------------------
+
+
+def _erf_approx(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7, ~f32 level):
+    Mosaic has no erf/erfc lowering, only exp."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736)
+        * t
+        + 0.254829592
+    ) * t
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _kernel_activation(name: str):
+    """Activation usable inside a Mosaic kernel. GELU (the reference
+    default) is exact-erf composed from the A&S approximation; everything
+    else reuses the shared registry (relu/sigmoid/... all lower)."""
+    if name in ("gelu", "default"):
+        inv_sqrt2 = 0.7071067811865476
+        return lambda x: 0.5 * x * (1.0 + _erf_approx(x * inv_sqrt2))
+    from bde2vid_tpu.nn.layers import get_activation
+
+    return get_activation(name)
+
+
+def _fused_swin_kernel(
+    x_ref,  # (D, wb, M, C) static buffer tokens — row q_ind is IGNORED
+    ctr_ref,  # (wb, M, C) current center tokens (query + the q_ind kv row)
+    gq_ref, bqln_ref, gkv_ref, bkvln_ref,  # (1, C) LN affines
+    wq_ref, bq_ref, wkv_ref, bkv_ref,  # projections (k|v fused: (C, 2C))
+    wp_ref, bp_ref,
+    g2_ref, b2ln_ref,  # (1, C) LN2 affines
+    w1_ref, b1_ref, w2_ref, b2m_ref,  # MLP fc1 (C, Hd), fc2 (Hd, C)
+    bias_ref,  # (H*M, N)
+    masks_ref,  # (H*M, C)
+    out_ref,  # (wb, M, C) FINAL block tokens
+    *, num_heads, scale, wb, m, q_ind, act,
+):
+    d = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    in_dtype = x_ref.dtype
+    masks_rows = masks_ref[:]
+    bias_rows = bias_ref[:].astype(jnp.float32)
+
+    # kv tokens: buffer frames, with the q_ind frame replaced by the LIVE
+    # center operand (the reference mutates the buffer in place per block;
+    # keeping the static frames in their own operand lets XLA hoist their
+    # pad+partition out of the depth loop entirely)
+    toks = jnp.concatenate(
+        [
+            (ctr_ref[w] if i == q_ind else x_ref[i, w])
+            for i in range(d)
+            for w in range(wb)
+        ],
+        axis=0,
+    ).astype(jnp.float32)  # (D*wb*M, C)
+    kvt = _ln(toks, gkv_ref[0], bkvln_ref[0])
+    kv_all = (
+        jax.lax.dot_general(
+            kvt.astype(in_dtype), wkv_ref[:].astype(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + bkv_ref[0]
+    ).astype(in_dtype)  # (D*wb*M, 2C)
+
+    ctr_all = jnp.concatenate([ctr_ref[w] for w in range(wb)], axis=0)  # (wb*M, C)
+    qt = _ln(ctr_all.astype(jnp.float32), gq_ref[0], bqln_ref[0])
+    q_all = (
+        jax.lax.dot_general(
+            qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + bq_ref[0]
+    ).astype(in_dtype)
+
+    projs = []
+    for w in range(wb):
+        k = jnp.concatenate(
+            [kv_all[(i * wb + w) * m : (i * wb + w + 1) * m, :c] for i in range(d)],
+            axis=0,
+        )
+        v = jnp.concatenate(
+            [kv_all[(i * wb + w) * m : (i * wb + w + 1) * m, c:] for i in range(d)],
+            axis=0,
+        )
+        q = q_all[w * m : (w + 1) * m]
+        q_rep = jnp.concatenate([q] * num_heads, axis=0)
+        qm = masks_rows.astype(in_dtype) * q_rep
+        scores = jax.lax.dot_general(
+            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * scale + bias_rows
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
+        outs = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        outs = outs * masks_rows
+        acc = outs[0:m]
+        for h in range(1, num_heads):
+            acc = acc + outs[h * m : (h + 1) * m]
+        projs.append(
+            jax.lax.dot_general(
+                acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            + bp_ref[0]
+        )
+
+    # residual + LN2 + MLP + residual, batched over all wb windows' center
+    # tokens (per-token ops — position within the window is irrelevant)
+    y = ctr_all.astype(jnp.float32) + jnp.concatenate(projs, axis=0)
+    z = _ln(y, g2_ref[0], b2ln_ref[0])
+    h1 = (
+        jax.lax.dot_general(
+            z.astype(in_dtype), w1_ref[:].astype(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + b1_ref[0]
+    )
+    h1 = _kernel_activation(act)(h1)
+    z2 = (
+        jax.lax.dot_general(
+            h1.astype(in_dtype), w2_ref[:].astype(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + b2m_ref[0]
+    )
+    o = y + z2
+    for w in range(wb):
+        out_ref[w] = o[w * m : (w + 1) * m].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "q_ind", "activation", "interpret")
+)
+def fused_swin_block(
+    x: Array,  # (D, B_, M, C) static buffer tokens (row q_ind ignored)
+    ctr: Array,  # (B_, M, C) current center tokens
+    ln_q: Tuple[Array, Array],
+    ln_kv: Tuple[Array, Array],
+    w_q: Tuple[Array, Array],
+    w_k: Tuple[Array, Array],
+    w_v: Tuple[Array, Array],
+    w_proj: Tuple[Array, Array],
+    ln2: Tuple[Array, Array],
+    mlp_fc1: Tuple[Array, Array],  # (C, Hd), (Hd,)
+    mlp_fc2: Tuple[Array, Array],  # (Hd, C), (C,)
+    bias: Array,  # (H, M, N)
+    num_heads: int,
+    q_ind: int,
+    activation: str = "gelu",
+    interpret: bool = False,
+) -> Array:
+    """The ENTIRE SwinTransformerBlock3D fused: window attention (LNs +
+    projections + masked stacked-head attention + out-projection) plus the
+    center-frame residual, LN2, MLP and the second residual — one HBM read
+    of the window stacks, one write of the final (B_, M, C) block tokens.
+
+    The evolving center frame is a separate operand so the static buffer
+    frames' pad + window partition are loop-invariant across a
+    DFrameAttention depth stack (XLA CSE hoists them), replacing the
+    per-block ``x.at[q_ind].set(center)`` full-buffer copy."""
+    d, b_, m, c = x.shape
+    n = d * m
+    head_dim = c // num_heads
+    scale = head_dim**-0.5
+    hd = mlp_fc1[0].shape[1]
+
+    masks_rows, bias_rows, wb = _head_masks_and_wb(b_, m, c, num_heads, bias)
+
+    row = lambda a: a.reshape(1, -1)
+    w_kv = jnp.concatenate([w_k[0], w_v[0]], axis=1)
+    b_kv = jnp.concatenate([w_k[1], w_v[1]])
+    args = [
+        x, ctr,
+        row(ln_q[0]), row(ln_q[1]), row(ln_kv[0]), row(ln_kv[1]),
+        w_q[0], row(w_q[1]), w_kv, row(b_kv),
+        w_proj[0], row(w_proj[1]),
+        row(ln2[0]), row(ln2[1]),
+        mlp_fc1[0], row(mlp_fc1[1]), mlp_fc2[0], row(mlp_fc2[1]),
+        bias_rows, masks_rows,
+    ]
+    vec = lambda cc=c: pl.BlockSpec((1, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = lambda r, cc: pl.BlockSpec((r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _fused_swin_kernel,
+            num_heads=num_heads, scale=scale, wb=wb, m=m, q_ind=q_ind,
+            act=activation,
+        ),
+        grid=(b_ // wb,),
+        in_specs=[
+            pl.BlockSpec((d, wb, m, c), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            vec(), vec(), vec(), vec(),
+            mat(c, c), vec(), mat(c, 2 * c), vec(2 * c),
+            mat(c, c), vec(),
+            vec(), vec(),
+            mat(c, hd), vec(hd), mat(hd, c), vec(),
+            mat(num_heads * m, n), mat(num_heads * m, c),
+        ],
+        out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
+        interpret=interpret,
+    )(*args)

@@ -104,3 +104,62 @@ def test_window_smaller_than_configured_bias_rows(rng):
     out = blk.apply(params, x)
     assert out.shape == (B, H, W, C)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_swin_block_whole_block_parity(rng):
+    """Whole-block fused mode (attention + residual + LN2 + MLP in one
+    kernel, center as a separate operand): a depth-3 DFrameAttention stack
+    (regular + dilated blocks, padded non-multiple sizes, so the dilated
+    uncovered-pixel blend is exercised) matches the legacy path on shared
+    params, with an identical param tree."""
+    from bde2vid_tpu.nn.window_attention import DFrameAttention
+
+    D, B, H, W, C = 5, 2, 13, 18, 32
+    x = jnp.asarray(rng.normal(size=(D, B, H, W, C)).astype(np.float32))
+    kw = dict(dim=C, depth=3, num_heads=8, window_size=(D, 7, 7),
+              drop_path=(0.0, 0.1, 0.2), deterministic=True)
+    m_ref = DFrameAttention(use_pallas=False, **kw)
+    m_fus = DFrameAttention(use_pallas=True, **kw)
+    p = m_ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        m_fus.init(jax.random.PRNGKey(0), x)
+    )
+    y_ref = np.asarray(m_ref.apply(p, x))
+    y_fus = np.asarray(m_fus.apply(p, x))
+    np.testing.assert_allclose(y_fus, y_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_dilated_uncovered_pixels_identity_block(rng):
+    """Dilated windows do not tile the grid; the reference's fold writes
+    zeros at unsampled pixels so a block reduces there to
+    center + MLP(LN2(center)). The fused path must reproduce that."""
+    from bde2vid_tpu.nn.window_attention import (
+        SwinTransformerBlock3D,
+        _dilated_covered_mask,
+    )
+
+    D, B, H, W, C = 3, 1, 14, 14, 16
+    mask, full = _dilated_covered_mask(14, 14, 7, 7)
+    assert not full  # this shape must actually have uncovered pixels
+    x = jnp.asarray(rng.normal(size=(D, B, H, W, C)).astype(np.float32))
+    blk_ref = SwinTransformerBlock3D(C, 4, window_size=(D, 7, 7),
+                                     dilate_win=True, q_ind=1,
+                                     use_pallas=False, deterministic=True)
+    blk_fus = SwinTransformerBlock3D(C, 4, window_size=(D, 7, 7),
+                                     dilate_win=True, q_ind=1,
+                                     use_pallas=True, deterministic=True)
+    p = blk_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = np.asarray(blk_ref.apply(p, x))
+    y_fus = np.asarray(blk_fus.apply(p, x, center=x[1]))
+    np.testing.assert_allclose(y_fus, y_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_erf_gelu_matches_exact(rng):
+    """Mosaic has no erf lowering; the kernel's A&S-7.1.26 GELU must match
+    jax.nn.gelu(approximate=False) to ~f32 accuracy."""
+    from bde2vid_tpu.ops.window_attn_pallas import _kernel_activation
+
+    x = jnp.asarray(np.linspace(-6, 6, 20001, dtype=np.float32))
+    got = np.asarray(_kernel_activation("gelu")(x))
+    want = np.asarray(jax.nn.gelu(x, approximate=False))
+    assert np.abs(got - want).max() < 1e-6
