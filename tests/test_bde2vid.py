@@ -679,3 +679,39 @@ def test_bde2vid_rejects_no_skip():
     with pytest.raises(ValueError, match="skip_type"):
         m = build_model("BDE2VID", {"generator": {"skip_type": "no_skip"}})
         m.init(jax.random.PRNGKey(0), jnp.zeros((2, 1, 16, 16, 5)))
+
+
+def test_pallas_full_model_matches_xla_f32(rng):
+    """use_pallas_attention (the whole-block fused kernel, interpret mode on
+    CPU) must match the XLA path at f32 on shared params through the FULL
+    model — depths [2,2] covers regular AND dilated blocks."""
+    base = {"num_bins": 5, "basechannels": 8, "num_encoders": 2, "ks": 3,
+            "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+            "depths": [2, 2], "num_heads": 4, "window_size": [7, 7]}
+    m_xla = build_model("BDE2VID", {"generator": dict(base)})
+    m_pal = build_model(
+        "BDE2VID", {"generator": dict(base, use_pallas_attention=True)}
+    )
+    v = jnp.asarray(rng.normal(size=(3, 1, 28, 28, 5)).astype(np.float32))
+    params = m_xla.init(jax.random.PRNGKey(0), v)
+    a = np.asarray(m_xla.apply(params, v)[0]["image"])
+    b = np.asarray(m_pal.apply(params, v)[0]["image"])
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
+
+
+def test_parallel_attention_pallas_matches_parallel_xla(rng):
+    """parallel_attention with the fused kernel == parallel_attention with
+    the XLA path (same non-parity semantics, shared params)."""
+    base = {"num_bins": 5, "basechannels": 8, "num_encoders": 2, "ks": 3,
+            "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+            "depths": [2, 2], "num_heads": 4, "window_size": [7, 7],
+            "parallel_attention": True}
+    m_xla = build_model("BDE2VID", {"generator": dict(base)})
+    m_pal = build_model(
+        "BDE2VID", {"generator": dict(base, use_pallas_attention=True)}
+    )
+    v = jnp.asarray(rng.normal(size=(3, 1, 28, 28, 5)).astype(np.float32))
+    params = m_xla.init(jax.random.PRNGKey(0), v)
+    a = np.asarray(m_xla.apply(params, v)[0]["image"])
+    b = np.asarray(m_pal.apply(params, v)[0]["image"])
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
