@@ -50,10 +50,28 @@ def _cached_sharded_fn(spec: ModelSpec, shapes, chunk: int, mesh: Mesh, sh):
         def per_chunk(params, v):
             return run_sequence(module, params, v, state0)[0]
 
-    @jax.jit
-    def run_all(params, chunks):
-        out = jax.vmap(lambda v: per_chunk(params, v))(chunks)
-        return jax.lax.with_sharding_constraint(out, sh)
+    # shard_map, not global-SPMD jit annotations: each device runs the
+    # forward LOCALLY on its own chunks. This is safe by construction for
+    # the fused Pallas attention kernel — a Mosaic custom call inside a
+    # globally-sharded jit depends on the SPMD partitioner's custom-call
+    # handling (unverifiable on this one-chip setup and liable to force a
+    # replicating all-gather); inside shard_map the kernel only ever sees
+    # device-local shapes. Chunks are embarrassingly parallel, so
+    # out_specs=P('data') is the only collective (the final gather).
+    from jax.experimental.shard_map import shard_map
+
+    def local(params, local_chunks):
+        return jax.vmap(lambda v: per_chunk(params, v))(local_chunks)
+
+    run_all = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec("data")),
+            out_specs=jax.sharding.PartitionSpec("data"),
+            check_rep=False,
+        )
+    )
 
     _SHARDED_FN_CACHE[key] = run_all
     return run_all

@@ -219,3 +219,31 @@ def test_sharded_fn_cache_reuses_trace(rng):
     got_b = np.asarray(eval_chunks_sharded(spec_b, voxels, chunk=2))
     assert len(se._SHARDED_FN_CACHE) == 1  # same trace reused
     assert not np.allclose(got_a, got_b)  # and the new params actually ran
+
+
+def test_sharded_eval_with_pallas_attention(rng):
+    """eval_chunks_sharded must compose with the fused Pallas attention:
+    shard_map runs the kernel per-device on local chunk shapes (a Mosaic
+    custom call inside a globally-sharded jit would depend on SPMD
+    custom-call partitioning instead). Sharded == sequential exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.models.api import ModelSpec
+    from bde2vid_tpu.parallel.sharded_eval import eval_chunks_sharded
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 2], "num_heads": 4, "window_size": [7, 7],
+                         "use_pallas_attention": True}}
+    model = build_model("BDE2VID", cfg)
+    x = jnp.asarray(rng.normal(size=(8, 1, 28, 28, 5)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x[:2])
+    spec = ModelSpec(name="BDE2VID", module=model, params=params, num_bins=5,
+                     num_encoders=2, is_sequence_model=True)
+    got = np.asarray(eval_chunks_sharded(spec, x, 2))
+    want = np.concatenate(
+        [np.asarray(model.apply(params, x[s:s + 2])[0]["image"])
+         for s in range(0, 8, 2)], axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
