@@ -202,6 +202,13 @@ def main(argv=None) -> int:
                         "(auto-discovered when omitted)")
     p.add_argument("--lpips_backbone", default=None,
                    help="converted LPIPS backbone weights (.pth/.npz)")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="windows staged ahead by a background assembly "
+                        "thread (0 disables — the right default here: on "
+                        "the single-core host + remote-TPU tunnel a "
+                        "second thread's RPCs contend with the train-step "
+                        "dispatches, measured 18x SLOWER; useful only on "
+                        "multi-core hosts with local devices)")
     args = p.parse_args(argv)
 
     import jax
@@ -255,6 +262,13 @@ def main(argv=None) -> int:
         multiple=2**num_encoders,
         crop_size=crop_size,
     )
+    if args.prefetch > 0:
+        # background thread assembles ahead: overlaps the window
+        # assembly's synchronous device_put RPC waits with device compute
+        # (the torch DataLoader-workers analog; single h5 reader thread)
+        from bde2vid_tpu.data.prefetch import prefetch_to_device
+
+        it = prefetch_to_device(it, size=args.prefetch)
     voxels, gts = next(it)
 
     # data-parallel sharding when the batch divides the device count
