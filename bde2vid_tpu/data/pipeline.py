@@ -108,6 +108,13 @@ def _pack_to_bytes(xs, ys, ts, ps, ns) -> np.ndarray:
 def _unpack_bytes(buf, n_windows: int, capacity: int):
     """Device-side inverse of _pack_to_bytes (inside jit; static shapes)."""
     w, c = n_windows, capacity
+    expect = 9 * w * c + 4 * w  # ts f32 + xs/ys i16 + ps i8 + ns i32
+    if buf.shape[0] != expect:
+        raise ValueError(
+            f"packed buffer size {buf.shape[0]} != expected {expect} for "
+            f"(n_windows={w}, capacity={c}) — a silent mismatch here would "
+            "bitcast garbage"
+        )
     off = 0
     ts = jax.lax.bitcast_convert_type(
         buf[off : off + 4 * w * c].reshape(w, c, 4), jnp.float32
@@ -601,6 +608,20 @@ class H5VoxelCacheSequence:
     def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
         stop = self.length if stop is None else min(stop, self.length)
         return np.stack([self.reader.frame(i) for i in range(start, stop)])
+
+    def frames_u8(
+        self, start: int = 0, stop: Optional[int] = None
+    ) -> Optional[np.ndarray]:
+        """Stored uint8 frames (same contract as EventSequence.frames_u8:
+        frames() == frames_u8()/255 exactly, None when not uint8-stored)."""
+        stop = self.length if stop is None else min(stop, self.length)
+        out = []
+        for i in range(start, stop):
+            raw = self.reader.frame_raw(i)
+            if raw is None:
+                return None
+            out.append(raw)
+        return np.stack(out) if out else None
 
     def close(self):
         self.reader.close()
