@@ -546,8 +546,6 @@ class SwinTransformerBlock3D(nn.Module):
                 mu = jnp.mean(cf, axis=-1, keepdims=True)
                 var = jnp.mean((cf - mu) ** 2, axis=-1, keepdims=True)
                 z = (cf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2[0] + norm2[1]
-                from bde2vid_tpu.nn.layers import get_activation
-
                 hid = get_activation(self.activation)(
                     z.astype(self.dtype) @ w1.astype(self.dtype) + b1
                 )

@@ -37,6 +37,38 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
+    """One window's masked stacked-head attention — the shared inner body
+    of all three kernels. q: (M, C), k/v: (N, C), masks_rows: (H*M, C),
+    bias_rows: (H*M, N). Returns the (M, C) f32 multi-head output.
+
+    Heads stack in the ROW dimension so the whole window is TWO big MXU
+    matmuls instead of 2*H tiny (K=head_dim) ones: ``Qm = mask_h ⊙ q`` per
+    head-block of rows, so scores row-block h only sees head h's channels;
+    AV uses the complementary column masking and the per-head blocks sum
+    back into (M, C) layout. Inputs keep their dtype (bf16 operands run
+    the MXU at full rate); accumulation is f32 via preferred_element_type;
+    no lane-dimension reshapes anywhere (Mosaic constraint)."""
+    in_dtype = q.dtype
+    q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
+    qm = masks_rows.astype(in_dtype) * q_rep
+    scores = jax.lax.dot_general(
+        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (H*M, N)
+    scores = scores * scale + bias_rows
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
+    outs = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (H*M, C)
+    outs = outs * masks_rows
+    out = outs[0:m]
+    for h in range(1, num_heads):
+        out = out + outs[h * m : (h + 1) * m]
+    return out
+
+
 def _kernel(
     q_ref, k_ref, v_ref, bias_ref, masks_ref, out_ref, *, num_heads, scale, wb, m
 ):
@@ -44,32 +76,11 @@ def _kernel(
     # tile-unaligned reshapes inside the kernel); bias_ref: (H*M, N)
     masks_rows = masks_ref[:]
     bias_rows = bias_ref[:].astype(jnp.float32)
-    in_dtype = q_ref.dtype
     for w in range(wb):  # windows per program (amortizes the bias DMA)
-        q = q_ref[w]  # (M, C) — keep input dtype: bf16 operands run the MXU
-        k = k_ref[w]  # at full rate; accumulation is f32 via
-        v = v_ref[w]  # preferred_element_type
-        c = q.shape[-1]
-
-        # stack all heads' masked queries in the ROW dimension so the whole
-        # window is TWO big MXU matmuls instead of 2*H tiny ones:
-        #   Qm (H*M, C) = mask_h ⊙ q per head-block of rows
-        q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
-        qm = masks_rows.astype(in_dtype) * q_rep
-        scores = jax.lax.dot_general(
-            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (H*M, N); row block h only sees head h's channels
-        scores = scores * scale + bias_rows
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
-        outs = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (H*M, C): row block h has all columns; keep only head h's
-        outs = outs * masks_rows
-        out = outs[0:m]
-        for h in range(1, num_heads):
-            out = out + outs[h * m : (h + 1) * m]
+        out = _attn_core(
+            q_ref[w], k_ref[w], v_ref[w], masks_rows, bias_rows,
+            scale, num_heads, m,
+        )
         out_ref[w] = out.astype(out_ref.dtype)
 
 
@@ -202,23 +213,7 @@ def _fused_block_kernel(
             axis=0,
         )
         q = q_all[w * m : (w + 1) * m]
-
-        q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
-        qm = masks_rows.astype(in_dtype) * q_rep
-        scores = jax.lax.dot_general(
-            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        scores = scores * scale + bias_rows
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
-        outs = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        outs = outs * masks_rows
-        acc = outs[0:m]
-        for h in range(1, num_heads):
-            acc = acc + outs[h * m : (h + 1) * m]
+        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
         out = (
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
@@ -379,22 +374,7 @@ def _fused_swin_kernel(
             axis=0,
         )
         q = q_all[w * m : (w + 1) * m]
-        q_rep = jnp.concatenate([q] * num_heads, axis=0)
-        qm = masks_rows.astype(in_dtype) * q_rep
-        scores = jax.lax.dot_general(
-            qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        scores = scores * scale + bias_rows
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores)
-        attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
-        outs = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        outs = outs * masks_rows
-        acc = outs[0:m]
-        for h in range(1, num_heads):
-            acc = acc + outs[h * m : (h + 1) * m]
+        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
         projs.append(
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),

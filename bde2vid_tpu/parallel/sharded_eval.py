@@ -27,7 +27,7 @@ from bde2vid_tpu.models.api import ModelSpec, run_sequence
 _SHARDED_FN_CACHE = {}
 
 
-def _cached_sharded_fn(spec: ModelSpec, shapes, chunk: int, mesh: Mesh, sh):
+def _cached_sharded_fn(spec: ModelSpec, shapes, chunk: int, mesh: Mesh):
     arch_key = (
         spec.name,
         spec.module.__class__.__name__,
@@ -127,7 +127,7 @@ def eval_chunks_sharded(
     sh = NamedSharding(mesh, P("data"))
     chunks = jax.device_put(chunks, sh)
 
-    run_all = _cached_sharded_fn(spec, tuple(voxels.shape[1:]), chunk, mesh, sh)
+    run_all = _cached_sharded_fn(spec, tuple(voxels.shape[1:]), chunk, mesh)
     with mesh:
         preds = run_all(spec.params, chunks)
     preds = preds.reshape(t_pad, *preds.shape[2:])[:t]
