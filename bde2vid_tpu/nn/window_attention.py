@@ -538,11 +538,18 @@ class SwinTransformerBlock3D(nn.Module):
         if self.dilate_win:
             mask, full = _dilated_covered_mask(hp, wp, win[0], win[1])
             if not full:
-                # pixels no dilated window samples: the reference's fold
-                # writes zeros there, so the block reduces to
-                # center + MLP(LN2(center)) — blend that in XLA-side
+                # pixels no dilated window samples (~38% at the flagship
+                # shape): the reference's fold writes zeros there, so the
+                # block reduces to center + MLP(LN2(center)). Compute that
+                # ONLY on the uncovered pixels (static flat gather/scatter;
+                # a full-image blend measured 0.27 ms/frame on the
+                # flagship — most of it identity-MLP on covered pixels
+                # that window_reverse immediately overwrote)
+                flat_unc = jnp.asarray(np.flatnonzero(~mask.reshape(-1)))
                 (w1, b1), (w2, b2m) = fc1, fc2
-                cf = cp[0].astype(jnp.float32)
+                cf = cp[0].reshape(b, hp * wp, c)[:, flat_unc].astype(
+                    jnp.float32
+                )  # (B, P, C)
                 mu = jnp.mean(cf, axis=-1, keepdims=True)
                 var = jnp.mean((cf - mu) ** 2, axis=-1, keepdims=True)
                 z = (cf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2[0] + norm2[1]
@@ -550,8 +557,11 @@ class SwinTransformerBlock3D(nn.Module):
                     z.astype(self.dtype) @ w1.astype(self.dtype) + b1
                 )
                 idv = cf + (hid.astype(self.dtype) @ w2.astype(self.dtype) + b2m)
-                y = jnp.where(
-                    jnp.asarray(mask)[None, :, :, None], y, idv.astype(y.dtype)
+                y = (
+                    y.reshape(b, hp * wp, c)
+                    .at[:, flat_unc]
+                    .set(idv.astype(y.dtype))
+                    .reshape(b, hp, wp, c)
                 )
         if pad_h or pad_w:
             y = y[:, pt : hp - pb, pl : wp - pr]
