@@ -166,7 +166,11 @@ def main(argv=None) -> int:
     # upload dispatched before the forward, like the driver (overlaps H2D)
     gts_dev = jax.device_put(frames)
     run = _cached_run_fn(spec, (x.shape[2], x.shape[3]), True)
+    # best-of-2: a single timing window on the tunneled TPU can read ~20%
+    # high (measured: a one-shot forward said 174 f/s where a best-of
+    # sweep says 212 at the same T)
     t_fwd, preds = _timed(lambda: jax.block_until_ready(run(x)))
+    t_fwd = min(t_fwd, _timed(lambda: jax.block_until_ready(run(x)))[0])
     preds = crop.crop(preds)[:, 0, :, :, 0]
     from bde2vid_tpu.eval.driver import _u8_to_unit
 
