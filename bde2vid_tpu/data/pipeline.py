@@ -150,6 +150,86 @@ def _cached_voxelize_bytes_fn(
     return _VOXELIZE_FN_CACHE[key]
 
 
+def _pack_span_to_bytes(ts_rel, starts, ns, xs, ys, ps) -> np.ndarray:
+    """Fuse a raw UNPADDED event span + window index table into one uint8
+    buffer (same one-put rationale as _pack_to_bytes). The padded (W, cap)
+    window buffers are reconstructed ON DEVICE by gather (_unpack_span) —
+    the upload sheds all per-window padding, which at 9 B/event through the
+    ~100 MB/s tunnel is the dominant eval-phase cost when window sizes are
+    skewed (capacity is the pow2 bucket of the LARGEST window). Layout:
+    ts f32 | starts i32 | ns i32 | xs i16 | ys i16 | ps u8."""
+    return np.concatenate(
+        [
+            np.ascontiguousarray(ts_rel, np.float32).view(np.uint8).ravel(),
+            np.ascontiguousarray(starts, np.int32).view(np.uint8).ravel(),
+            np.ascontiguousarray(ns, np.int32).view(np.uint8).ravel(),
+            np.ascontiguousarray(xs, np.int16).view(np.uint8).ravel(),
+            np.ascontiguousarray(ys, np.int16).view(np.uint8).ravel(),
+            np.ascontiguousarray(ps, np.uint8).ravel(),
+        ]
+    )
+
+
+def _unpack_span(buf, n_windows: int, span_cap: int):
+    """Device-side inverse of _pack_span_to_bytes (inside jit)."""
+    w, s = n_windows, span_cap
+    expect = 9 * s + 8 * w
+    if buf.shape[0] != expect:
+        raise ValueError(
+            f"packed span size {buf.shape[0]} != expected {expect} for "
+            f"(n_windows={w}, span_cap={s})"
+        )
+    off = 0
+    ts = jax.lax.bitcast_convert_type(buf[off : off + 4 * s].reshape(s, 4), jnp.float32)
+    off += 4 * s
+    starts = jax.lax.bitcast_convert_type(
+        buf[off : off + 4 * w].reshape(w, 4), jnp.int32
+    )
+    off += 4 * w
+    ns = jax.lax.bitcast_convert_type(buf[off : off + 4 * w].reshape(w, 4), jnp.int32)
+    off += 4 * w
+    xs = jax.lax.bitcast_convert_type(buf[off : off + 2 * s].reshape(s, 2), jnp.int16)
+    off += 2 * s
+    ys = jax.lax.bitcast_convert_type(buf[off : off + 2 * s].reshape(s, 2), jnp.int16)
+    off += 2 * s
+    ps = buf[off : off + s]
+    return ts, starts, ns, xs, ys, ps
+
+
+def _cached_voxelize_span_fn(
+    num_bins, sensor, combined, normalize, use_hot_mask, n_windows, capacity, span_cap
+):
+    """Span-upload voxelizer: raw unpadded events in, voxels out. The padded
+    per-window view is a clamped gather — index start + min(i, n-1), which
+    replicates pack_windows' padding semantics bit-exactly (padding beyond n
+    carries the last event's ts — the value the voxelizer's dt logic reads —
+    and zero polarity, a scatter no-op)."""
+    key = ("span", num_bins, sensor, combined, normalize, use_hot_mask,
+           n_windows, capacity, span_cap)
+    if key not in _VOXELIZE_FN_CACHE:
+        inner = _cached_voxelize_fn(num_bins, sensor, combined, normalize, use_hot_mask)
+
+        def from_span(buf, mask):
+            ts, starts, ns, xs, ys, ps = _unpack_span(buf, n_windows, span_cap)
+            i = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+            n = ns[:, None]
+            idx = starts[:, None] + jnp.minimum(i, jnp.maximum(n - 1, 0))
+            idx = jnp.clip(idx, 0, span_cap - 1)
+            valid = i < n
+            gxs = jnp.where(valid, xs[idx], 0)
+            gys = jnp.where(valid, ys[idx], 0)
+            gts = ts[idx]  # clamp -> last valid ts beyond n (pack fill)
+            # pm1 via comparison, not 2p-1: raw polarity may be stored as
+            # 255 (pack_windows uses ps > 0 for the same reason)
+            gps = jnp.where(
+                valid, jnp.where(ps[idx] > 0, 1, -1), 0
+            ).astype(jnp.int8)
+            return inner(gxs, gys, gts, gps, ns, mask)
+
+        _VOXELIZE_FN_CACHE[key] = jax.jit(from_span)
+    return _VOXELIZE_FN_CACHE[key]
+
+
 @dataclasses.dataclass
 class SequenceItem:
     """One eval step (host-side)."""
@@ -337,9 +417,28 @@ class EventSequence:
         )
         for s in range(start, stop, batch):
             e = min(s + batch, stop)
-            packed = self._pack_batch(s, e)
+            span = self._pack_span_batch(s, e)
             # ONE device_put per batch (the tunnel charges ~9 ms latency
-            # per put; see _pack_to_bytes) + one jit call
+            # per put; see _pack_to_bytes) + one jit call. The span form
+            # (raw unpadded events + window table, expanded by gather on
+            # device) ships fewer bytes whenever windows pad; it requires
+            # non-overlapping windows and a gap-free-enough span
+            # (_pack_span_batch returns None otherwise -> padded path).
+            if span is not None:
+                buf, span_cap = span
+                fn = _cached_voxelize_span_fn(
+                    self.num_bins,
+                    self.sensor_size,
+                    self.combined,
+                    self.normalize,
+                    self.hot_mask is not None,
+                    e - s,
+                    self.capacity,
+                    span_cap,
+                )
+                out.append(fn(buf, mask))
+                continue
+            packed = self._pack_batch(s, e)
             fn = _cached_voxelize_bytes_fn(
                 self.num_bins,
                 self.sensor_size,
@@ -364,6 +463,51 @@ class EventSequence:
         rebased = wins - span0
         return pack_windows(rxs, rys, rts, rps, rebased, self.capacity)
 
+    def _pack_span_batch(self, s: int, e: int):
+        """Assemble the RAW-SPAN upload for windows [s, e): one fused uint8
+        buffer of the unpadded event span (ts pre-rebased per window in f64
+        on host, so the device gather reproduces pack_windows bit-exactly)
+        plus the window [start, n) table. Returns (buf, span_cap), or None
+        when the layout disqualifies it (overlapping windows — an event
+        would need two different window rebases — or a span so gappy the
+        padded form is smaller)."""
+        wins = self.windows[s:e]
+        if len(wins) > 1 and (wins[1:, 0] < wins[:-1, 1]).any():
+            return None  # overlapping windows (k_events sliding, HFR)
+        span0 = int(wins[:, 0].min())
+        span1 = int(wins[:, 1].max())
+        n_span = span1 - span0
+        # bytes: span 9 B/event + 8 B/window vs padded 9 B/event*capacity
+        if 9 * n_span + 8 * len(wins) >= 9 * len(wins) * self.capacity:
+            return None
+        rxs, rys, rts, rps = self.reader.raw_events(span0, span1)
+        rebased = wins - span0
+        ts_rel = np.zeros(n_span, np.float32)
+        rts = np.asarray(rts, np.float64)
+        for i0, i1 in rebased:
+            if i1 > i0:  # f64 rebase THEN f32 cast — pack_windows' exact op
+                ts_rel[i0:i1] = (rts[i0:i1] - rts[i0]).astype(np.float32)
+        span_cap = _bucket_capacity(n_span)
+        pad = span_cap - n_span
+        if pad:
+            ts_rel = np.concatenate([ts_rel, np.zeros(pad, np.float32)])
+            rxs = np.concatenate([np.asarray(rxs, np.int16), np.zeros(pad, np.int16)])
+            rys = np.concatenate([np.asarray(rys, np.int16), np.zeros(pad, np.int16)])
+            rps = np.concatenate([np.asarray(rps, np.uint8), np.zeros(pad, np.uint8)])
+        else:
+            rxs = np.asarray(rxs, np.int16)
+            rys = np.asarray(rys, np.int16)
+            rps = np.asarray(rps, np.uint8)
+        buf = _pack_span_to_bytes(
+            ts_rel,
+            rebased[:, 0].astype(np.int32),
+            (rebased[:, 1] - rebased[:, 0]).astype(np.int32),
+            rxs,
+            rys,
+            rps,
+        )
+        return buf, span_cap
+
     def frames(self, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
         stop = self.length if stop is None else min(stop, self.length)
         return np.stack([self.reader.frame(i) for i in range(start, stop)])
@@ -377,9 +521,18 @@ class EventSequence:
         bytes to the device (4x less tunnel traffic than float32) and
         scales there."""
         stop = self.length if stop is None else min(stop, self.length)
+        raw_fn = getattr(self.reader, "frame_raw", None)
+        if raw_fn is None:  # MMP/NPY readers store float frames only
+            return None
+        # metadata-only probe first: deciding the all-or-nothing fallback by
+        # READING every frame would double h5 I/O for heterogeneous/float
+        # sequences (the caller re-reads the range via frames())
+        is_u8 = getattr(self.reader, "frame_is_u8", None)
+        if is_u8 is not None and not all(is_u8(i) for i in range(start, stop)):
+            return None
         out = []
         for i in range(start, stop):
-            raw = self.reader.frame_raw(i)
+            raw = raw_fn(i)
             if raw is None:
                 return None
             out.append(raw)
@@ -615,6 +768,10 @@ class H5VoxelCacheSequence:
         """Stored uint8 frames (same contract as EventSequence.frames_u8:
         frames() == frames_u8()/255 exactly, None when not uint8-stored)."""
         stop = self.length if stop is None else min(stop, self.length)
+        is_u8 = getattr(self.reader, "frame_is_u8", None)
+        # metadata-only probe avoids reading frames the fallback discards
+        if is_u8 is not None and not all(is_u8(i) for i in range(start, stop)):
+            return None
         out = []
         for i in range(start, stop):
             raw = self.reader.frame_raw(i)

@@ -266,23 +266,15 @@ def evaluate_sequence(
         voxels = seq.voxels(0, flat_stop, batch=cfg.voxel_batch)
         frames = _read_frames(0, T)  # (T, H, W)
     else:
-        voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
+        # common path: voxelization is DEFERRED to the forward loop, one
+        # forward-chunk at a time, so chunk c+1's event-buffer pack+upload
+        # (the host-blocking ~80% of the voxelize phase on the tunneled
+        # backend) runs while the device executes chunk c's forward
+        voxels = None
         frames = _read_frames(0, T)  # (T, H, W)
 
-    # (T, B, H, W) -> (T, 1, H', W', B) padded NHWC
-    x = jnp.transpose(voxels, (0, 2, 3, 1))[:, None]
-    x = crop.pad(x)
-
-    # dispatch the ground-truth upload BEFORE the forward: the async H2D
-    # transfer (uint8 when the backend allows) overlaps the device compute
-    # queued below instead of serializing in front of the metric batch
-    gts_dev = None if cfg.eq else jax.device_put(frames)
-
-    # ---- model forward (scan per chunk, state reset at chunk boundary) ----
-    n_steps = voxels.shape[0]  # == T except in ev_rate (sub-voxel) mode
+    n_steps = T if voxels is None else voxels.shape[0]
     chunk = cfg.subseq_L or n_steps
-    preds = []
-    padded_hw = (x.shape[2], x.shape[3])
     use_shard = (
         cfg.shard_data
         and jax.device_count() > 1
@@ -296,6 +288,34 @@ def evaluate_sequence(
     if cfg.shard_data and not use_shard:
         print("note: --shard_data inactive (needs >1 device, subseq_L "
               "chunking with multiple chunks, and no ev_rate splitting)")
+    # streaming needs neither the full voxel array (viz does) nor a full x
+    # up front (the sharded path does)
+    stream = voxels is None and not use_shard and not (
+        cfg.save_images_to or cfg.show
+    )
+    if voxels is None and not stream:
+        voxels = seq.voxels(0, T, batch=cfg.voxel_batch)  # (T, B, H, W)
+
+    def _chunk_x(a: int, b: int) -> jax.Array:
+        """Voxelize items [a, b) and pad: (b-a, 1, H', W', B) on device."""
+        v = seq.voxels(a, b, batch=cfg.voxel_batch)
+        return crop.pad(jnp.transpose(v, (0, 2, 3, 1))[:, None])
+
+    if stream:
+        x = _chunk_x(0, min(chunk, n_steps))
+    else:
+        # (T, B, H, W) -> (T, 1, H', W', B) padded NHWC
+        x = crop.pad(jnp.transpose(voxels, (0, 2, 3, 1))[:, None])
+
+    # upload the ground truth up front, as raw uint8 when the backend
+    # allows: the win is the 4x-smaller payload (device_put is effectively
+    # synchronous on the tunneled backend — measured r3 — so this is NOT an
+    # async overlap; it merely keeps the transfer out of the metric phase)
+    gts_dev = None if cfg.eq else jax.device_put(frames)
+
+    # ---- model forward (scan per chunk, state reset at chunk boundary) ----
+    preds = []
+    padded_hw = (x.shape[2], x.shape[3])
     if use_shard:
         # chunks shard over the mesh's 'data' axis (exactness vs the
         # chunk-reset semantics proven in tests/test_sharded_eval.py).
@@ -315,10 +335,23 @@ def evaluate_sequence(
         # reference resets state per call (bde2vid.py:31), so chunks are
         # independent (eval_models_seq.py:216-219)
         run = _cached_run_fn(spec, padded_hw, True)
-        for s in range(0, n_steps, chunk):
-            # the one jitted fn serves full chunks AND the ragged tail
-            # (jit re-traces per length; tail lengths recur across sequences)
-            preds.append(run(x[s : s + chunk]))
+        if stream:
+            s, cur = 0, x
+            while s < n_steps:
+                s_next = min(s + chunk, n_steps)
+                preds.append(run(cur))  # async dispatch — device starts now
+                s = s_next
+                if s < n_steps:
+                    # pack + upload the NEXT chunk's events while the device
+                    # runs the current forward (the upload blocks the host,
+                    # not the device)
+                    cur = _chunk_x(s, min(s + chunk, n_steps))
+        else:
+            for s in range(0, n_steps, chunk):
+                # the one jitted fn serves full chunks AND the ragged tail
+                # (jit re-traces per length; tail lengths recur across
+                # sequences)
+                preds.append(run(x[s : s + chunk]))
     else:
         # step models: state THREADS across chunks (the reference's
         # per-step loop carries state for the whole run and resets only
@@ -327,8 +360,20 @@ def evaluate_sequence(
         # per-dispatch scan length.
         state = spec.module.initial_state(1, *padded_hw)
         run = _cached_run_fn(spec, padded_hw, False)
-        for s in range(0, n_steps, chunk):
-            piece = x[s : s + chunk]
+        if stream:
+            def _stream_pieces():
+                s, cur = 0, x
+                while s < n_steps:
+                    s_next = min(s + chunk, n_steps)
+                    yield cur  # consumer dispatches the forward, then...
+                    s = s_next
+                    if s < n_steps:
+                        # ...the next chunk's upload overlaps that forward
+                        cur = _chunk_x(s, min(s + chunk, n_steps))
+            pieces = _stream_pieces()
+        else:
+            pieces = (x[s : s + chunk] for s in range(0, n_steps, chunk))
+        for piece in pieces:
             tail = chunk - piece.shape[0]
             if tail > 0:
                 # forward-only recurrence: zero-padding the END of a chunk

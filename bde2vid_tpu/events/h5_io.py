@@ -184,6 +184,14 @@ class H5EventReader:
             return np.asarray(img)
         return None
 
+    def frame_is_u8(self, i: int) -> bool:
+        """Metadata-only probe (no pixel read): would frame_raw(i) succeed?
+        Lets batch callers decide the uint8 fast path without reading
+        frames they would then discard."""
+        self._scan_frames()
+        img = self.f["images"][self._frame_keys[i]]
+        return img.ndim == 2 and img.dtype == np.uint8
+
     # -- flow --------------------------------------------------------------
 
     @property

@@ -4,8 +4,8 @@
 - h5 slice (cut)       (h5_cut.py:21+)
 - h5 attribute patch   (add_hdf5_attribute.py:28+)
 - h5 <-> memmap        (h5_to_memmap.py, read_events.py:12+)
-- rosbag -> h5 is intentionally absent: the rosbag toolchain is not in this
-  environment; the canonical h5 schema is produced by the other converters.
+- rosbag -> h5 lives in events/rosbag.py (self-contained bag parser +
+  packaging core; no ROS toolchain needed).
 
 All converters emit the canonical schema via H5EventWriter.
 """

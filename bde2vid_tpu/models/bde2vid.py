@@ -356,6 +356,23 @@ class BDE2VIDGenerator(nn.Module):
         T, N, H, W, _ = voxels.shape
         act_net = "relu" if self.act_net == "default" else self.act_net
         act_attn = "gelu" if self.act_attn == "default" else self.act_attn
+        # BN/IN running stats through nn.scan: eval BROADCASTS them (read-
+        # only), but train mode WRITES them and flax forbids mutating a
+        # broadcast collection inside scan — so training CARRIES batch_stats
+        # through each sweep instead. Each time step's momentum update
+        # compounds sequentially, exactly what a torch per-step loop over T
+        # would do (the reference ships no BDE2VID training loop; its norm
+        # args are V5:19-23 + submodules.py:85-114).
+        # (during init the collection does not exist yet — it is created
+        # inside the scan body, which would make the carry pytree ragged —
+        # so init keeps the broadcast layout, like params; norm=None configs
+        # have no batch_stats at all, and naming an absent collection in
+        # variable_carry also breaks the carry pytree)
+        scan_stats = (
+            dict(variable_broadcast="params", variable_carry="batch_stats")
+            if self.train and self.norm is not None and not self.is_initializing()
+            else dict(variable_broadcast=("params", "batch_stats"))
+        )
 
         head = ConvLayer(
             self.basechannels,
@@ -391,8 +408,7 @@ class BDE2VIDGenerator(nn.Module):
             )
             fwd_cell = nn.scan(
                 _EncoderCell,
-                # batch_stats broadcast too: eval-mode BN/IN read running stats
-                variable_broadcast=("params", "batch_stats"),
+                **scan_stats,
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -400,8 +416,7 @@ class BDE2VIDGenerator(nn.Module):
             )(**cell_kw, name=f"forward_encoder{lvl}")
             bwd_cell = nn.scan(
                 _EncoderCell,
-                # batch_stats broadcast too: eval-mode BN/IN read running stats
-                variable_broadcast=("params", "batch_stats"),
+                **scan_stats,
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
@@ -436,8 +451,7 @@ class BDE2VIDGenerator(nn.Module):
                 dpr = tuple(np.linspace(0, self.drop_path_rate, depth).tolist())
                 step = nn.scan(
                     _AttnStep,
-                    # batch_stats broadcast too: eval-mode BN/IN read running stats
-                    variable_broadcast=("params", "batch_stats"),
+                    **scan_stats,
                     split_rngs={"params": False, "droppath": True},
                     in_axes=0,
                     out_axes=0,
@@ -460,8 +474,7 @@ class BDE2VIDGenerator(nn.Module):
             elif is_last:
                 step = nn.scan(
                     _ResFallbackStep,
-                    # batch_stats broadcast too: eval-mode BN/IN read running stats
-                    variable_broadcast=("params", "batch_stats"),
+                    **scan_stats,
                     split_rngs={"params": False},
                     in_axes=0,
                     out_axes=0,

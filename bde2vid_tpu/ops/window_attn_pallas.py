@@ -107,17 +107,25 @@ def _head_masks_and_wb(b_: int, m: int, c: int, num_heads: int, bias: Array):
     return masks_rows, bias_rows, wb
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def fused_window_attention(
-    q: Array,  # (B_, M, C) post-norm, pre-projection-scale q tokens
-    k: Array,  # (B_, N, C)
-    v: Array,  # (B_, N, C)
-    bias: Array,  # (num_heads, M, N) float32 relative position bias
-    num_heads: int,
-    interpret: bool = False,
-) -> Array:
-    """Softmax((q*scale) @ k^T + bias) @ v with multi-head channel split,
-    fused per window. Returns (B_, M, C) in q's dtype."""
+def _ref_window_attention(q, k, v, bias, num_heads):
+    """Pure-JAX twin of fused_window_attention — the SAME math (_attn_core,
+    same casts), vmapped over windows. Used as the custom-vjp backward:
+    Pallas kernels have no autodiff rule, so gradients differentiate this
+    reference instead (one recomputed XLA forward inside the vjp —
+    remat-style), on TPU and under shard_map alike."""
+    b_, m, c = q.shape
+    scale = (c // num_heads) ** -0.5
+    masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
+    out = jax.vmap(
+        lambda qq, kk, vv: _attn_core(
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+        )
+    )(q, k, v)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _window_attention_call(num_heads, interpret, q, k, v, bias):
     b_, m, c = q.shape
     n = k.shape[1]
     head_dim = c // num_heads
@@ -147,6 +155,38 @@ def fused_window_attention(
             transcendentals=b_ * num_heads * m * n,
         ),
     )(q, k, v, bias_rows, masks_rows)
+
+
+def _window_attention_fwd(num_heads, interpret, q, k, v, bias):
+    out = _window_attention_call(num_heads, interpret, q, k, v, bias)
+    return out, (q, k, v, bias)
+
+
+def _window_attention_bwd(num_heads, interpret, res, g):
+    q, k, v, bias = res
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: _ref_window_attention(qq, kk, vv, bb, num_heads),
+        q, k, v, bias,
+    )
+    return vjp(g)
+
+
+_window_attention_call.defvjp(_window_attention_fwd, _window_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_window_attention(
+    q: Array,  # (B_, M, C) post-norm, pre-projection-scale q tokens
+    k: Array,  # (B_, N, C)
+    v: Array,  # (B_, N, C)
+    bias: Array,  # (num_heads, M, N) float32 relative position bias
+    num_heads: int,
+    interpret: bool = False,
+) -> Array:
+    """Softmax((q*scale) @ k^T + bias) @ v with multi-head channel split,
+    fused per window. Returns (B_, M, C) in q's dtype. Differentiable: the
+    backward is the vjp of the pure-JAX reference twin (custom_vjp)."""
+    return _window_attention_call(num_heads, interpret, q, k, v, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -224,23 +264,48 @@ def _fused_block_kernel(
         out_ref[w] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "q_ind", "interpret"))
-def fused_window_block(
-    x: Array,  # (D, B_, M, C) raw window token stacks
-    ln_q: Tuple[Array, Array],
-    ln_kv: Tuple[Array, Array],
-    w_q: Tuple[Array, Array],  # (C, C), (C,)
-    w_k: Tuple[Array, Array],
-    w_v: Tuple[Array, Array],
-    w_proj: Tuple[Array, Array],
-    bias: Array,  # (H, M, N)
-    num_heads: int,
-    q_ind: int,
-    interpret: bool = False,
-) -> Array:
-    """The whole WindowAttention3D body fused: norm_q/norm_kv -> q/k/v
-    projections -> masked-stacked-head attention -> out projection. One
-    HBM read of the window stack, one write of the output."""
+def _rowdot(a, w, b, in_dtype):
+    """dot(a.astype(in_dtype), w.astype(in_dtype)) + b with f32 accumulation
+    over the LAST axis of a — the kernels' projection idiom, reference form."""
+    nd = a.ndim
+    y = jax.lax.dot_general(
+        a.astype(in_dtype),
+        w.astype(in_dtype),
+        (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+def _ref_window_block(x, params, num_heads, q_ind):
+    """Pure-JAX twin of fused_window_block (same math/casts, batched over
+    frames and windows) — the custom-vjp backward body."""
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
+    d, b_, m, c = x.shape
+    in_dtype = x.dtype
+    scale = (c // num_heads) ** -0.5
+    masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
+    w_kv = jnp.concatenate([w_k[0], w_v[0]], axis=1)
+    b_kv = jnp.concatenate([w_k[1], w_v[1]])
+
+    kvt = _ln(x.astype(jnp.float32), ln_kv[0], ln_kv[1])
+    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)  # (D,B_,M,2C)
+    qt = _ln(x[q_ind].astype(jnp.float32), ln_q[0], ln_q[1])
+    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype).astype(in_dtype)  # (B_,M,C)
+    k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+    v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+    acc = jax.vmap(
+        lambda qq, kk, vv: _attn_core(
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+        )
+    )(q_all, k, v)
+    out = _rowdot(acc, w_proj[0], w_proj[1], in_dtype)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _window_block_call(num_heads, q_ind, interpret, x, params):
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
     d, b_, m, c = x.shape
     n = d * m
     head_dim = c // num_heads
@@ -279,6 +344,43 @@ def fused_window_block(
         out_shape=jax.ShapeDtypeStruct((b_, m, c), x.dtype),
         interpret=interpret,
     )(*args)
+
+
+def _window_block_fwd(num_heads, q_ind, interpret, x, params):
+    return _window_block_call(num_heads, q_ind, interpret, x, params), (x, params)
+
+
+def _window_block_bwd(num_heads, q_ind, interpret, res, g):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda xx, pp: _ref_window_block(xx, pp, num_heads, q_ind), x, params
+    )
+    return vjp(g)
+
+
+_window_block_call.defvjp(_window_block_fwd, _window_block_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "q_ind", "interpret"))
+def fused_window_block(
+    x: Array,  # (D, B_, M, C) raw window token stacks
+    ln_q: Tuple[Array, Array],
+    ln_kv: Tuple[Array, Array],
+    w_q: Tuple[Array, Array],  # (C, C), (C,)
+    w_k: Tuple[Array, Array],
+    w_v: Tuple[Array, Array],
+    w_proj: Tuple[Array, Array],
+    bias: Array,  # (H, M, N)
+    num_heads: int,
+    q_ind: int,
+    interpret: bool = False,
+) -> Array:
+    """The whole WindowAttention3D body fused: norm_q/norm_kv -> q/k/v
+    projections -> masked-stacked-head attention -> out projection. One
+    HBM read of the window stack, one write of the output. Differentiable
+    via custom_vjp (backward = vjp of the pure-JAX twin)."""
+    params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias)
+    return _window_block_call(num_heads, q_ind, interpret, x, params)
 
 
 # ---------------------------------------------------------------------------
@@ -407,36 +509,40 @@ def _fused_swin_kernel(
         out_ref[w] = o[w * m : (w + 1) * m].astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "q_ind", "activation", "interpret")
-)
-def fused_swin_block(
-    x: Array,  # (D, B_, M, C) static buffer tokens (row q_ind ignored)
-    ctr: Array,  # (B_, M, C) current center tokens
-    ln_q: Tuple[Array, Array],
-    ln_kv: Tuple[Array, Array],
-    w_q: Tuple[Array, Array],
-    w_k: Tuple[Array, Array],
-    w_v: Tuple[Array, Array],
-    w_proj: Tuple[Array, Array],
-    ln2: Tuple[Array, Array],
-    mlp_fc1: Tuple[Array, Array],  # (C, Hd), (Hd,)
-    mlp_fc2: Tuple[Array, Array],  # (Hd, C), (C,)
-    bias: Array,  # (H, M, N)
-    num_heads: int,
-    q_ind: int,
-    activation: str = "gelu",
-    interpret: bool = False,
-) -> Array:
-    """The ENTIRE SwinTransformerBlock3D fused: window attention (LNs +
-    projections + masked stacked-head attention + out-projection) plus the
-    center-frame residual, LN2, MLP and the second residual — one HBM read
-    of the window stacks, one write of the final (B_, M, C) block tokens.
+def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation):
+    """Pure-JAX twin of fused_swin_block (same math/casts, incl. the A&S
+    erf-approx GELU) — the custom-vjp backward body."""
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
+    d, b_, m, c = x.shape
+    in_dtype = x.dtype
+    scale = (c // num_heads) ** -0.5
+    masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
+    w_kv = jnp.concatenate([w_k[0], w_v[0]], axis=1)
+    b_kv = jnp.concatenate([w_k[1], w_v[1]])
 
-    The evolving center frame is a separate operand so the static buffer
-    frames' pad + window partition are loop-invariant across a
-    DFrameAttention depth stack (XLA CSE hoists them), replacing the
-    per-block ``x.at[q_ind].set(center)`` full-buffer copy."""
+    xs = x.at[q_ind].set(ctr)  # kv sees the LIVE center frame
+    kvt = _ln(xs.astype(jnp.float32), ln_kv[0], ln_kv[1])
+    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+    ctr_f32 = ctr.astype(jnp.float32)
+    qt = _ln(ctr_f32, ln_q[0], ln_q[1])
+    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype).astype(in_dtype)
+    k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+    v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+    acc = jax.vmap(
+        lambda qq, kk, vv: _attn_core(
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+        )
+    )(q_all, k, v)
+    y = ctr_f32 + _rowdot(acc, w_proj[0], w_proj[1], in_dtype)
+    z = _ln(y, ln2[0], ln2[1])
+    h1 = _kernel_activation(activation)(_rowdot(z, fc1[0], fc1[1], in_dtype))
+    o = y + _rowdot(h1, fc2[0], fc2[1], in_dtype)
+    return o.astype(ctr.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias = params
     d, b_, m, c = x.shape
     n = d * m
     head_dim = c // num_heads
@@ -480,3 +586,58 @@ def fused_swin_block(
         out_shape=jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
         interpret=interpret,
     )(*args)
+
+
+def _swin_block_fwd(num_heads, q_ind, activation, interpret, x, ctr, params):
+    out = _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params)
+    return out, (x, ctr, params)
+
+
+def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
+    x, ctr, params = res
+    _, vjp = jax.vjp(
+        lambda xx, cc, pp: _ref_swin_block(xx, cc, pp, num_heads, q_ind, activation),
+        x, ctr, params,
+    )
+    dx, dctr, dparams = vjp(g)
+    # the q_ind row of x is dead by contract (kv reads the live ctr operand);
+    # the ref twin routes its cotangent to ctr and zeroes the row — keep that
+    return dx, dctr, dparams
+
+
+_swin_block_call.defvjp(_swin_block_fwd, _swin_block_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "q_ind", "activation", "interpret")
+)
+def fused_swin_block(
+    x: Array,  # (D, B_, M, C) static buffer tokens (row q_ind ignored)
+    ctr: Array,  # (B_, M, C) current center tokens
+    ln_q: Tuple[Array, Array],
+    ln_kv: Tuple[Array, Array],
+    w_q: Tuple[Array, Array],
+    w_k: Tuple[Array, Array],
+    w_v: Tuple[Array, Array],
+    w_proj: Tuple[Array, Array],
+    ln2: Tuple[Array, Array],
+    mlp_fc1: Tuple[Array, Array],  # (C, Hd), (Hd,)
+    mlp_fc2: Tuple[Array, Array],  # (Hd, C), (C,)
+    bias: Array,  # (H, M, N)
+    num_heads: int,
+    q_ind: int,
+    activation: str = "gelu",
+    interpret: bool = False,
+) -> Array:
+    """The ENTIRE SwinTransformerBlock3D fused: window attention (LNs +
+    projections + masked stacked-head attention + out-projection) plus the
+    center-frame residual, LN2, MLP and the second residual — one HBM read
+    of the window stacks, one write of the final (B_, M, C) block tokens.
+
+    The evolving center frame is a separate operand so the static buffer
+    frames' pad + window partition are loop-invariant across a
+    DFrameAttention depth stack (XLA CSE hoists them), replacing the
+    per-block ``x.at[q_ind].set(center)`` full-buffer copy. Differentiable
+    via custom_vjp (backward = vjp of the pure-JAX twin)."""
+    params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
+    return _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params)

@@ -14,4 +14,18 @@ from bde2vid_tpu.parallel.mesh import (
     shard_batch,
 )
 
-__all__ = ["make_mesh", "data_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicate",
+    "shard_batch",
+    "make_dp_train_step",
+]
+
+
+def __getattr__(name):  # lazy: sharded_train pulls in optax/trainer
+    if name == "make_dp_train_step":
+        from bde2vid_tpu.parallel.sharded_train import make_dp_train_step
+
+        return make_dp_train_step
+    raise AttributeError(name)

@@ -179,7 +179,15 @@ def iterate_training_windows(
         )
         # voxels are device arrays (stack stays on device); frames upload
         # once per batch (uint8 when stored so, scaled on device — the
-        # train step's [0,1] float contract is preserved)
+        # train step's [0,1] float contract is preserved). A batch mixing
+        # uint8- and float-stored files must normalize BEFORE stacking:
+        # np.stack would promote to float32 and the device-side /255 would
+        # silently skip, training against 0-255 ground truth.
+        if len({f.dtype for f in fs}) > 1:
+            fs = tuple(
+                f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+                for f in fs
+            )
         fr = np.stack(fs, axis=1)
         fr_dev = jnp.asarray(fr)
         if fr.dtype == np.uint8:

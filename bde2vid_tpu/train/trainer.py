@@ -199,27 +199,16 @@ class SequenceLossComputer:
         return total, loss_dict
 
 
-def make_train_step(
+def make_loss_fn(
     model,
-    tx,
     loss_computer: SequenceLossComputer,
     lpips_params=None,
     is_sequence_model: bool = True,
-    donate: bool = True,
     remat: bool = False,
 ):
-    """Build a jitted train step.
-
-    step(params, opt_state, rngs, voxels (T,N,H,W,C), frames (T,N,H,W,1),
-         flows or None) -> (params, opt_state, loss_dict)
-
-    For step models the forward is a lax.scan via run_sequence; for sequence
-    models the model consumes the whole sequence. ``remat`` wraps the
-    forward in jax.checkpoint (the TPU replacement for the reference's
-    use_checkpoint + cpu_cache memory strategies, SURVEY §5.7).
-    """
-    import optax
-
+    """loss_fn(variables, voxels, frames, flows, rngs) ->
+    (total, (loss_dict, mutated_stats)) — the shared core of the
+    single-device train step and the shard_map data-parallel step."""
     from bde2vid_tpu.models.api import run_sequence
 
     def forward(variables, voxels, rngs):
@@ -230,19 +219,11 @@ def make_train_step(
         # averages (r3 review, verified). Returns (preds, mutated_stats)
         # where mutated_stats is {} for stat-free models.
         if is_sequence_model:
-            if "batch_stats" in variables:
-                # BDE2VID's nn.scan sweeps broadcast batch_stats (the right
-                # layout for eval-mode running stats); flax forbids mutating
-                # broadcast collections inside scan, so BN-normed sequence
-                # models cannot train yet. Fail with a clear message instead
-                # of a flax broadcast-mutation error mid-jit. (The reference
-                # ships no BDE2VID training loop and its default norm is
-                # None; supporting this needs variable_carry in the scans.)
-                raise NotImplementedError(
-                    "training a sequence model with BN/IN running stats is "
-                    "not supported (batch_stats is scan-broadcast); use "
-                    "norm=None like the reference flagship config"
-                )
+            # BN/IN-normed sequence models train too: in train mode BDE2VID's
+            # nn.scan sweeps CARRY batch_stats (models/bde2vid.py scan_stats)
+            # so the running-stat momentum updates compound across time steps
+            # like a torch per-step loop, and the final stats surface here
+            # through the mutable apply.
             (out, _), mut = model.apply(
                 variables, voxels, rngs=rngs, mutable=["batch_stats"]
             )
@@ -279,6 +260,38 @@ def make_train_step(
         preds, mut = fwd(params, voxels, rngs)
         total, loss_dict = loss_computer(lpips_params, preds, frames, flows)
         return total, (loss_dict, mut)
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx,
+    loss_computer: SequenceLossComputer,
+    lpips_params=None,
+    is_sequence_model: bool = True,
+    donate: bool = True,
+    remat: bool = False,
+):
+    """Build a jitted train step.
+
+    step(params, opt_state, rngs, voxels (T,N,H,W,C), frames (T,N,H,W,1),
+         flows or None) -> (params, opt_state, loss_dict)
+
+    For step models the forward is a lax.scan via run_sequence; for sequence
+    models the model consumes the whole sequence. ``remat`` wraps the
+    forward in jax.checkpoint (the TPU replacement for the reference's
+    use_checkpoint + cpu_cache memory strategies, SURVEY §5.7).
+    """
+    import optax
+
+    loss_fn = make_loss_fn(
+        model,
+        loss_computer,
+        lpips_params=lpips_params,
+        is_sequence_model=is_sequence_model,
+        remat=remat,
+    )
 
     # donate params/opt_state buffers: the old trees are dead after the
     # update, so XLA reuses their HBM instead of holding both generations

@@ -155,3 +155,46 @@ def test_t_seconds_on_memmap(tmp_path, seq_file):
         out, num_bins=5, ltype="MMP", voxel_method={"method": "t_seconds", "t": 0.5}
     )
     assert len(seq) == 3
+
+
+def test_span_upload_voxels_bitexact_vs_padded(seq_file):
+    """The raw-span upload path (unpadded events + window table, expanded by
+    clamped gather on device) must reproduce the padded pack_windows path
+    BIT-EXACTLY — including per-window f64 ts rebase and pm1 polarity."""
+    from bde2vid_tpu.data import pipeline as pl
+
+    path, _ = seq_file
+    seq = load_sequence(path, num_bins=5)
+    # force both paths explicitly
+    span = seq._pack_span_batch(0, len(seq.windows))
+    assert span is not None  # between_frames windows: contiguous, no overlap
+    buf, span_cap = span
+    fn_span = pl._cached_voxelize_span_fn(
+        5, SENSOR, True, False, False, len(seq.windows), seq.capacity, span_cap
+    )
+    got = np.asarray(fn_span(buf, jnp.zeros((), jnp.float32)))
+
+    packed = seq._pack_batch(0, len(seq.windows))
+    fn_pad = pl._cached_voxelize_bytes_fn(
+        5, SENSOR, True, False, False, len(seq.windows), seq.capacity
+    )
+    want = np.asarray(fn_pad(pl._pack_to_bytes(*packed), jnp.zeros((), jnp.float32)))
+    np.testing.assert_array_equal(got, want)
+
+    # and the public voxels() (which auto-selects the span path here)
+    # matches too
+    np.testing.assert_array_equal(np.asarray(seq.voxels()), want)
+
+
+def test_span_upload_declines_overlapping_windows(seq_file):
+    """k_events with a sliding window produces OVERLAPPING windows — an
+    event would need two different ts rebases — so the span packer must
+    decline (None) and voxels() must fall back to the padded path."""
+    path, _ = seq_file
+    seq = load_sequence(
+        path, num_bins=5,
+        voxel_method={"method": "k_events", "k": 3000, "sliding_window_w": 1000},
+    )
+    assert seq._pack_span_batch(0, len(seq.windows)) is None
+    vox = np.asarray(seq.voxels())  # padded fallback still works
+    assert np.isfinite(vox).all()

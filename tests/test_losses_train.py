@@ -430,9 +430,12 @@ def test_instance_norm_running_stats_update_in_train(rng):
     np.testing.assert_allclose(new_var, tin.running_var.numpy(), atol=1e-4)
 
 
-def test_sequence_model_bn_training_raises_clearly(rng):
-    """BN-normed sequence models cannot train (batch_stats is
-    scan-broadcast); the step must say so instead of a flax scope error."""
+def test_sequence_model_bn_trains(rng):
+    """BN-normed BDE2VID configs TRAIN (r3 judged this a wall: batch_stats
+    was scan-broadcast, which flax forbids mutating; train mode now CARRIES
+    it through the sweeps — models/bde2vid.py scan_stats). Asserts: loss
+    decreases over a few steps, running stats actually move off init, and
+    params update."""
     import optax
 
     from bde2vid_tpu.models import build_model
@@ -440,18 +443,40 @@ def test_sequence_model_bn_training_raises_clearly(rng):
 
     cfg = {"generator": {"num_bins": 5, "basechannels": 4, "num_encoders": 2,
                          "ks": 3, "num_res_blocks": 1, "norm": "BN",
-                         "buffer_index": [-1, 0, 1], "depths": [0, 0],
-                         "num_heads": 2, "window_size": [4, 4]}}
+                         "buffer_index": [-1, 0, 1], "depths": [1, 0],
+                         "num_heads": 2, "window_size": [4, 4],
+                         "drop_path_rate": 0.0}}
     model = build_model("BDE2VID", cfg, train=True)
-    voxels = jnp.asarray(rng.normal(size=(2, 1, 16, 16, 5)).astype(np.float32))
-    frames = jnp.asarray(rng.uniform(size=(2, 1, 16, 16, 1)).astype(np.float32))
+    T, N, H, W = 3, 2, 16, 16
+    voxels = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(size=(T, N, H, W, 1)).astype(np.float32))
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
         voxels,
     )
-    tx = optax.sgd(1e-3)
+    assert "batch_stats" in variables  # the config really is normed
+    tx = optax.adam(1e-3)
     step = make_train_step(model, tx, SequenceLossComputer([{"type": "L1Loss"}]),
                            is_sequence_model=True, donate=False)
-    with pytest.raises(NotImplementedError, match="batch_stats"):
-        step(variables, tx.init(variables), jax.random.PRNGKey(2),
-             voxels, frames, None)
+    opt_state = tx.init(variables)
+    losses = []
+    vs = variables
+    for i in range(8):
+        vs, opt_state, loss_dict = step(
+            vs, opt_state, jax.random.PRNGKey(2 + i), voxels, frames, None
+        )
+        losses.append(float(loss_dict["loss"]))
+    assert losses[-1] < losses[0], losses
+    before = np.concatenate(
+        [np.asarray(l).ravel()
+         for l in jax.tree_util.tree_leaves(variables["batch_stats"])]
+    )
+    after = np.concatenate(
+        [np.asarray(l).ravel()
+         for l in jax.tree_util.tree_leaves(vs["batch_stats"])]
+    )
+    assert np.abs(after - before).max() > 1e-6  # running stats moved
+    # eval-mode apply consumes the trained stats without a mutable flag
+    eval_model = build_model("BDE2VID", cfg, train=False)
+    out, _ = eval_model.apply(vs, voxels)
+    assert np.isfinite(np.asarray(out["image"])).all()

@@ -163,3 +163,44 @@ def test_kernel_erf_gelu_matches_exact(rng):
     got = np.asarray(_kernel_activation("gelu")(x))
     want = np.asarray(jax.nn.gelu(x, approximate=False))
     assert np.abs(got - want).max() < 1e-6
+
+
+def test_fused_path_gradients_match_xla_path(rng):
+    """The fused kernels carry a custom_vjp (backward = vjp of the pure-JAX
+    twin — Pallas has no autodiff rule, and before r4 training through the
+    kernel only 'worked' because interpret mode happened to be traceable).
+    Model-level check: d(loss)/d(params) through the Pallas attention path
+    must match the XLA attention path (forwards are already proven equal),
+    on a config with a normal AND a dilated block."""
+    from bde2vid_tpu.models import build_model
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 0], "num_heads": 4, "window_size": [7, 7],
+                         "drop_path_rate": 0.0}}
+    T, N, H, W = 3, 1, 28, 28
+    x = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(size=(T, N, H, W, 1)).astype(np.float32))
+
+    def grads_for(pallas: bool):
+        c = {"generator": dict(cfg["generator"], use_pallas_attention=pallas)}
+        model = build_model("BDE2VID", c, train=True)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+            x[:2],
+        )
+
+        def loss(p):
+            out, _ = model.apply(p, x, rngs={"droppath": jax.random.PRNGKey(2)})
+            return jnp.mean(jnp.abs(out["image"] - tgt))
+
+        l, g = jax.jit(jax.value_and_grad(loss))(params)
+        return float(l), g
+
+    l_ref, g_ref = grads_for(False)
+    l_fus, g_fus = grads_for(True)
+    np.testing.assert_allclose(l_fus, l_ref, atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fus),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3)

@@ -230,3 +230,87 @@ def test_orbax_roundtrip_sharded_params(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["image"]), np.asarray(want["image"]), atol=1e-6
     )
+
+
+def test_dp_sharded_train_with_pallas_attention_matches_unsharded(rng):
+    """Sharded TRAINING through the fused Pallas attention kernel (r3 gap:
+    only sharded *eval* composed with the kernel). The DP step runs via
+    shard_map — the Mosaic custom call and its custom-vjp backward see only
+    device-local shapes — and must reproduce the unsharded step exactly:
+    pmean-of-shard-gradients == full-batch gradients at 1e-6, and the full
+    SGD update matches. depths [2,2] exercise a normal AND a dilated-window
+    block at both levels."""
+    from jax.sharding import PartitionSpec as P
+
+    from bde2vid_tpu.parallel.sharded_train import (
+        _REP_KW,
+        make_dp_train_step,
+        shard_map,
+    )
+    from bde2vid_tpu.train.trainer import make_loss_fn
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1, "buffer_index": [-1, 0, 1],
+                         "depths": [2, 2], "num_heads": 4, "window_size": [7, 7],
+                         "drop_path_rate": 0.0,
+                         "use_pallas_attention": True}}
+    model = build_model("BDE2VID", cfg, train=True)
+    T, N, H, W = 3, 8, 28, 28
+    voxels, frames = _batch(rng, T, N, H, W)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        voxels[:2],
+    )
+    key = jax.random.PRNGKey(3)
+    comp = SequenceLossComputer([{"type": "L1Loss"}])
+    tx = optax.sgd(1e-2)
+
+    # ---- gradient parity through value_and_grad ----------------------------
+    loss_fn = make_loss_fn(model, comp, is_sequence_model=True)
+
+    def bare_loss(p, vox, tgt):
+        total, _ = loss_fn(p, vox, tgt, None, {"droppath": key})
+        return total
+
+    want_l, want_g = jax.jit(jax.value_and_grad(bare_loss))(params, voxels, frames)
+
+    mesh = make_mesh(8, 1)
+
+    def local_grad(p, vox, tgt):
+        l, g = jax.value_and_grad(bare_loss)(p, vox, tgt)
+        return jax.lax.pmean(l, "data"), jax.lax.pmean(g, "data")
+
+    # check_vma off, like the production step: the scan carries start as
+    # replicated zeros and become data-varying — a benign mismatch the
+    # VMA checker rejects
+    sharded_grad = jax.jit(
+        shard_map(
+            local_grad,
+            mesh=mesh,
+            in_specs=(P(), P(None, "data"), P(None, "data")),
+            out_specs=(P(), P()),
+            **_REP_KW,
+        )
+    )
+    with mesh:
+        got_l, got_g = sharded_grad(
+            jax.device_put(params, replicate(mesh)),
+            jax.device_put(voxels, data_sharding(mesh, 5, batch_axis=1)),
+            jax.device_put(frames, data_sharding(mesh, 5, batch_axis=1)),
+        )
+    np.testing.assert_allclose(float(got_l), float(want_l), atol=1e-6)
+    _tree_allclose(got_g, want_g, atol=1e-6)
+
+    # ---- full train step parity (params after one SGD update) --------------
+    ref_step = make_train_step(model, tx, comp, is_sequence_model=True,
+                               donate=False)
+    want_p, _, want_loss = ref_step(params, tx.init(params), key,
+                                    voxels, frames, None)
+    dp_step = make_dp_train_step(model, tx, comp, mesh,
+                                 is_sequence_model=True, donate=False)
+    got_p, _, got_loss = dp_step(params, tx.init(params), key,
+                                 voxels, frames, None)
+    np.testing.assert_allclose(
+        float(got_loss["loss"]), float(want_loss["loss"]), atol=1e-6
+    )
+    _tree_allclose(got_p, want_p, atol=1e-6)

@@ -43,10 +43,48 @@ CONFIGS = {
                        "num_heads": 8, "window_size": [7, 7]}},
         True,
     ),
+    # the TRUE flagship (reference V5 defaults: base 32, buffer +-3, depths
+    # [4,0,6], 16 heads — bde2vid_cross_scale_propogation_V5.py:19-23); run
+    # with --hw 184 240 for the native sensor scale
+    "flagship": (
+        "BDE2VID",
+        {"generator": {"num_bins": 5, "basechannels": 32, "num_encoders": 3,
+                       "ks": 5, "num_res_blocks": 2,
+                       "buffer_index": [-3, -2, -1, 0, 1, 2, 3],
+                       "depths": [4, 0, 6], "num_heads": 16,
+                       "window_size": [7, 7]}},
+        True,
+    ),
 }
 
 
-def profile_one(key: str, T: int, hw, steps: int) -> dict:
+def _lpips_rand_params(h: int, w: int):
+    """Random-init LPIPS(alex) params, for TIMING the PerceptualLoss path
+    when no converted backbone exists in the image (the loss VALUES are
+    meaningless; the compute graph — 5-slice alexnet features on pred and
+    gt + lin heads, fwd AND bwd — is exactly the production one)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.metrics.lpips import LPIPS
+
+    module = LPIPS(net="alex")
+    x = jnp.zeros((1, h, w, 3))
+    return module.init(jax.random.PRNGKey(0), x, x)
+
+
+def profile_one(
+    key: str,
+    T: int,
+    hw,
+    steps: int,
+    remat: bool = False,
+    bf16: bool = False,
+    pallas: bool = False,
+    losses: str = "l1",
+    loss_inds=None,
+    batch: int = 1,
+) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -55,20 +93,32 @@ def profile_one(key: str, T: int, hw, steps: int) -> dict:
     from bde2vid_tpu.train import SequenceLossComputer, make_train_step
 
     name, cfg, is_seq = CONFIGS[key]
-    model = build_model(name, cfg, train=True)
+    if pallas and name == "BDE2VID":
+        cfg = {"generator": dict(cfg["generator"], use_pallas_attention=True)}
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    model = build_model(name, cfg, train=True, dtype=dtype)
     h, w = hw
     rng = np.random.default_rng(0)
-    voxels = jnp.asarray(rng.normal(size=(T, 1, h, w, 5)).astype(np.float32))
-    gts = jnp.asarray(rng.uniform(size=(T, 1, h, w, 1)).astype(np.float32))
+    voxels = jnp.asarray(rng.normal(size=(T, batch, h, w, 5)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(size=(T, batch, h, w, 1)).astype(np.float32))
     rngs = {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}
     if is_seq:
-        params = model.init(rngs, voxels)
+        params = model.init(rngs, voxels[:2])
     else:
-        params = model.init(rngs, voxels[0], model.initial_state(1, h, w))
+        params = model.init(rngs, voxels[0], model.initial_state(batch, h, w))
     tx = optax.adam(1e-4)
     opt_state = tx.init(params)
-    step = make_train_step(model, tx, SequenceLossComputer([{"type": "L1Loss"}]),
-                           is_sequence_model=is_seq, donate=False)
+    losses_cfg = [{"type": "L1Loss"}]
+    lpips_params = None
+    if losses == "ref":
+        # the reference training surface (V5:210-241): L1 + PerceptualLoss,
+        # gated by loss_inds. Backbone weights are unavailable in this image
+        # (torchvision absent) so the LPIPS params are RANDOM — timing-only.
+        losses_cfg = [{"type": "L1Loss"}, {"type": "PerceptualLoss"}]
+        lpips_params = _lpips_rand_params(h, w)
+    step = make_train_step(model, tx, SequenceLossComputer(losses_cfg, loss_inds),
+                           lpips_params=lpips_params,
+                           is_sequence_model=is_seq, donate=False, remat=remat)
 
     # SYNC VIA VALUE READBACK, not block_until_ready: on the axon backend
     # block_until_ready returns early while the plugin's deferred
@@ -87,9 +137,12 @@ def profile_one(key: str, T: int, hw, steps: int) -> dict:
     l_last = float(loss["loss"])
     dt = time.monotonic() - t0
     return {
-        "config": key, "T": T, "hw": list(hw),
-        "steps_per_s": round(steps / dt, 2),
-        "frames_per_s": round(steps * T / dt, 1),
+        "config": key, "T": T, "hw": list(hw), "batch": batch,
+        "dtype": "bf16" if bf16 else "f32",
+        "attention": "pallas" if pallas else "xla",
+        "losses": losses, "loss_inds": loss_inds, "remat": remat,
+        "steps_per_s": round(steps / dt, 3),
+        "frames_per_s": round(steps * T * batch / dt, 1),
         "ms_per_step": round(1e3 * dt / steps, 1),
         "compile_s": round(t_compile, 1),
         "loss_finite": bool(np.isfinite(l_last)) and bool(np.isfinite(l0)),
@@ -137,18 +190,34 @@ def profile_data(T: int, hw, n_windows: int = 20) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="both",
-                    choices=["e2vid", "bde2vid", "both", "data"])
+                    choices=["e2vid", "bde2vid", "flagship", "both", "data"])
     ap.add_argument("--T", type=int, default=8)
     ap.add_argument("--hw", type=int, nargs=2, default=(112, 160))
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint around the forward (the TPU analog "
+                         "of the reference's use_checkpoint + cpu_cache)")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused Pallas attention (custom-vjp backward)")
+    ap.add_argument("--losses", default="l1", choices=["l1", "ref"],
+                    help="'ref' = L1 + PerceptualLoss (random LPIPS params; "
+                         "timing-only — no converted backbone in this image)")
+    ap.add_argument("--loss_inds", type=int, default=None,
+                    help="reference loss subsampling: steps {0,n,2n,...} "
+                         "within the first 40 (V5:40-43)")
     args = ap.parse_args(argv)
 
     keys = ["e2vid", "bde2vid"] if args.which == "both" else [args.which]
     for k in keys:
         if k == "data":
             continue
-        print(json.dumps(profile_one(k, args.T, tuple(args.hw), args.steps)),
-              flush=True)
+        print(json.dumps(profile_one(
+            k, args.T, tuple(args.hw), args.steps,
+            remat=args.remat, bf16=args.bf16, pallas=args.pallas,
+            losses=args.losses, loss_inds=args.loss_inds, batch=args.batch,
+        )), flush=True)
     if args.which in ("both", "data"):
         print(json.dumps(profile_data(args.T, tuple(args.hw))), flush=True)
     return 0
