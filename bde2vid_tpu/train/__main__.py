@@ -243,6 +243,11 @@ def main(argv=None) -> int:
 
     model_cfg = dict(cfg["model"].get("args", {}))
     model_name = cfg["model"]["type"]
+    remat = bool(cfg.get("train", {}).get("remat", False))
+    if remat and model_name == "BDE2VID":
+        # sequence models remat PER SCAN STEP inside the model (the
+        # trainer-level jax.checkpoint cannot reduce the backward peak)
+        model_cfg["remat"] = True
     model = build_model(model_name, model_cfg, train=True)
     is_seq = bool(getattr(model, "is_sequence_model", False))
 
@@ -340,7 +345,7 @@ def main(argv=None) -> int:
         comp,
         lpips_params=lpips_params,
         is_sequence_model=is_seq,
-        remat=bool(cfg.get("train", {}).get("remat", False)),
+        remat=remat and model_name != "BDE2VID",
     )
 
     steps = args.steps or int(cfg.get("train", {}).get("steps", 1000))

@@ -279,9 +279,14 @@ def make_train_step(
          flows or None) -> (params, opt_state, loss_dict)
 
     For step models the forward is a lax.scan via run_sequence; for sequence
-    models the model consumes the whole sequence. ``remat`` wraps the
-    forward in jax.checkpoint (the TPU replacement for the reference's
-    use_checkpoint + cpu_cache memory strategies, SURVEY §5.7).
+    models the model consumes the whole sequence. ``remat`` wraps the whole
+    forward in jax.checkpoint — which only helps when the LOSS graph (e.g.
+    LPIPS towers per step) dominates memory, NOT the model's scan residuals:
+    grad-of-checkpoint re-materializes every scan step at once, same peak.
+    For the real lever set ``remat: true`` in the BDE2VID model config —
+    per-step nn.remat inside the scans (the TPU replacement for the
+    reference's use_checkpoint + cpu_cache memory strategies, SURVEY §5.7);
+    measured necessary to fit the full-scale flagship train step in HBM.
     """
     import optax
 

@@ -480,3 +480,44 @@ def test_sequence_model_bn_trains(rng):
     eval_model = build_model("BDE2VID", cfg, train=False)
     out, _ = eval_model.apply(vs, voxels)
     assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_flagship_arch_train_smoke(rng):
+    """The TRUE flagship architecture (base 32, buffer +-3, depths [4,0,6],
+    16 heads — V5:19-23 defaults) must TRAIN: loss decreases over a few Adam
+    steps with the reference loss plumbing (loss_inds gating). Spatial size
+    is reduced for the CPU suite; the full-scale 184x240 T=8 on-chip numbers
+    live in docs/BENCHMARKS.md (tools/profile_train.py --which flagship)."""
+    import optax
+
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.train.trainer import SequenceLossComputer, make_train_step
+
+    cfg = {"generator": {"num_bins": 5, "basechannels": 32, "num_encoders": 3,
+                         "ks": 5, "num_res_blocks": 2,
+                         "buffer_index": [-3, -2, -1, 0, 1, 2, 3],
+                         "depths": [4, 0, 6], "num_heads": 16,
+                         "window_size": [7, 7]}}
+    model = build_model("BDE2VID", cfg, train=True)
+    T, N, H, W = 3, 1, 56, 56
+    voxels = jnp.asarray(rng.normal(size=(T, N, H, W, 5)).astype(np.float32))
+    frames = jnp.asarray(rng.uniform(size=(T, N, H, W, 1)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        voxels[:2],
+    )
+    tx = optax.adam(1e-3)
+    step = make_train_step(
+        model, tx, SequenceLossComputer([{"type": "L1Loss"}], loss_inds=2),
+        is_sequence_model=True, donate=False,
+    )
+    opt_state = tx.init(variables)
+    losses = []
+    for i in range(5):
+        variables, opt_state, loss_dict = step(
+            variables, opt_state, jax.random.PRNGKey(10 + i),
+            voxels, frames, None,
+        )
+        losses.append(float(loss_dict["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses

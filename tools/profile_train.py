@@ -93,8 +93,11 @@ def profile_one(
     from bde2vid_tpu.train import SequenceLossComputer, make_train_step
 
     name, cfg, is_seq = CONFIGS[key]
-    if pallas and name == "BDE2VID":
-        cfg = {"generator": dict(cfg["generator"], use_pallas_attention=True)}
+    if name == "BDE2VID" and (pallas or remat):
+        # remat goes to the MODEL (per-step nn.remat inside the scans) — the
+        # trainer-level jax.checkpoint cannot reduce the backward peak
+        cfg = {"generator": dict(cfg["generator"],
+                                 use_pallas_attention=pallas, remat=remat)}
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = build_model(name, cfg, train=True, dtype=dtype)
     h, w = hw
@@ -118,7 +121,8 @@ def profile_one(
         lpips_params = _lpips_rand_params(h, w)
     step = make_train_step(model, tx, SequenceLossComputer(losses_cfg, loss_inds),
                            lpips_params=lpips_params,
-                           is_sequence_model=is_seq, donate=False, remat=remat)
+                           is_sequence_model=is_seq, donate=False,
+                           remat=remat and name != "BDE2VID")
 
     # SYNC VIA VALUE READBACK, not block_until_ready: on the axon backend
     # block_until_ready returns early while the plugin's deferred
