@@ -15,6 +15,7 @@ voxel grid built on device. Reference edge cases preserved:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
@@ -148,6 +149,20 @@ def _cached_voxelize_bytes_fn(
 
         _VOXELIZE_FN_CACHE[key] = jax.jit(from_bytes)
     return _VOXELIZE_FN_CACHE[key]
+
+
+def _span_bucket(n: int, min_capacity: int = 16384) -> int:
+    """Sixteenth-octave size bucket: next multiple of pow2_ceil(n)/16 >= n.
+    Bounds padding at 12.5% (a pow2 bucket wastes up to ~2x — on the span
+    upload that padding is REAL transfer bytes, unlike the window capacity
+    where it is local gather width) while keeping the distinct-shape count,
+    and thus voxelize-jit retraces, to at most 16 per octave (in practice a
+    sequence produces only 2-3 distinct span sizes)."""
+    if n <= min_capacity:
+        return min_capacity
+    k = (n - 1).bit_length() - 4  # 2^k = pow2_ceil(n) / 16
+    step = 1 << k
+    return ((n + step - 1) // step) * step
 
 
 def _pack_span_to_bytes(ts_rel, starts, ns, xs, ys, ps) -> np.ndarray:
@@ -424,7 +439,7 @@ class EventSequence:
             # device) ships fewer bytes whenever windows pad; it requires
             # non-overlapping windows and a gap-free-enough span
             # (_pack_span_batch returns None otherwise -> padded path).
-            if span is not None:
+            if span is not None and not os.environ.get("BDE2VID_NO_SPAN_UPLOAD"):
                 buf, span_cap = span
                 fn = _cached_voxelize_span_fn(
                     self.num_bins,
@@ -487,7 +502,7 @@ class EventSequence:
         for i0, i1 in rebased:
             if i1 > i0:  # f64 rebase THEN f32 cast — pack_windows' exact op
                 ts_rel[i0:i1] = (rts[i0:i1] - rts[i0]).astype(np.float32)
-        span_cap = _bucket_capacity(n_span)
+        span_cap = _span_bucket(n_span)
         pad = span_cap - n_span
         if pad:
             ts_rel = np.concatenate([ts_rel, np.zeros(pad, np.float32)])
@@ -524,11 +539,14 @@ class EventSequence:
         raw_fn = getattr(self.reader, "frame_raw", None)
         if raw_fn is None:  # MMP/NPY readers store float frames only
             return None
-        # metadata-only probe first: deciding the all-or-nothing fallback by
-        # READING every frame would double h5 I/O for heterogeneous/float
-        # sequences (the caller re-reads the range via frames())
+        # metadata-only probe of the FIRST frame: storage format is per-file
+        # in practice, so this decides the fallback without reading pixels
+        # the caller would re-read via frames() — while probing EVERY frame
+        # (tried first) doubles h5 object opens and measurably slows the
+        # common all-uint8 path. A mid-range format flip still bails via the
+        # None check below (paying one partial read, rare by construction).
         is_u8 = getattr(self.reader, "frame_is_u8", None)
-        if is_u8 is not None and not all(is_u8(i) for i in range(start, stop)):
+        if stop > start and is_u8 is not None and not is_u8(start):
             return None
         out = []
         for i in range(start, stop):
@@ -769,8 +787,9 @@ class H5VoxelCacheSequence:
         frames() == frames_u8()/255 exactly, None when not uint8-stored)."""
         stop = self.length if stop is None else min(stop, self.length)
         is_u8 = getattr(self.reader, "frame_is_u8", None)
-        # metadata-only probe avoids reading frames the fallback discards
-        if is_u8 is not None and not all(is_u8(i) for i in range(start, stop)):
+        # first-frame metadata probe (format is per-file in practice); a
+        # full-range probe doubles h5 opens on the common all-uint8 path
+        if stop > start and is_u8 is not None and not is_u8(start):
             return None
         out = []
         for i in range(start, stop):

@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _dot_precision(dtype):
+    """Dot precision by operand dtype: f32 operands request the exact
+    multi-pass MXU product (Mosaic honors precision=HIGHEST; measured
+    7.6e-6 vs 0.17 max-err on a 256x256 N(0,1) matmul on chip) — nearly
+    free here because the kernels are bandwidth-bound, and it makes the
+    f32 fused path the numerically EXACT side of the fused-vs-XLA parity
+    comparison. bf16 operands run the native single MXU pass (precision
+    is moot).
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+
 def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
     """One window's masked stacked-head attention — the shared inner body
     of all three kernels. q: (M, C), k/v: (N, C), masks_rows: (H*M, C),
@@ -53,14 +66,14 @@ def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
     q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
     qm = masks_rows.astype(in_dtype) * q_rep
     scores = jax.lax.dot_general(
-        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype)
     )  # (H*M, N)
     scores = scores * scale + bias_rows
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
     outs = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype)
     )  # (H*M, C)
     outs = outs * masks_rows
     out = outs[0:m]
@@ -149,6 +162,13 @@ def _window_attention_call(num_heads, interpret, q, k, v, bias):
         out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_, m, c), q.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the default 16 MB scoped-vmem cap rejects the f32 flagship
+            # program (multi-pass HIGHEST dots need ~17 MB of stack at
+            # wb=12); physical VMEM is 128 MB — raise the cap, do not
+            # shrink wb (smaller wb re-pays the bias/mask DMA per call)
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b_ * num_heads * (m * n * c * 2),
             bytes_accessed=b_ * (m * c + 2 * n * c + m * c) * q.dtype.itemsize,
@@ -228,7 +248,7 @@ def _fused_block_kernel(
     kv_all = (
         jax.lax.dot_general(
             kvt.astype(in_dtype), wkv_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + bkv_ref[0]
     ).astype(in_dtype)  # (D*wb*M, 2C): k rows | v rows
@@ -238,7 +258,7 @@ def _fused_block_kernel(
     q_all = (
         jax.lax.dot_general(
             qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + bq_ref[0]
     ).astype(in_dtype)  # (wb*M, C)
@@ -257,7 +277,7 @@ def _fused_block_kernel(
         out = (
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
             )
             + bp_ref[0]
         )
@@ -272,7 +292,7 @@ def _rowdot(a, w, b, in_dtype):
         a.astype(in_dtype),
         w.astype(in_dtype),
         (((nd - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
     )
     return y + b
 
@@ -343,6 +363,13 @@ def _window_block_call(num_heads, q_ind, interpret, x, params):
         out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_, m, c), x.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the default 16 MB scoped-vmem cap rejects the f32 flagship
+            # program (multi-pass HIGHEST dots need ~17 MB of stack at
+            # wb=12); physical VMEM is 128 MB — raise the cap, do not
+            # shrink wb (smaller wb re-pays the bias/mask DMA per call)
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(*args)
 
 
@@ -450,7 +477,7 @@ def _fused_swin_kernel(
     kv_all = (
         jax.lax.dot_general(
             kvt.astype(in_dtype), wkv_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + bkv_ref[0]
     ).astype(in_dtype)  # (D*wb*M, 2C)
@@ -460,7 +487,7 @@ def _fused_swin_kernel(
     q_all = (
         jax.lax.dot_general(
             qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + bq_ref[0]
     ).astype(in_dtype)
@@ -480,7 +507,7 @@ def _fused_swin_kernel(
         projs.append(
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
             )
             + bp_ref[0]
         )
@@ -492,7 +519,7 @@ def _fused_swin_kernel(
     h1 = (
         jax.lax.dot_general(
             z.astype(in_dtype), w1_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + b1_ref[0]
     )
@@ -500,7 +527,7 @@ def _fused_swin_kernel(
     z2 = (
         jax.lax.dot_general(
             h1.astype(in_dtype), w2_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
         )
         + b2m_ref[0]
     )
@@ -585,6 +612,13 @@ def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
         out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the default 16 MB scoped-vmem cap rejects the f32 flagship
+            # program (multi-pass HIGHEST dots need ~17 MB of stack at
+            # wb=12); physical VMEM is 128 MB — raise the cap, do not
+            # shrink wb (smaller wb re-pays the bias/mask DMA per call)
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(*args)
 
 

@@ -119,8 +119,10 @@ def pallas_parity_on_chip():
             # attribute the f32 gap: XLA's DEFAULT f32 matmul/conv precision
             # on TPU is a single bf16 MXU pass; 'highest' forces the exact
             # f32 (multi-pass) product. Whichever side sits near the
-            # precision-pinned output is the more exact one. (The kernel's
-            # dots keep f32 operands with f32 accumulation.)
+            # precision-pinned output is the more exact one. NOTE this
+            # model-level pin changes the CONV/LSTM stack too (shared by
+            # both attention paths), so the op-level keys below are the
+            # clean attribution.
             with jax.default_matmul_precision("highest"):
                 cfg = {"generator": dict(gen, use_pallas_attention=False)}
                 model = build_model("BDE2VID", cfg, dtype=jnp.float32)
@@ -134,7 +136,46 @@ def pallas_parity_on_chip():
             out["xla_default_vs_highest_f32"] = round(
                 float(np.abs(imgs[False] - y_hi).max()), 6
             )
+    out.update(attention_op_attribution())
     return out
+
+
+def attention_op_attribution():
+    """OP-LEVEL f32 attribution on the real chip: the fused whole-attention
+    kernel vs its pure-JAX twin (_ref_window_block — identical math) at
+    flagship level-1 shapes. Since r4, both request exact f32 dots
+    (precision=HIGHEST for f32 operands — ops/window_attn_pallas.py
+    _dot_precision), so the residual is reduction-order-only and should be
+    ~1e-5: the fused f32 path IS the exact side; any remaining model-level
+    f32 fused-vs-XLA diff is the XLA default path's own single-bf16-pass
+    MXU rounding in convs/attention (measured on chip: this key reads 0.0
+    — bit-exact — while xla_default_vs_highest_f32 reads ~0.009)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _ref_window_block,
+        fused_window_block,
+    )
+
+    d, b_, m, c, heads = 7, 252, 49, 64, 16  # flagship level-1 window shapes
+    rng = np.random.default_rng(7)
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    x = f(d, b_, m, c)
+    ln_q, ln_kv = (f(c) + 1.0, f(c)), (f(c) + 1.0, f(c))
+    w_q, w_k, w_v, w_p = ((f(c, c) * c**-0.5, f(c)) for _ in range(4))
+    bias = f(heads, m, d * m)
+    args = (x, ln_q, ln_kv, w_q, w_k, w_v, w_p, bias)
+
+    fused = np.asarray(fused_window_block(*args, heads, d // 2))
+    params = (ln_q, ln_kv, w_q, w_k, w_v, w_p, bias)
+    ref = functools.partial(_ref_window_block, num_heads=heads, q_ind=d // 2)
+    twin = np.asarray(jax.jit(ref)(x, params))
+    return {
+        "attn_op_fused_vs_twin_f32": round(float(np.abs(fused - twin).max()), 6),
+    }
 
 
 def bench_torch_cpu() -> float:

@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _write_sequence(path: str, n_frames: int, ev_per_frame: int) -> None:
+def _write_sequence(
+    path: str, n_frames: int, ev_per_frame: int, bursty: bool = False
+) -> None:
     from bde2vid_tpu.events import H5EventWriter
 
     rng = np.random.default_rng(0)
@@ -43,7 +45,16 @@ def _write_sequence(path: str, n_frames: int, ev_per_frame: int) -> None:
     with H5EventWriter(path, sensor_size=(h, w)) as wr:
         t0 = 0.0
         for i in range(n_frames):
-            n = ev_per_frame
+            # bursty = log-uniform window sizes over ~30x (the realistic
+            # event-camera regime: window capacity buckets to the pow2 of
+            # the LARGEST window, so the padded upload ships several x the
+            # real event bytes — the span-upload path's target case)
+            n = (
+                int(np.exp(rng.uniform(np.log(ev_per_frame / 6),
+                                       np.log(ev_per_frame * 5))))
+                if bursty
+                else ev_per_frame
+            )
             xs = rng.integers(0, w, n)
             ys = rng.integers(0, h, n)
             ts = np.sort(rng.uniform(t0, t0 + 0.04, n))
@@ -97,6 +108,13 @@ def main(argv=None) -> int:
                     help="include p_loss (random-lin LPIPS; timing only)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="warm evaluate_sequence repeats (best taken)")
+    ap.add_argument("--subseq_L", type=int, default=1000,
+                    help="chunk length; < frames gives the driver multiple "
+                         "chunks so chunk c+1's event upload overlaps chunk "
+                         "c's forward (the streaming path)")
+    ap.add_argument("--bursty", action="store_true",
+                    help="log-uniform window sizes (~30x spread): the "
+                         "span-upload path's target workload")
     args = ap.parse_args(argv)
 
     import jax
@@ -113,7 +131,7 @@ def main(argv=None) -> int:
 
     tmp = tempfile.mkdtemp(prefix="profile_eval_")
     h5 = os.path.join(tmp, "seq.h5")
-    _write_sequence(h5, args.frames, args.events_per_frame)
+    _write_sequence(h5, args.frames, args.events_per_frame, bursty=args.bursty)
 
     spec = _flagship_spec(use_bf16=not args.f32, use_pallas=not args.f32)
     seq = load_sequence(h5, num_bins=5)
@@ -131,7 +149,7 @@ def main(argv=None) -> int:
         )
         lpips = (module, lp_params)
 
-    cfg = EvalConfig(metrics=metrics, lpips=lpips)
+    cfg = EvalConfig(metrics=metrics, lpips=lpips, subseq_L=args.subseq_L)
 
     # cold pass (compiles everything the warm phases reuse)
     t_cold, _ = _timed(lambda: evaluate_sequence(spec, seq, cfg))
@@ -166,11 +184,19 @@ def main(argv=None) -> int:
     # upload dispatched before the forward, like the driver (overlaps H2D)
     gts_dev = jax.device_put(frames)
     run = _cached_run_fn(spec, (x.shape[2], x.shape[3]), True)
+    def _fwd():
+        # chunked exactly like the driver so this reuses the SAME compiled
+        # programs the warm passes built (a whole-T run would be a fresh
+        # multi-minute compile when subseq_L < T)
+        outs = [run(x[s : s + args.subseq_L])
+                for s in range(0, x.shape[0], args.subseq_L)]
+        return jax.block_until_ready(jnp.concatenate(outs, axis=0))
+
     # best-of-2: a single timing window on the tunneled TPU can read ~20%
     # high (measured: a one-shot forward said 174 f/s where a best-of
     # sweep says 212 at the same T)
-    t_fwd, preds = _timed(lambda: jax.block_until_ready(run(x)))
-    t_fwd = min(t_fwd, _timed(lambda: jax.block_until_ready(run(x)))[0])
+    t_fwd, preds = _timed(_fwd)
+    t_fwd = min(t_fwd, _timed(_fwd)[0])
     preds = crop.crop(preds)[:, 0, :, :, 0]
     from bde2vid_tpu.eval.driver import _u8_to_unit
 

@@ -150,6 +150,11 @@ def profile_one(
         "ms_per_step": round(1e3 * dt / steps, 1),
         "compile_s": round(t_compile, 1),
         "loss_finite": bool(np.isfinite(l_last)) and bool(np.isfinite(l0)),
+        # same window every step -> Adam must drive the loss down; a
+        # decrease here is on-chip evidence the backward actually works
+        "loss_first": round(l0, 5),
+        "loss_last": round(l_last, 5),
+        "loss_decreased": bool(l_last < l0),
     }
 
 
