@@ -122,10 +122,9 @@ def _head_masks_and_wb(b_: int, m: int, c: int, num_heads: int, bias: Array):
 
 def _ref_window_attention(q, k, v, bias, num_heads):
     """Pure-JAX twin of fused_window_attention — the SAME math (_attn_core,
-    same casts), vmapped over windows. Used as the custom-vjp backward:
-    Pallas kernels have no autodiff rule, so gradients differentiate this
-    reference instead (one recomputed XLA forward inside the vjp —
-    remat-style), on TPU and under shard_map alike."""
+    same casts), vmapped over windows. Kept as the numerical oracle for the
+    hand-written Pallas backward (tests/bench compare against its jax.vjp)
+    and for platforms without the kernel."""
     b_, m, c = q.shape
     scale = (c // num_heads) ** -0.5
     masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
@@ -184,14 +183,155 @@ def _window_attention_fwd(num_heads, interpret, q, k, v, bias):
 
 def _window_attention_bwd(num_heads, interpret, res, g):
     q, k, v, bias = res
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv, bb: _ref_window_attention(qq, kk, vv, bb, num_heads),
-        q, k, v, bias,
-    )
-    return vjp(g)
+    return _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g)
 
 
 _window_attention_call.defvjp(_window_attention_fwd, _window_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernel for the attention core
+# ---------------------------------------------------------------------------
+#
+# The first-generation backward (vjp of the pure-JAX twin) re-materialized
+# the (B_, H*M, N) score/probability tensors in HBM several times per block
+# call (~271 MB each at the flagship level-0 shape) — it made training's
+# backward HBM-bound on exactly the traffic the forward kernel eliminates.
+# This kernel computes the attention core's vjp per window entirely in VMEM
+# (flash-attention backward structure; the window fits, so no tiling):
+# recompute p = softmax(qk*scale + bias), then
+#   dv = p^T (g ⊙ mask),  dp = (g ⊙ mask) v^T,
+#   ds = p ⊙ (dp - Σ dp⊙p)           (softmax vjp; the max-subtraction
+#                                      term is exactly zero in real math),
+#   dq = (ds·scale) k ⊙ mask,  dk = (ds·scale)^T (q ⊙ mask),
+#   dbias = Σ_windows ds              (grid-accumulated output block).
+# The head-mask row-stacking is the same trick as the forward. Block-level
+# backwards (_window_block_bwd/_swin_block_bwd) become hybrids: jax.vjp of
+# the cheap (B*M, C)-sized pre/post stages in XLA around this kernel plus
+# one forward-kernel recompute of the attention output.
+
+
+def _attn_core_bwd_body(q, k, v, g, masks_rows, bias_rows, scale, num_heads, m):
+    """vjp of _attn_core for ONE window. q/g: (M, C), k/v: (N, C). Returns
+    (dq (M,C) f32, dk (N,C) f32, dv (N,C) f32, ds (H*M, N) f32 — the
+    per-window dbias contribution). Mirrors the forward's cast points:
+    dots run on in_dtype operands with f32 accumulation (HIGHEST for f32,
+    see _dot_precision)."""
+    in_dtype = q.dtype
+    prec = _dot_precision(in_dtype)
+    # --- forward recompute (identical to _attn_core up to the probs) ---
+    q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
+    qm = masks_rows.astype(in_dtype) * q_rep
+    scores = jax.lax.dot_general(
+        qm, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    scores = scores * scale + bias_rows
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    p32 = e / jnp.sum(e, axis=-1, keepdims=True)  # (H*M, N) f32
+    p = p32.astype(in_dtype)
+    # --- backward ---
+    g_rep = jnp.concatenate([g] * num_heads, axis=0).astype(jnp.float32)
+    do = (g_rep * masks_rows).astype(in_dtype)  # cotangent of the AV dot
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (N, C)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (H*M, N)
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))  # f32
+    dsc = (ds * scale).astype(in_dtype)
+    dqm = jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (H*M, C)
+    dk = jax.lax.dot_general(
+        dsc, qm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (N, C)
+    dqm = dqm * masks_rows
+    dq = dqm[0:m]
+    for h in range(1, num_heads):
+        dq = dq + dqm[h * m : (h + 1) * m]
+    return dq, dk, dv, ds
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, bias_ref, masks_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
+    *, num_heads, scale, wb, m,
+):
+    masks_rows = masks_ref[:]
+    bias_rows = bias_ref[:].astype(jnp.float32)
+    acc = None
+    for w in range(wb):
+        dq, dk, dv, ds = _attn_core_bwd_body(
+            q_ref[w], k_ref[w], v_ref[w], g_ref[w],
+            masks_rows, bias_rows, scale, num_heads, m,
+        )
+        dq_ref[w] = dq.astype(dq_ref.dtype)
+        dk_ref[w] = dk.astype(dk_ref.dtype)
+        dv_ref[w] = dv.astype(dv_ref.dtype)
+        acc = ds if acc is None else acc + ds
+    # dbias block is revisited by every grid program (index map -> (0, 0));
+    # the TPU grid is sequential, so init-then-accumulate is race-free
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[:] = acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _accum():
+        dbias_ref[:] = dbias_ref[:] + acc
+
+
+def _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g):
+    """(q, k, v, bias, g=dout) -> (dq, dk, dv, dbias) via the Pallas
+    backward kernel. Shapes as fused_window_attention; dbias matches the
+    (H, M, N) bias table."""
+    b_, m, c = q.shape
+    n = k.shape[1]
+    scale = (c // num_heads) ** -0.5
+    masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
+    # smaller windows-per-program ladder than the forward: the backward
+    # keeps ~4 live (H*M, N) f32 planes per window
+    wb = next((cand for cand in (6, 4, 3, 2) if b_ % cand == 0), 1)
+    win = lambda s: pl.BlockSpec(
+        (wb,) + s, lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    shared = lambda r, cc: pl.BlockSpec(
+        (r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv, dbias_rows = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale, wb=wb, m=m),
+        grid=(b_ // wb,),
+        in_specs=[
+            win((m, c)), win((n, c)), win((n, c)), win((m, c)),
+            shared(num_heads * m, n), shared(num_heads * m, c),
+        ],
+        out_specs=[
+            win((m, c)), win((n, c)), win((n, c)),
+            shared(num_heads * m, n),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_, m, c), q.dtype),
+            jax.ShapeDtypeStruct((b_, n, c), k.dtype),
+            jax.ShapeDtypeStruct((b_, n, c), v.dtype),
+            jax.ShapeDtypeStruct((num_heads * m, n), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_ * num_heads * (m * n * c * 5),
+            bytes_accessed=b_ * (3 * m * c + 4 * n * c) * q.dtype.itemsize,
+            transcendentals=b_ * num_heads * m * n,
+        ),
+    )(q, k, v, g, bias_rows, masks_rows)
+    return dq, dk, dv, dbias_rows.reshape(num_heads, m, n).astype(bias.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -205,7 +345,8 @@ def fused_window_attention(
 ) -> Array:
     """Softmax((q*scale) @ k^T + bias) @ v with multi-head channel split,
     fused per window. Returns (B_, M, C) in q's dtype. Differentiable: the
-    backward is the vjp of the pure-JAX reference twin (custom_vjp)."""
+    backward is the Pallas attention-core backward kernel (custom_vjp,
+    _attn_core_bwd_call)."""
     return _window_attention_call(num_heads, interpret, q, k, v, bias)
 
 
@@ -299,7 +440,7 @@ def _rowdot(a, w, b, in_dtype):
 
 def _ref_window_block(x, params, num_heads, q_ind):
     """Pure-JAX twin of fused_window_block (same math/casts, batched over
-    frames and windows) — the custom-vjp backward body."""
+    frames and windows) — the numerical oracle for kernel/backward tests."""
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
     d, b_, m, c = x.shape
     in_dtype = x.dtype
@@ -378,11 +519,41 @@ def _window_block_fwd(num_heads, q_ind, interpret, x, params):
 
 
 def _window_block_bwd(num_heads, q_ind, interpret, res, g):
+    """Hybrid backward: jax.vjp of the cheap (B*M, C)-sized pre/post stages
+    (LNs + projections — XLA handles these fine) around the Pallas
+    attention-core backward kernel, plus one forward-kernel recompute of
+    the attention output for the out-projection weight grad. Same math and
+    cast points as the twin's vjp; none of the (B_, H*M, N) tensors ever
+    touch HBM."""
     x, params = res
-    _, vjp = jax.vjp(
-        lambda xx, pp: _ref_window_block(xx, pp, num_heads, q_ind), x, params
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
+    in_dtype = x.dtype
+    d, b_, m, c = x.shape
+
+    def pre(x_, ln_q_, ln_kv_, w_q_, w_k_, w_v_):
+        w_kv = jnp.concatenate([w_k_[0], w_v_[0]], axis=1)
+        b_kv = jnp.concatenate([w_k_[1], w_v_[1]])
+        kvt = _ln(x_.astype(jnp.float32), ln_kv_[0], ln_kv_[1])
+        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+        qt = _ln(x_[q_ind].astype(jnp.float32), ln_q_[0], ln_q_[1])
+        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype).astype(in_dtype)
+        k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        return q_all, k, v
+
+    (q_all, k, v), pre_vjp = jax.vjp(pre, x, ln_q, ln_kv, w_q, w_k, w_v)
+    acc = _window_attention_call(num_heads, interpret, q_all, k, v, bias)
+
+    def post(acc_, w_proj_):
+        return _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype).astype(x.dtype)
+
+    _, post_vjp = jax.vjp(post, acc, w_proj)
+    dacc, dw_proj = post_vjp(g)
+    dq_all, dk, dv, dbias = _attn_core_bwd_call(
+        num_heads, interpret, q_all, k, v, bias, dacc
     )
-    return vjp(g)
+    dx, dln_q, dln_kv, dw_q, dw_k, dw_v = pre_vjp((dq_all, dk, dv))
+    return dx, (dln_q, dln_kv, dw_q, dw_k, dw_v, dw_proj, dbias)
 
 
 _window_block_call.defvjp(_window_block_fwd, _window_block_bwd)
@@ -405,7 +576,8 @@ def fused_window_block(
     """The whole WindowAttention3D body fused: norm_q/norm_kv -> q/k/v
     projections -> masked-stacked-head attention -> out projection. One
     HBM read of the window stack, one write of the output. Differentiable
-    via custom_vjp (backward = vjp of the pure-JAX twin)."""
+    via custom_vjp (hybrid backward: XLA pre/post vjps around the Pallas
+    attention-core backward kernel)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias)
     return _window_block_call(num_heads, q_ind, interpret, x, params)
 
@@ -538,7 +710,7 @@ def _fused_swin_kernel(
 
 def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation):
     """Pure-JAX twin of fused_swin_block (same math/casts, incl. the A&S
-    erf-approx GELU) — the custom-vjp backward body."""
+    erf-approx GELU) — the numerical oracle for kernel/backward tests."""
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
     d, b_, m, c = x.shape
     in_dtype = x.dtype
@@ -628,15 +800,48 @@ def _swin_block_fwd(num_heads, q_ind, activation, interpret, x, ctr, params):
 
 
 def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
+    """Hybrid backward (see _window_block_bwd): XLA vjp for the pre stage
+    (live-center substitution + LNs + projections) and the post stage
+    (residual + LN2 + MLP), Pallas kernels for the attention core's
+    recompute and gradients. The q_ind row of x stays dead by contract:
+    the at[].set vjp zeroes it and routes its cotangent to ctr."""
     x, ctr, params = res
-    _, vjp = jax.vjp(
-        lambda xx, cc, pp: _ref_swin_block(xx, cc, pp, num_heads, q_ind, activation),
-        x, ctr, params,
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
+    in_dtype = x.dtype
+    d, b_, m, c = x.shape
+
+    def pre(x_, ctr_, ln_q_, ln_kv_, w_q_, w_k_, w_v_):
+        w_kv = jnp.concatenate([w_k_[0], w_v_[0]], axis=1)
+        b_kv = jnp.concatenate([w_k_[1], w_v_[1]])
+        xs = x_.at[q_ind].set(ctr_)  # kv sees the LIVE center frame
+        kvt = _ln(xs.astype(jnp.float32), ln_kv_[0], ln_kv_[1])
+        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+        qt = _ln(ctr_.astype(jnp.float32), ln_q_[0], ln_q_[1])
+        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype).astype(in_dtype)
+        k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        return q_all, k, v
+
+    (q_all, k, v), pre_vjp = jax.vjp(pre, x, ctr, ln_q, ln_kv, w_q, w_k, w_v)
+    acc = _window_attention_call(num_heads, interpret, q_all, k, v, bias)
+
+    def post(acc_, ctr_, w_proj_, ln2_, fc1_, fc2_):
+        y = ctr_.astype(jnp.float32) + _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype)
+        z = _ln(y, ln2_[0], ln2_[1])
+        h1 = _kernel_activation(activation)(_rowdot(z, fc1_[0], fc1_[1], in_dtype))
+        o = y + _rowdot(h1, fc2_[0], fc2_[1], in_dtype)
+        return o.astype(ctr.dtype)
+
+    _, post_vjp = jax.vjp(post, acc, ctr, w_proj, ln2, fc1, fc2)
+    dacc, dctr_post, dw_proj, dln2, dfc1, dfc2 = post_vjp(g)
+    dq_all, dk, dv, dbias = _attn_core_bwd_call(
+        num_heads, interpret, q_all, k, v, bias, dacc
     )
-    dx, dctr, dparams = vjp(g)
-    # the q_ind row of x is dead by contract (kv reads the live ctr operand);
-    # the ref twin routes its cotangent to ctr and zeroes the row — keep that
-    return dx, dctr, dparams
+    dx, dctr_pre, dln_q, dln_kv, dw_q, dw_k, dw_v = pre_vjp((dq_all, dk, dv))
+    dctr = jax.tree_util.tree_map(jnp.add, dctr_pre, dctr_post)
+    return dx, dctr, (
+        dln_q, dln_kv, dw_q, dw_k, dw_v, dw_proj, dln2, dfc1, dfc2, dbias
+    )
 
 
 _swin_block_call.defvjp(_swin_block_fwd, _swin_block_bwd)
@@ -672,6 +877,7 @@ def fused_swin_block(
     frames' pad + window partition are loop-invariant across a
     DFrameAttention depth stack (XLA CSE hoists them), replacing the
     per-block ``x.at[q_ind].set(center)`` full-buffer copy. Differentiable
-    via custom_vjp (backward = vjp of the pure-JAX twin)."""
+    via custom_vjp (hybrid backward: XLA pre/post vjps around the Pallas
+    attention-core backward kernel)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
     return _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params)

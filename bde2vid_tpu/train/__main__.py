@@ -19,7 +19,7 @@ Config schema (see utils/config.py):
   "data": {"sequence_length": 8, "num_bins": 5,
            "proba_pause_when_running": 0.05, "proba_pause_when_paused": 0.9,
            "noise_std": 0.1, "noise_fraction": 0.05},
-  "train": {"steps": 1000, "ckpt_every": 200, "remat": false}
+  "train": {"steps": 1000, "ckpt_every": 200, "remat": false, "bf16": false}
 }
 """
 
@@ -248,7 +248,14 @@ def main(argv=None) -> int:
         # sequence models remat PER SCAN STEP inside the model (the
         # trainer-level jax.checkpoint cannot reduce the backward peak)
         model_cfg["remat"] = True
-    model = build_model(model_name, model_cfg, train=True)
+    # "train": {"bf16": true} = the measured throughput mode (bf16 compute,
+    # f32 params/optimizer; pair with model args use_pallas_attention for
+    # the Pallas fwd+bwd kernels — flagship 321 -> 167 ms/step, BENCHMARKS)
+    bf16 = bool(cfg.get("train", {}).get("bf16", False))
+    model = build_model(
+        model_name, model_cfg, train=True,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
     is_seq = bool(getattr(model, "is_sequence_model", False))
 
     data_cfg = cfg.get("data", {})

@@ -204,3 +204,86 @@ def test_fused_path_gradients_match_xla_path(rng):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_bwd_kernel_matches_twin_vjp_attention(rng):
+    """Op-level: the hand-derived Pallas backward kernel (r4,
+    _attn_core_bwd_call — flash-style, recomputes probs in VMEM) must
+    reproduce jax.vjp of the pure-JAX twin for every input cotangent:
+    dq/dk/dv AND the grid-accumulated dbias."""
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _attn_core_bwd_call,
+        _ref_window_attention,
+    )
+
+    b_, m, n, heads, c = 12, 49, 147, 4, 32
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    q, k, v = f(b_, m, c), f(b_, n, c), f(b_, n, c)
+    bias, g = f(heads, m, n), f(b_, m, c)
+
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: _ref_window_attention(qq, kk, vv, bb, heads),
+        q, k, v, bias,
+    )
+    want = vjp(g)
+    got = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_hybrid_block_backwards_match_twin_vjp(rng):
+    """The fused block entry points' custom_vjp backwards (r4 hybrids: XLA
+    pre/post vjps around the Pallas core kernels) must match jax.vjp of
+    their pure-JAX twins across ALL cotangents (x, ctr, every param)."""
+    import functools
+
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _ref_swin_block,
+        _ref_window_block,
+        fused_swin_block,
+        fused_window_block,
+    )
+
+    d, b_, m, c, heads = 3, 8, 49, 32, 4
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    x = f(d, b_, m, c)
+    ln_q, ln_kv = (f(c) + 1.0, f(c)), (f(c) + 1.0, f(c))
+    w_q, w_k, w_v, w_p = ((f(c, c) * c**-0.5, f(c)) for _ in range(4))
+    bias = f(heads, m, d * m)
+
+    # --- fused_window_block ---
+    params = (ln_q, ln_kv, w_q, w_k, w_v, w_p, bias)
+    g = f(b_, m, c)
+    _, vjp = jax.vjp(
+        lambda xx, pp: _ref_window_block(xx, pp, heads, d // 2), x, params
+    )
+    want = vjp(g)
+    fused = lambda xx, pp: fused_window_block(
+        xx, *pp[:-1], pp[-1], heads, d // 2, interpret=True
+    )
+    _, vjp_fused = jax.vjp(fused, x, params)
+    got = vjp_fused(g)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+    # --- fused_swin_block (adds ctr routing, LN2 + MLP tail) ---
+    ln2 = (f(c) + 1.0, f(c))
+    fc1, fc2 = (f(c, 2 * c) * c**-0.5, f(2 * c)), (f(2 * c, c) * c**-0.5, f(c))
+    sparams = (ln_q, ln_kv, w_q, w_k, w_v, w_p, ln2, fc1, fc2, bias)
+    ctr = f(b_, m, c)
+    _, vjp_s = jax.vjp(
+        lambda xx, cc, pp: _ref_swin_block(xx, cc, pp, heads, d // 2, "gelu"),
+        x, ctr, sparams,
+    )
+    want_s = vjp_s(g)
+    fused_s = lambda xx, cc, pp: fused_swin_block(
+        xx, cc, *pp[:-1], pp[-1], heads, d // 2, activation="gelu", interpret=True
+    )
+    _, vjp_fs = jax.vjp(fused_s, x, ctr, sparams)
+    got_s = vjp_fs(g)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_s), jax.tree_util.tree_leaves(want_s)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
