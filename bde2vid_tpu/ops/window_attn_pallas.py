@@ -369,8 +369,12 @@ def _fused_block_kernel(
     bias_ref,  # (H*M, N)
     masks_ref,  # (H*M, C)
     out_ref,  # (wb, M, C)
-    *, num_heads, scale, wb, m, q_ind,
+    *maybe_acc_ref,  # optional (wb, M, C): pre-projection attention output,
+    # saved as a residual by the training fwd so the backward skips one
+    # forward-kernel recompute
+    num_heads, scale, wb, m, q_ind,
 ):
+    acc_ref = maybe_acc_ref[0] if maybe_acc_ref else None
     d = x_ref.shape[0]
     masks_rows = masks_ref[:]
     bias_rows = bias_ref[:].astype(jnp.float32)
@@ -415,6 +419,8 @@ def _fused_block_kernel(
         )
         q = q_all[w * m : (w + 1) * m]
         acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
+        if acc_ref is not None:
+            acc_ref[w] = acc.astype(acc_ref.dtype)
         out = (
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
@@ -464,8 +470,7 @@ def _ref_window_block(x, params, num_heads, q_ind):
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _window_block_call(num_heads, q_ind, interpret, x, params):
+def _window_block_pallas(num_heads, q_ind, interpret, x, params, with_acc=False):
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
     d, b_, m, c = x.shape
     n = d * m
@@ -488,6 +493,8 @@ def _window_block_call(num_heads, q_ind, interpret, x, params):
     ]
     vec = lambda cc=c: pl.BlockSpec((1, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = lambda r, cc: pl.BlockSpec((r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_block = pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b_, m, c), x.dtype)
     return pl.pallas_call(
         functools.partial(
             _fused_block_kernel,
@@ -501,8 +508,11 @@ def _window_block_call(num_heads, q_ind, interpret, x, params):
             mat(c, c), vec(),
             mat(num_heads * m, n), mat(num_heads * m, c),
         ],
-        out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_, m, c), x.dtype),
+        # the training fwd additionally writes the pre-projection attention
+        # output (acc) as a residual: one tiny (wb, M, C) extra store per
+        # program saves the backward a whole forward-kernel recompute
+        out_specs=[out_block, out_block] if with_acc else out_block,
+        out_shape=[out_shape, out_shape] if with_acc else out_shape,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the default 16 MB scoped-vmem cap rejects the f32 flagship
@@ -514,18 +524,26 @@ def _window_block_call(num_heads, q_ind, interpret, x, params):
     )(*args)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _window_block_call(num_heads, q_ind, interpret, x, params):
+    return _window_block_pallas(num_heads, q_ind, interpret, x, params)
+
+
 def _window_block_fwd(num_heads, q_ind, interpret, x, params):
-    return _window_block_call(num_heads, q_ind, interpret, x, params), (x, params)
+    out, acc = _window_block_pallas(
+        num_heads, q_ind, interpret, x, params, with_acc=True
+    )
+    return out, (x, params, acc)
 
 
 def _window_block_bwd(num_heads, q_ind, interpret, res, g):
     """Hybrid backward: jax.vjp of the cheap (B*M, C)-sized pre/post stages
     (LNs + projections — XLA handles these fine) around the Pallas
-    attention-core backward kernel, plus one forward-kernel recompute of
-    the attention output for the out-projection weight grad. Same math and
-    cast points as the twin's vjp; none of the (B_, H*M, N) tensors ever
-    touch HBM."""
-    x, params = res
+    attention-core backward kernel. The pre-projection attention output
+    (acc, for the out-projection weight grad) was saved by the fwd kernel,
+    so no forward recompute happens here. Same math and cast points as the
+    twin's vjp; none of the (B_, H*M, N) tensors ever touch HBM."""
+    x, params, acc = res
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
     in_dtype = x.dtype
     d, b_, m, c = x.shape
@@ -542,7 +560,6 @@ def _window_block_bwd(num_heads, q_ind, interpret, res, g):
         return q_all, k, v
 
     (q_all, k, v), pre_vjp = jax.vjp(pre, x, ln_q, ln_kv, w_q, w_k, w_v)
-    acc = _window_attention_call(num_heads, interpret, q_all, k, v, bias)
 
     def post(acc_, w_proj_):
         return _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype).astype(x.dtype)
@@ -625,8 +642,12 @@ def _fused_swin_kernel(
     bias_ref,  # (H*M, N)
     masks_ref,  # (H*M, C)
     out_ref,  # (wb, M, C) FINAL block tokens
-    *, num_heads, scale, wb, m, q_ind, act,
+    *maybe_acc_ref,  # optional (wb, M, C): pre-projection attention output,
+    # saved as a residual by the training fwd so the backward skips one
+    # forward-kernel recompute
+    num_heads, scale, wb, m, q_ind, act,
 ):
+    acc_ref = maybe_acc_ref[0] if maybe_acc_ref else None
     d = x_ref.shape[0]
     c = x_ref.shape[-1]
     in_dtype = x_ref.dtype
@@ -676,6 +697,8 @@ def _fused_swin_kernel(
         )
         q = q_all[w * m : (w + 1) * m]
         acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
+        if acc_ref is not None:
+            acc_ref[w] = acc.astype(acc_ref.dtype)
         projs.append(
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
@@ -739,8 +762,9 @@ def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation):
     return o.astype(ctr.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
+def _swin_block_pallas(
+    num_heads, q_ind, activation, interpret, x, ctr, params, with_acc=False
+):
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias = params
     d, b_, m, c = x.shape
     n = d * m
@@ -781,8 +805,25 @@ def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
             mat(c, hd), vec(hd), mat(hd, c), vec(),
             mat(num_heads * m, n), mat(num_heads * m, c),
         ],
-        out_specs=pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
+        # the training fwd additionally writes the pre-projection attention
+        # output (acc) as a residual — saves the backward a forward-kernel
+        # recompute (see _window_block_pallas)
+        out_specs=(
+            [
+                pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ]
+            if with_acc
+            else pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ),
+        out_shape=(
+            [
+                jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
+                jax.ShapeDtypeStruct((b_, m, c), ctr.dtype),
+            ]
+            if with_acc
+            else jax.ShapeDtypeStruct((b_, m, c), ctr.dtype)
+        ),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             # the default 16 MB scoped-vmem cap rejects the f32 flagship
@@ -794,18 +835,26 @@ def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
     )(*args)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
+    return _swin_block_pallas(num_heads, q_ind, activation, interpret, x, ctr, params)
+
+
 def _swin_block_fwd(num_heads, q_ind, activation, interpret, x, ctr, params):
-    out = _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params)
-    return out, (x, ctr, params)
+    out, acc = _swin_block_pallas(
+        num_heads, q_ind, activation, interpret, x, ctr, params, with_acc=True
+    )
+    return out, (x, ctr, params, acc)
 
 
 def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
     """Hybrid backward (see _window_block_bwd): XLA vjp for the pre stage
     (live-center substitution + LNs + projections) and the post stage
-    (residual + LN2 + MLP), Pallas kernels for the attention core's
-    recompute and gradients. The q_ind row of x stays dead by contract:
-    the at[].set vjp zeroes it and routes its cotangent to ctr."""
-    x, ctr, params = res
+    (residual + LN2 + MLP), the Pallas backward kernel for the attention
+    core (acc was saved by the fwd kernel — no forward recompute). The
+    q_ind row of x stays dead by contract: the at[].set vjp zeroes it and
+    routes its cotangent to ctr."""
+    x, ctr, params, acc = res
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
     in_dtype = x.dtype
     d, b_, m, c = x.shape
@@ -823,7 +872,6 @@ def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
         return q_all, k, v
 
     (q_all, k, v), pre_vjp = jax.vjp(pre, x, ctr, ln_q, ln_kv, w_q, w_k, w_v)
-    acc = _window_attention_call(num_heads, interpret, q_all, k, v, bias)
 
     def post(acc_, ctr_, w_proj_, ln2_, fc1_, fc2_):
         y = ctr_.astype(jnp.float32) + _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype)
