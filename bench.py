@@ -173,8 +173,48 @@ def attention_op_attribution():
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_p, bias)
     ref = functools.partial(_ref_window_block, num_heads=heads, q_ind=d // 2)
     twin = np.asarray(jax.jit(ref)(x, params))
+
+    # BACKWARD attribution (r4): the hand-derived Pallas backward kernel
+    # (custom_vjp of the fused path) vs jax.vjp of the twin, same shapes,
+    # same scalar loss — on-chip receipts that training gradients through
+    # the kernel match exact-XLA math (the max-abs diff is over EVERY
+    # cotangent: x, all params, the bias table)
+    def loss_fused(xx, pp):
+        o = fused_window_block(xx, *pp[:-1], pp[-1], heads, d // 2)
+        return jnp.sum(o * o)
+
+    def loss_twin(xx, pp):
+        o = _ref_window_block(xx, pp, heads, d // 2)
+        return jnp.sum(o * o)
+
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, params)
+    g_twin = jax.jit(jax.grad(loss_twin, argnums=(0, 1)))(x, params)
+    leaves_f = jax.tree_util.tree_leaves(g_fused)
+    leaves_t = jax.tree_util.tree_leaves(g_twin)
+    # One leaf — the key-projection BIAS — has an analytically ZERO
+    # gradient (softmax is shift-invariant: a constant added to every key
+    # contributes q·b to all of a query's logits equally), so both sides
+    # hold pure rounding noise there and a noise/noise ratio is
+    # meaningless (measured: rel 5.7 on chip while both sides are <=2e-5
+    # ABSOLUTE). Report relative error over the leaves with real signal
+    # (twin |grad| > 1e-3; every other leaf's max sits between 0.64 and
+    # 4.3e4 at these shapes) and the zero-gradient leaf as absolute.
+    rel = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        / float(np.abs(np.asarray(b)).max())
+        for a, b in zip(leaves_f, leaves_t)
+        if float(np.abs(np.asarray(b)).max()) > 1e-3
+    )
+    zero_abs = max(
+        float(np.abs(np.asarray(l)).max())
+        for a, b in zip(leaves_f, leaves_t)
+        if float(np.abs(np.asarray(b)).max()) <= 1e-3
+        for l in (a, b)
+    )
     return {
         "attn_op_fused_vs_twin_f32": round(float(np.abs(fused - twin).max()), 6),
+        "attn_op_bwd_fused_vs_twin_f32_rel": round(rel, 8),
+        "attn_op_bwd_zero_grad_leaf_abs": round(zero_abs, 8),
     }
 
 
