@@ -61,9 +61,35 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shard subseq_L chunks over all visible devices "
                    "(exact: chunk state resets make them independent)")
     p.add_argument("--bf16", action="store_true", help="run models in bfloat16")
-    p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas window-attention kernel (BDE2VID)")
+    p.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas window-attention kernels (BDE2VID). "
+                   "Default: ON when the backend is a real TPU — the f32 "
+                   "kernel is the numerically EXACT side of the fused-vs-XLA "
+                   "comparison (HIGHEST-precision dots, bit-exact vs the "
+                   "precision-pinned twin on chip; docs/DESIGN.md) and ~2x "
+                   "faster — OFF elsewhere (interpret mode is slow). "
+                   "--no-pallas forces the pure-XLA attention path")
     return p
+
+
+def resolve_pallas(flag, model_name: str) -> bool:
+    """Resolve the tri-state --pallas flag (None = auto) for a model.
+
+    Auto enables the fused kernels for BDE2VID on a real TPU: they are
+    strictly better there — ~2x faster at f32 AND the more exact side of
+    the fused-vs-XLA comparison (every kernel dot runs precision=HIGHEST
+    for f32 operands; bit-exact vs the precision-pinned twin on chip,
+    while the XLA default path carries single-bf16-pass MXU rounding —
+    docs/DESIGN.md "The f32 gap is attributed"). Off-TPU the kernels
+    would run in slow interpret mode, so auto keeps XLA attention."""
+    if model_name != "BDE2VID":
+        return False
+    if flag is not None:
+        return flag
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
 
 
 def read_checkpoints(weights_dir: str, st: int, ed: int):
@@ -189,7 +215,7 @@ def main(argv=None) -> int:
             spec = load_checkpoint(ckpt, dtype=dtype)
         else:
             spec = load_model_from_torch(ckpt, dtype=dtype)
-        if args.pallas and spec.name == "BDE2VID":
+        if resolve_pallas(args.pallas, spec.name):
             from bde2vid_tpu.models import build_model
 
             cfg2 = dict(spec.module.config)

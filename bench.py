@@ -41,8 +41,9 @@ def bench_tpu():
     from bde2vid_tpu.models import build_model
 
     # throughput config: bf16 compute + the fused Pallas window-attention
-    # kernel (numerics within bf16 noise of the f32 parity path, which the
-    # eval driver uses by default)
+    # kernel (numerics within bf16 noise of the f32 parity path; the eval
+    # CLI defaults to f32 + the SAME kernels on TPU — the f32 kernel is the
+    # exact side of the parity comparison)
     cfg = {"generator": dict(_FLAGSHIP_CFG["generator"])}
     cfg["generator"]["use_pallas_attention"] = True
     model = build_model("BDE2VID", cfg, dtype=jnp.bfloat16)
@@ -350,8 +351,9 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 2) if vs == vs else None,
                 "baseline": "torch-cpu BDE2VID replica (same arch)",
-                # the eval CLI defaults to f32/XLA for parity; this number
-                # needs `--bf16 --pallas` (the throughput mode benched here)
+                # the eval CLI defaults to f32 + Pallas kernels on TPU (the
+                # exact parity mode); this number needs `--bf16` too (the
+                # throughput mode benched here)
                 "mode": "bf16+pallas_attention",
                 "gflops_per_frame": round(gflops, 1) if gflops == gflops else None,
                 "mfu": round(mfu, 4) if mfu == mfu else None,

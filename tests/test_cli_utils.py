@@ -32,3 +32,34 @@ def test_read_datafiles_listing_and_walk(tmp_path):
         fp.write("HQF/a.h5\nMVSEC/x.h5\n")
     files, _ = read_datafiles(str(tmp_path), ["HQF/"])
     assert files == ["HQF/a.h5"]
+
+
+def test_pallas_flag_resolution(monkeypatch):
+    """--pallas tri-state: explicit flags win; auto follows the backend
+    (fused kernels on real TPU, XLA attention elsewhere); non-BDE2VID
+    models never use the kernel path."""
+    from bde2vid_tpu.eval.__main__ import build_argparser, resolve_pallas
+
+    p = build_argparser()
+    assert p.parse_args([]).pallas is None
+    assert p.parse_args(["--pallas"]).pallas is True
+    assert p.parse_args(["--no-pallas"]).pallas is False
+
+    # explicit beats backend
+    assert resolve_pallas(True, "BDE2VID") is True
+    assert resolve_pallas(False, "BDE2VID") is False
+    # the kernel is BDE2VID-only regardless
+    assert resolve_pallas(True, "E2VIDRecurrent") is False
+    assert resolve_pallas(None, "E2VIDRecurrent") is False
+
+    # auto: this suite runs on the CPU backend -> off
+    assert resolve_pallas(None, "BDE2VID") is False
+
+    # auto on a TPU backend -> on (monkeypatched platform)
+    import jax
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda: [_Dev()])
+    assert resolve_pallas(None, "BDE2VID") is True

@@ -287,3 +287,67 @@ def test_hybrid_block_backwards_match_twin_vjp(rng):
         jax.tree_util.tree_leaves(got_s), jax.tree_util.tree_leaves(want_s)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_attention_prime_window_count(rng):
+    """b_ not divisible by any windows-per-program ladder entry (odd window
+    grids happen at common sensor sizes, e.g. 7x9=63 windows at level 1 of
+    a 184x240 input) must fall back to wb=1 in BOTH the forward and
+    backward kernels and stay exact."""
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _attn_core_bwd_call,
+        _head_masks_and_wb,
+        _ref_window_attention,
+    )
+
+    b_, m, n, heads, c = 7, 49, 147, 4, 32
+    bias0 = jnp.zeros((heads, m, n), jnp.float32)
+    assert _head_masks_and_wb(b_, m, c, heads, bias0)[2] == 1
+
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    q, k, v, bias, g = f(b_, m, c), f(b_, n, c), f(b_, n, c), f(heads, m, n), f(b_, m, c)
+
+    want = _ref_window_attention(q, k, v, bias, heads)
+    got = fused_window_attention(q, k, v, bias, heads, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: _ref_window_attention(qq, kk, vv, bb, heads),
+        q, k, v, bias,
+    )
+    want_g = vjp(g)
+    got_g = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    for a, b, name in zip(got_g, want_g, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+
+
+def test_bwd_kernel_bf16_matches_twin_vjp(rng):
+    """bf16 training (the benched throughput mode) differentiates through
+    the same backward kernel with bf16 operands; it must match the twin's
+    jax.vjp in bf16 — same dots, same cast points — to bf16 tolerance."""
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _attn_core_bwd_call,
+        _ref_window_attention,
+    )
+
+    b_, m, n, heads, c = 8, 49, 147, 4, 32
+    f = lambda *s: jnp.asarray(
+        rng.normal(size=s).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    q, k, v, bias16, g = f(b_, m, c), f(b_, n, c), f(b_, n, c), f(heads, m, n), f(b_, m, c)
+    bias = bias16.astype(jnp.float32)  # the bias table param stays f32
+
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv, bb: _ref_window_attention(qq, kk, vv, bb, heads),
+        q, k, v, bias,
+    )
+    want = vjp(g)
+    got = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 2e-2, (
+            name, float(np.abs(a - b).max()), float(scale)
+        )
