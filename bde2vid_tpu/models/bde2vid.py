@@ -110,6 +110,7 @@ class _AttnStep(nn.Module):
     drop_path: Tuple[float, ...]
     activation: str
     use_pallas: bool = False
+    f32_exact: bool = True  # see nn.window_attention.WindowAttention3D
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -148,6 +149,7 @@ class _AttnStep(nn.Module):
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 use_pallas=self.use_pallas,
+                f32_exact=self.f32_exact,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
@@ -182,6 +184,7 @@ class _AttnParallel(nn.Module):
     activation: str
     slab: int = 128  # frames attended per batch (memory bound)
     use_pallas: bool = False
+    f32_exact: bool = True  # see nn.window_attention.WindowAttention3D
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -202,6 +205,7 @@ class _AttnParallel(nn.Module):
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 use_pallas=self.use_pallas,
+                f32_exact=self.f32_exact,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",
@@ -346,6 +350,10 @@ class BDE2VIDGenerator(nn.Module):
     act_attn: str = "default"
     parallel_attention: bool = False  # fast mode; see _AttnParallel
     use_pallas_attention: bool = False  # fused VMEM attention kernel (TPU)
+    pallas_f32_exact: bool = True  # f32 kernel dots at precision=HIGHEST (the
+    # exact side of fused-vs-XLA parity). False = f32 FAST training mode:
+    # single-pass MXU dots (the 5-dot backward is compute-bound at HIGHEST);
+    # bf16 unaffected. See ops/window_attn_pallas._dot_precision.
     scan_unroll: int = 1  # encoder-scan unroll (numerics-identical; lets XLA
     # fuse across time steps at the cost of trace/compile size)
     remat: bool = False  # per-step remat of the scan bodies (training memory
@@ -460,6 +468,7 @@ class BDE2VIDGenerator(nn.Module):
                     drop_path=dpr,
                     activation=act_attn,
                     use_pallas=self.use_pallas_attention,
+                    f32_exact=self.pallas_f32_exact,
                     dtype=self.dtype,
                     deterministic=not self.train,
                     name=f"feat_attns{lvl}",
@@ -483,6 +492,7 @@ class BDE2VIDGenerator(nn.Module):
                     drop_path=dpr,
                     activation=act_attn,
                     use_pallas=self.use_pallas_attention,
+                    f32_exact=self.pallas_f32_exact,
                     dtype=self.dtype,
                     deterministic=not self.train,
                     name=f"feat_attns{lvl}",
@@ -598,6 +608,11 @@ class BDE2VID(nn.Module):
             use_pallas_attention=bool(
                 self.config.get(
                     "use_pallas_attention", gcfg.get("use_pallas_attention", False)
+                )
+            ),
+            pallas_f32_exact=bool(
+                self.config.get(
+                    "pallas_f32_exact", gcfg.get("pallas_f32_exact", True)
                 )
             ),
             scan_unroll=int(

@@ -181,6 +181,11 @@ class WindowAttention3D(nn.Module):
     nwin_size: Optional[Tuple[int, int]] = None
     qkv_bias: bool = True
     use_pallas: bool = False  # fused VMEM attention kernel (TPU)
+    # f32 kernel dots run precision=HIGHEST (the exact side of the
+    # fused-vs-XLA parity comparison — docs/DESIGN.md). False = the f32
+    # FAST training mode: single-pass MXU dots, XLA-default-grade numerics.
+    # bf16 is unaffected either way.
+    f32_exact: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -326,7 +331,7 @@ class WindowAttention3D(nn.Module):
         interpret = jax.devices()[0].platform != "tpu"
         out = fused_window_block(
             x_tok, ln_q, ln_kv, q_p, k_p, v_p, p_p, bias,
-            self.num_heads, q_ind, interpret=interpret,
+            self.num_heads, q_ind, interpret=interpret, exact=self.f32_exact,
         )
         return out.reshape(b_, h, w, c)
 
@@ -353,6 +358,7 @@ class WindowAttention3D(nn.Module):
             ln2, fc1, fc2, bias,
             self.num_heads, q_ind,
             activation=activation, interpret=interpret,
+            exact=self.f32_exact,
         )
 
 
@@ -408,6 +414,7 @@ class SwinTransformerBlock3D(nn.Module):
     activation: str = "gelu"
     drop_path: float = 0.0
     use_pallas: bool = False
+    f32_exact: bool = True  # see WindowAttention3D.f32_exact
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -463,6 +470,7 @@ class SwinTransformerBlock3D(nn.Module):
             nwin_size=self.nwindow_size,
             qkv_bias=self.qkv_bias,
             use_pallas=self.use_pallas and self.nwindow_size is None,
+            f32_exact=self.f32_exact,
             dtype=self.dtype,
             name="attn",
         )(windows)
@@ -528,6 +536,7 @@ class SwinTransformerBlock3D(nn.Module):
             nwin_size=None,
             qkv_bias=self.qkv_bias,
             use_pallas=True,
+            f32_exact=self.f32_exact,
             dtype=self.dtype,
             name="attn",
         )(xwin, center=ctr_tok, block_extras=(norm2, fc1, fc2, self.activation))
@@ -587,6 +596,7 @@ class DFrameAttention(nn.Module):
     activation: str = "gelu"
     drop_path: Sequence[float] = ()
     use_pallas: bool = False
+    f32_exact: bool = True  # see WindowAttention3D.f32_exact
     dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
 
@@ -614,6 +624,7 @@ class DFrameAttention(nn.Module):
                 activation=self.activation,
                 drop_path=self.drop_path[i] if i < len(self.drop_path) else 0.0,
                 use_pallas=self.use_pallas,
+                f32_exact=self.f32_exact,
                 dtype=self.dtype,
                 deterministic=self.deterministic,
                 name=f"blocks{i}",

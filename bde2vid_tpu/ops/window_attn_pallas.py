@@ -37,20 +37,23 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _dot_precision(dtype):
+def _dot_precision(dtype, exact: bool = True):
     """Dot precision by operand dtype: f32 operands request the exact
     multi-pass MXU product (Mosaic honors precision=HIGHEST; measured
     7.6e-6 vs 0.17 max-err on a 256x256 N(0,1) matmul on chip) — nearly
-    free here because the kernels are bandwidth-bound, and it makes the
-    f32 fused path the numerically EXACT side of the fused-vs-XLA parity
-    comparison. bf16 operands run the native single MXU pass (precision
-    is moot).
+    free in the bandwidth-bound forward, and it makes the f32 fused path
+    the numerically EXACT side of the fused-vs-XLA parity comparison.
+    ``exact=False`` (the f32 FAST mode, for f32 *training* where the
+    5-dot backward is compute-bound) keeps the default single-pass MXU
+    product for f32 too — XLA-default-grade numerics at bf16-grade dot
+    cost. bf16 operands run the native single MXU pass either way
+    (precision is moot).
     """
-    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    return jax.lax.Precision.HIGHEST if (dtype == jnp.float32 and exact) else None
 
 
 
-def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
+def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m, exact=True):
     """One window's masked stacked-head attention — the shared inner body
     of all three kernels. q: (M, C), k/v: (N, C), masks_rows: (H*M, C),
     bias_rows: (H*M, N). Returns the (M, C) f32 multi-head output.
@@ -66,14 +69,14 @@ def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
     q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
     qm = masks_rows.astype(in_dtype) * q_rep
     scores = jax.lax.dot_general(
-        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype)
+        qm, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact)
     )  # (H*M, N)
     scores = scores * scale + bias_rows
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(in_dtype)
     outs = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype)
+        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact)
     )  # (H*M, C)
     outs = outs * masks_rows
     out = outs[0:m]
@@ -83,7 +86,8 @@ def _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m):
 
 
 def _kernel(
-    q_ref, k_ref, v_ref, bias_ref, masks_ref, out_ref, *, num_heads, scale, wb, m
+    q_ref, k_ref, v_ref, bias_ref, masks_ref, out_ref,
+    *, num_heads, scale, wb, m, exact,
 ):
     # masks_ref: (H*M, C) row-stacked head masks (precomputed host-side — no
     # tile-unaligned reshapes inside the kernel); bias_ref: (H*M, N)
@@ -92,7 +96,7 @@ def _kernel(
     for w in range(wb):  # windows per program (amortizes the bias DMA)
         out = _attn_core(
             q_ref[w], k_ref[w], v_ref[w], masks_rows, bias_rows,
-            scale, num_heads, m,
+            scale, num_heads, m, exact,
         )
         out_ref[w] = out.astype(out_ref.dtype)
 
@@ -120,7 +124,7 @@ def _head_masks_and_wb(b_: int, m: int, c: int, num_heads: int, bias: Array):
     return masks_rows, bias_rows, wb
 
 
-def _ref_window_attention(q, k, v, bias, num_heads):
+def _ref_window_attention(q, k, v, bias, num_heads, exact=True):
     """Pure-JAX twin of fused_window_attention — the SAME math (_attn_core,
     same casts), vmapped over windows. Kept as the numerical oracle for the
     hand-written Pallas backward (tests/bench compare against its jax.vjp)
@@ -130,14 +134,14 @@ def _ref_window_attention(q, k, v, bias, num_heads):
     masks_rows, bias_rows, _ = _head_masks_and_wb(b_, m, c, num_heads, bias)
     out = jax.vmap(
         lambda qq, kk, vv: _attn_core(
-            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m, exact
         )
     )(q, k, v)
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _window_attention_call(num_heads, interpret, q, k, v, bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _window_attention_call(num_heads, interpret, exact, q, k, v, bias):
     b_, m, c = q.shape
     n = k.shape[1]
     head_dim = c // num_heads
@@ -147,7 +151,9 @@ def _window_attention_call(num_heads, interpret, q, k, v, bias):
 
     grid = (b_ // wb,)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, scale=scale, wb=wb, m=m),
+        functools.partial(
+            _kernel, num_heads=num_heads, scale=scale, wb=wb, m=m, exact=exact
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -176,14 +182,14 @@ def _window_attention_call(num_heads, interpret, q, k, v, bias):
     )(q, k, v, bias_rows, masks_rows)
 
 
-def _window_attention_fwd(num_heads, interpret, q, k, v, bias):
-    out = _window_attention_call(num_heads, interpret, q, k, v, bias)
+def _window_attention_fwd(num_heads, interpret, exact, q, k, v, bias):
+    out = _window_attention_call(num_heads, interpret, exact, q, k, v, bias)
     return out, (q, k, v, bias)
 
 
-def _window_attention_bwd(num_heads, interpret, res, g):
+def _window_attention_bwd(num_heads, interpret, exact, res, g):
     q, k, v, bias = res
-    return _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g)
+    return _attn_core_bwd_call(num_heads, interpret, exact, q, k, v, bias, g)
 
 
 _window_attention_call.defvjp(_window_attention_fwd, _window_attention_bwd)
@@ -211,14 +217,16 @@ _window_attention_call.defvjp(_window_attention_fwd, _window_attention_bwd)
 # one forward-kernel recompute of the attention output.
 
 
-def _attn_core_bwd_body(q, k, v, g, masks_rows, bias_rows, scale, num_heads, m):
+def _attn_core_bwd_body(
+    q, k, v, g, masks_rows, bias_rows, scale, num_heads, m, exact=True
+):
     """vjp of _attn_core for ONE window. q/g: (M, C), k/v: (N, C). Returns
     (dq (M,C) f32, dk (N,C) f32, dv (N,C) f32, ds (H*M, N) f32 — the
     per-window dbias contribution). Mirrors the forward's cast points:
-    dots run on in_dtype operands with f32 accumulation (HIGHEST for f32,
-    see _dot_precision)."""
+    dots run on in_dtype operands with f32 accumulation (HIGHEST for f32
+    unless the fast mode opts out, see _dot_precision)."""
     in_dtype = q.dtype
-    prec = _dot_precision(in_dtype)
+    prec = _dot_precision(in_dtype, exact)
     # --- forward recompute (identical to _attn_core up to the probs) ---
     q_rep = jnp.concatenate([q] * num_heads, axis=0)  # (H*M, C)
     qm = masks_rows.astype(in_dtype) * q_rep
@@ -262,7 +270,7 @@ def _attn_core_bwd_body(q, k, v, g, masks_rows, bias_rows, scale, num_heads, m):
 def _bwd_kernel(
     q_ref, k_ref, v_ref, g_ref, bias_ref, masks_ref,
     dq_ref, dk_ref, dv_ref, dbias_ref,
-    *, num_heads, scale, wb, m,
+    *, num_heads, scale, wb, m, exact,
 ):
     masks_rows = masks_ref[:]
     bias_rows = bias_ref[:].astype(jnp.float32)
@@ -270,7 +278,7 @@ def _bwd_kernel(
     for w in range(wb):
         dq, dk, dv, ds = _attn_core_bwd_body(
             q_ref[w], k_ref[w], v_ref[w], g_ref[w],
-            masks_rows, bias_rows, scale, num_heads, m,
+            masks_rows, bias_rows, scale, num_heads, m, exact,
         )
         dq_ref[w] = dq.astype(dq_ref.dtype)
         dk_ref[w] = dk.astype(dk_ref.dtype)
@@ -287,7 +295,7 @@ def _bwd_kernel(
         dbias_ref[:] = dbias_ref[:] + acc
 
 
-def _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g):
+def _attn_core_bwd_call(num_heads, interpret, exact, q, k, v, bias, g):
     """(q, k, v, bias, g=dout) -> (dq, dk, dv, dbias) via the Pallas
     backward kernel. Shapes as fused_window_attention; dbias matches the
     (H, M, N) bias table."""
@@ -305,7 +313,9 @@ def _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g):
         (r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv, dbias_rows = pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads, scale=scale, wb=wb, m=m),
+        functools.partial(
+            _bwd_kernel, num_heads=num_heads, scale=scale, wb=wb, m=m, exact=exact
+        ),
         grid=(b_ // wb,),
         in_specs=[
             win((m, c)), win((n, c)), win((n, c)), win((m, c)),
@@ -334,7 +344,7 @@ def _attn_core_bwd_call(num_heads, interpret, q, k, v, bias, g):
     return dq, dk, dv, dbias_rows.reshape(num_heads, m, n).astype(bias.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "exact"))
 def fused_window_attention(
     q: Array,  # (B_, M, C) post-norm, pre-projection-scale q tokens
     k: Array,  # (B_, N, C)
@@ -342,12 +352,14 @@ def fused_window_attention(
     bias: Array,  # (num_heads, M, N) float32 relative position bias
     num_heads: int,
     interpret: bool = False,
+    exact: bool = True,
 ) -> Array:
     """Softmax((q*scale) @ k^T + bias) @ v with multi-head channel split,
     fused per window. Returns (B_, M, C) in q's dtype. Differentiable: the
     backward is the Pallas attention-core backward kernel (custom_vjp,
-    _attn_core_bwd_call)."""
-    return _window_attention_call(num_heads, interpret, q, k, v, bias)
+    _attn_core_bwd_call). ``exact=False`` trades the f32 HIGHEST dots for
+    single-pass MXU speed (see _dot_precision)."""
+    return _window_attention_call(num_heads, interpret, exact, q, k, v, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +384,7 @@ def _fused_block_kernel(
     *maybe_acc_ref,  # optional (wb, M, C): pre-projection attention output,
     # saved as a residual by the training fwd so the backward skips one
     # forward-kernel recompute
-    num_heads, scale, wb, m, q_ind,
+    num_heads, scale, wb, m, q_ind, exact,
 ):
     acc_ref = maybe_acc_ref[0] if maybe_acc_ref else None
     d = x_ref.shape[0]
@@ -393,7 +405,7 @@ def _fused_block_kernel(
     kv_all = (
         jax.lax.dot_general(
             kvt.astype(in_dtype), wkv_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + bkv_ref[0]
     ).astype(in_dtype)  # (D*wb*M, 2C): k rows | v rows
@@ -403,7 +415,7 @@ def _fused_block_kernel(
     q_all = (
         jax.lax.dot_general(
             qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + bq_ref[0]
     ).astype(in_dtype)  # (wb*M, C)
@@ -418,20 +430,20 @@ def _fused_block_kernel(
             axis=0,
         )
         q = q_all[w * m : (w + 1) * m]
-        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
+        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m, exact)
         if acc_ref is not None:
             acc_ref[w] = acc.astype(acc_ref.dtype)
         out = (
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
             )
             + bp_ref[0]
         )
         out_ref[w] = out.astype(out_ref.dtype)
 
 
-def _rowdot(a, w, b, in_dtype):
+def _rowdot(a, w, b, in_dtype, exact=True):
     """dot(a.astype(in_dtype), w.astype(in_dtype)) + b with f32 accumulation
     over the LAST axis of a — the kernels' projection idiom, reference form."""
     nd = a.ndim
@@ -439,12 +451,12 @@ def _rowdot(a, w, b, in_dtype):
         a.astype(in_dtype),
         w.astype(in_dtype),
         (((nd - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+        preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
     )
     return y + b
 
 
-def _ref_window_block(x, params, num_heads, q_ind):
+def _ref_window_block(x, params, num_heads, q_ind, exact=True):
     """Pure-JAX twin of fused_window_block (same math/casts, batched over
     frames and windows) — the numerical oracle for kernel/backward tests."""
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
@@ -456,21 +468,23 @@ def _ref_window_block(x, params, num_heads, q_ind):
     b_kv = jnp.concatenate([w_k[1], w_v[1]])
 
     kvt = _ln(x.astype(jnp.float32), ln_kv[0], ln_kv[1])
-    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)  # (D,B_,M,2C)
+    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype, exact).astype(in_dtype)  # (D,B_,M,2C)
     qt = _ln(x[q_ind].astype(jnp.float32), ln_q[0], ln_q[1])
-    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype).astype(in_dtype)  # (B_,M,C)
+    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype, exact).astype(in_dtype)  # (B_,M,C)
     k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
     v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
     acc = jax.vmap(
         lambda qq, kk, vv: _attn_core(
-            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m, exact
         )
     )(q_all, k, v)
-    out = _rowdot(acc, w_proj[0], w_proj[1], in_dtype)
+    out = _rowdot(acc, w_proj[0], w_proj[1], in_dtype, exact)
     return out.astype(x.dtype)
 
 
-def _window_block_pallas(num_heads, q_ind, interpret, x, params, with_acc=False):
+def _window_block_pallas(
+    num_heads, q_ind, interpret, exact, x, params, with_acc=False
+):
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias = params
     d, b_, m, c = x.shape
     n = d * m
@@ -499,6 +513,7 @@ def _window_block_pallas(num_heads, q_ind, interpret, x, params, with_acc=False)
         functools.partial(
             _fused_block_kernel,
             num_heads=num_heads, scale=scale, wb=wb, m=m, q_ind=q_ind,
+            exact=exact,
         ),
         grid=(b_ // wb,),
         in_specs=[
@@ -524,19 +539,19 @@ def _window_block_pallas(num_heads, q_ind, interpret, x, params, with_acc=False)
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _window_block_call(num_heads, q_ind, interpret, x, params):
-    return _window_block_pallas(num_heads, q_ind, interpret, x, params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _window_block_call(num_heads, q_ind, interpret, exact, x, params):
+    return _window_block_pallas(num_heads, q_ind, interpret, exact, x, params)
 
 
-def _window_block_fwd(num_heads, q_ind, interpret, x, params):
+def _window_block_fwd(num_heads, q_ind, interpret, exact, x, params):
     out, acc = _window_block_pallas(
-        num_heads, q_ind, interpret, x, params, with_acc=True
+        num_heads, q_ind, interpret, exact, x, params, with_acc=True
     )
     return out, (x, params, acc)
 
 
-def _window_block_bwd(num_heads, q_ind, interpret, res, g):
+def _window_block_bwd(num_heads, q_ind, interpret, exact, res, g):
     """Hybrid backward: jax.vjp of the cheap (B*M, C)-sized pre/post stages
     (LNs + projections — XLA handles these fine) around the Pallas
     attention-core backward kernel. The pre-projection attention output
@@ -552,9 +567,9 @@ def _window_block_bwd(num_heads, q_ind, interpret, res, g):
         w_kv = jnp.concatenate([w_k_[0], w_v_[0]], axis=1)
         b_kv = jnp.concatenate([w_k_[1], w_v_[1]])
         kvt = _ln(x_.astype(jnp.float32), ln_kv_[0], ln_kv_[1])
-        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype, exact).astype(in_dtype)
         qt = _ln(x_[q_ind].astype(jnp.float32), ln_q_[0], ln_q_[1])
-        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype).astype(in_dtype)
+        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype, exact).astype(in_dtype)
         k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
         v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
         return q_all, k, v
@@ -562,12 +577,12 @@ def _window_block_bwd(num_heads, q_ind, interpret, res, g):
     (q_all, k, v), pre_vjp = jax.vjp(pre, x, ln_q, ln_kv, w_q, w_k, w_v)
 
     def post(acc_, w_proj_):
-        return _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype).astype(x.dtype)
+        return _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype, exact).astype(x.dtype)
 
     _, post_vjp = jax.vjp(post, acc, w_proj)
     dacc, dw_proj = post_vjp(g)
     dq_all, dk, dv, dbias = _attn_core_bwd_call(
-        num_heads, interpret, q_all, k, v, bias, dacc
+        num_heads, interpret, exact, q_all, k, v, bias, dacc
     )
     dx, dln_q, dln_kv, dw_q, dw_k, dw_v = pre_vjp((dq_all, dk, dv))
     return dx, (dln_q, dln_kv, dw_q, dw_k, dw_v, dw_proj, dbias)
@@ -576,7 +591,9 @@ def _window_block_bwd(num_heads, q_ind, interpret, res, g):
 _window_block_call.defvjp(_window_block_fwd, _window_block_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "q_ind", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "q_ind", "interpret", "exact")
+)
 def fused_window_block(
     x: Array,  # (D, B_, M, C) raw window token stacks
     ln_q: Tuple[Array, Array],
@@ -589,14 +606,16 @@ def fused_window_block(
     num_heads: int,
     q_ind: int,
     interpret: bool = False,
+    exact: bool = True,
 ) -> Array:
     """The whole WindowAttention3D body fused: norm_q/norm_kv -> q/k/v
     projections -> masked-stacked-head attention -> out projection. One
     HBM read of the window stack, one write of the output. Differentiable
     via custom_vjp (hybrid backward: XLA pre/post vjps around the Pallas
-    attention-core backward kernel)."""
+    attention-core backward kernel). ``exact=False`` trades the f32
+    HIGHEST dots for single-pass MXU speed (see _dot_precision)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, bias)
-    return _window_block_call(num_heads, q_ind, interpret, x, params)
+    return _window_block_call(num_heads, q_ind, interpret, exact, x, params)
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +664,7 @@ def _fused_swin_kernel(
     *maybe_acc_ref,  # optional (wb, M, C): pre-projection attention output,
     # saved as a residual by the training fwd so the backward skips one
     # forward-kernel recompute
-    num_heads, scale, wb, m, q_ind, act,
+    num_heads, scale, wb, m, q_ind, act, exact,
 ):
     acc_ref = maybe_acc_ref[0] if maybe_acc_ref else None
     d = x_ref.shape[0]
@@ -670,7 +689,7 @@ def _fused_swin_kernel(
     kv_all = (
         jax.lax.dot_general(
             kvt.astype(in_dtype), wkv_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + bkv_ref[0]
     ).astype(in_dtype)  # (D*wb*M, 2C)
@@ -680,7 +699,7 @@ def _fused_swin_kernel(
     q_all = (
         jax.lax.dot_general(
             qt.astype(in_dtype), wq_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + bq_ref[0]
     ).astype(in_dtype)
@@ -696,13 +715,13 @@ def _fused_swin_kernel(
             axis=0,
         )
         q = q_all[w * m : (w + 1) * m]
-        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m)
+        acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m, exact)
         if acc_ref is not None:
             acc_ref[w] = acc.astype(acc_ref.dtype)
         projs.append(
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
             )
             + bp_ref[0]
         )
@@ -714,7 +733,7 @@ def _fused_swin_kernel(
     h1 = (
         jax.lax.dot_general(
             z.astype(in_dtype), w1_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + b1_ref[0]
     )
@@ -722,7 +741,7 @@ def _fused_swin_kernel(
     z2 = (
         jax.lax.dot_general(
             h1.astype(in_dtype), w2_ref[:].astype(in_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
         )
         + b2m_ref[0]
     )
@@ -731,7 +750,7 @@ def _fused_swin_kernel(
         out_ref[w] = o[w * m : (w + 1) * m].astype(out_ref.dtype)
 
 
-def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation):
+def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation, exact=True):
     """Pure-JAX twin of fused_swin_block (same math/casts, incl. the A&S
     erf-approx GELU) — the numerical oracle for kernel/backward tests."""
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
@@ -744,26 +763,27 @@ def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation):
 
     xs = x.at[q_ind].set(ctr)  # kv sees the LIVE center frame
     kvt = _ln(xs.astype(jnp.float32), ln_kv[0], ln_kv[1])
-    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+    kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype, exact).astype(in_dtype)
     ctr_f32 = ctr.astype(jnp.float32)
     qt = _ln(ctr_f32, ln_q[0], ln_q[1])
-    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype).astype(in_dtype)
+    q_all = _rowdot(qt, w_q[0], w_q[1], in_dtype, exact).astype(in_dtype)
     k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
     v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
     acc = jax.vmap(
         lambda qq, kk, vv: _attn_core(
-            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m
+            qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m, exact
         )
     )(q_all, k, v)
-    y = ctr_f32 + _rowdot(acc, w_proj[0], w_proj[1], in_dtype)
+    y = ctr_f32 + _rowdot(acc, w_proj[0], w_proj[1], in_dtype, exact)
     z = _ln(y, ln2[0], ln2[1])
-    h1 = _kernel_activation(activation)(_rowdot(z, fc1[0], fc1[1], in_dtype))
-    o = y + _rowdot(h1, fc2[0], fc2[1], in_dtype)
+    h1 = _kernel_activation(activation)(_rowdot(z, fc1[0], fc1[1], in_dtype, exact))
+    o = y + _rowdot(h1, fc2[0], fc2[1], in_dtype, exact)
     return o.astype(ctr.dtype)
 
 
 def _swin_block_pallas(
-    num_heads, q_ind, activation, interpret, x, ctr, params, with_acc=False
+    num_heads, q_ind, activation, interpret, exact, x, ctr, params,
+    with_acc=False,
 ):
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias = params
     d, b_, m, c = x.shape
@@ -792,7 +812,7 @@ def _swin_block_pallas(
         functools.partial(
             _fused_swin_kernel,
             num_heads=num_heads, scale=scale, wb=wb, m=m, q_ind=q_ind,
-            act=activation,
+            act=activation, exact=exact,
         ),
         grid=(b_ // wb,),
         in_specs=[
@@ -835,19 +855,24 @@ def _swin_block_pallas(
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params):
-    return _swin_block_pallas(num_heads, q_ind, activation, interpret, x, ctr, params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _swin_block_call(
+    num_heads, q_ind, activation, interpret, exact, x, ctr, params
+):
+    return _swin_block_pallas(
+        num_heads, q_ind, activation, interpret, exact, x, ctr, params
+    )
 
 
-def _swin_block_fwd(num_heads, q_ind, activation, interpret, x, ctr, params):
+def _swin_block_fwd(num_heads, q_ind, activation, interpret, exact, x, ctr, params):
     out, acc = _swin_block_pallas(
-        num_heads, q_ind, activation, interpret, x, ctr, params, with_acc=True
+        num_heads, q_ind, activation, interpret, exact, x, ctr, params,
+        with_acc=True,
     )
     return out, (x, ctr, params, acc)
 
 
-def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
+def _swin_block_bwd(num_heads, q_ind, activation, interpret, exact, res, g):
     """Hybrid backward (see _window_block_bwd): XLA vjp for the pre stage
     (live-center substitution + LNs + projections) and the post stage
     (residual + LN2 + MLP), the Pallas backward kernel for the attention
@@ -864,9 +889,9 @@ def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
         b_kv = jnp.concatenate([w_k_[1], w_v_[1]])
         xs = x_.at[q_ind].set(ctr_)  # kv sees the LIVE center frame
         kvt = _ln(xs.astype(jnp.float32), ln_kv_[0], ln_kv_[1])
-        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype).astype(in_dtype)
+        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype, exact).astype(in_dtype)
         qt = _ln(ctr_.astype(jnp.float32), ln_q_[0], ln_q_[1])
-        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype).astype(in_dtype)
+        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype, exact).astype(in_dtype)
         k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
         v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
         return q_all, k, v
@@ -874,16 +899,20 @@ def _swin_block_bwd(num_heads, q_ind, activation, interpret, res, g):
     (q_all, k, v), pre_vjp = jax.vjp(pre, x, ctr, ln_q, ln_kv, w_q, w_k, w_v)
 
     def post(acc_, ctr_, w_proj_, ln2_, fc1_, fc2_):
-        y = ctr_.astype(jnp.float32) + _rowdot(acc_, w_proj_[0], w_proj_[1], in_dtype)
+        y = ctr_.astype(jnp.float32) + _rowdot(
+            acc_, w_proj_[0], w_proj_[1], in_dtype, exact
+        )
         z = _ln(y, ln2_[0], ln2_[1])
-        h1 = _kernel_activation(activation)(_rowdot(z, fc1_[0], fc1_[1], in_dtype))
-        o = y + _rowdot(h1, fc2_[0], fc2_[1], in_dtype)
+        h1 = _kernel_activation(activation)(
+            _rowdot(z, fc1_[0], fc1_[1], in_dtype, exact)
+        )
+        o = y + _rowdot(h1, fc2_[0], fc2_[1], in_dtype, exact)
         return o.astype(ctr.dtype)
 
     _, post_vjp = jax.vjp(post, acc, ctr, w_proj, ln2, fc1, fc2)
     dacc, dctr_post, dw_proj, dln2, dfc1, dfc2 = post_vjp(g)
     dq_all, dk, dv, dbias = _attn_core_bwd_call(
-        num_heads, interpret, q_all, k, v, bias, dacc
+        num_heads, interpret, exact, q_all, k, v, bias, dacc
     )
     dx, dctr_pre, dln_q, dln_kv, dw_q, dw_k, dw_v = pre_vjp((dq_all, dk, dv))
     dctr = jax.tree_util.tree_map(jnp.add, dctr_pre, dctr_post)
@@ -896,7 +925,8 @@ _swin_block_call.defvjp(_swin_block_fwd, _swin_block_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "q_ind", "activation", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "q_ind", "activation", "interpret", "exact"),
 )
 def fused_swin_block(
     x: Array,  # (D, B_, M, C) static buffer tokens (row q_ind ignored)
@@ -915,6 +945,7 @@ def fused_swin_block(
     q_ind: int,
     activation: str = "gelu",
     interpret: bool = False,
+    exact: bool = True,
 ) -> Array:
     """The ENTIRE SwinTransformerBlock3D fused: window attention (LNs +
     projections + masked stacked-head attention + out-projection) plus the
@@ -926,6 +957,9 @@ def fused_swin_block(
     DFrameAttention depth stack (XLA CSE hoists them), replacing the
     per-block ``x.at[q_ind].set(center)`` full-buffer copy. Differentiable
     via custom_vjp (hybrid backward: XLA pre/post vjps around the Pallas
-    attention-core backward kernel)."""
+    attention-core backward kernel). ``exact=False`` trades the f32
+    HIGHEST dots for single-pass MXU speed (see _dot_precision)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
-    return _swin_block_call(num_heads, q_ind, activation, interpret, x, ctr, params)
+    return _swin_block_call(
+        num_heads, q_ind, activation, interpret, exact, x, ctr, params
+    )

@@ -226,7 +226,7 @@ def test_bwd_kernel_matches_twin_vjp_attention(rng):
         q, k, v, bias,
     )
     want = vjp(g)
-    got = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    got = _attn_core_bwd_call(heads, True, True, q, k, v, bias, g)
     for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
@@ -289,6 +289,71 @@ def test_hybrid_block_backwards_match_twin_vjp(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+def test_f32_fast_mode_plumbs_and_matches_on_cpu(rng):
+    """The f32 FAST mode (exact=False: kernel dots at default precision
+    instead of HIGHEST — the f32 TRAINING throughput knob) must thread
+    through the whole stack: kernel entry points, custom_vjp backwards,
+    the flax blocks (f32_exact) and the model config (pallas_f32_exact).
+    Interpret mode runs f32 dots either way, so fast == exact bit-for-bit
+    on CPU; the precision difference itself only exists on the MXU and is
+    covered by the on-chip bench parity keys."""
+    from bde2vid_tpu.models import build_model
+    from bde2vid_tpu.ops.window_attn_pallas import (
+        _ref_swin_block,
+        fused_swin_block,
+    )
+
+    d, b_, m, c, heads = 3, 8, 49, 32, 4
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.5)
+    x, ctr, g = f(d, b_, m, c), f(b_, m, c), f(b_, m, c)
+    ln_q, ln_kv, ln2 = ((f(c) + 1.0, f(c)) for _ in range(3))
+    w_q, w_k, w_v, w_p = ((f(c, c) * c**-0.5, f(c)) for _ in range(4))
+    fc1, fc2 = (f(c, 2 * c) * c**-0.5, f(2 * c)), (f(2 * c, c) * c**-0.5, f(c))
+    params = (ln_q, ln_kv, w_q, w_k, w_v, w_p, ln2, fc1, fc2, bias := f(heads, m, d * m))
+
+    # op level: fwd + every cotangent through the fast-mode custom_vjp
+    run = lambda exact: jax.vjp(
+        lambda xx, cc, pp: fused_swin_block(
+            xx, cc, *pp[:-1], pp[-1], heads, d // 2,
+            activation="gelu", interpret=True, exact=exact,
+        ),
+        x, ctr, params,
+    )
+    out_fast, vjp_fast = run(False)
+    out_exact, vjp_exact = run(True)
+    np.testing.assert_array_equal(np.asarray(out_fast), np.asarray(out_exact))
+    want = _ref_swin_block(x, ctr, params, heads, d // 2, "gelu", exact=False)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(vjp_fast(g)),
+        jax.tree_util.tree_leaves(vjp_exact(g)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # model level: the config key reaches the kernels (trace succeeds and
+    # gradients flow on a tiny normless config)
+    cfg = {"generator": {
+        "num_bins": 5, "basechannels": 8, "num_encoders": 1, "depths": (2,),
+        "num_heads": 2, "buffer_index": (-1, 0, 1), "window_size": (7, 7),
+        "use_pallas_attention": True, "pallas_f32_exact": False,
+    }}
+    model = build_model("BDE2VID", cfg, train=True)
+    voxels = f(3, 1, 28, 28, 5)
+    rngs = {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}
+    params_m = model.init(rngs, voxels)
+
+    def loss(p):
+        out, _ = model.apply(p, voxels, rngs={"droppath": rngs["droppath"]})
+        return jnp.mean(out["image"] ** 2)
+
+    l, grads = jax.value_and_grad(loss)(params_m)
+    assert np.isfinite(float(l))
+    gn = sum(float(jnp.sum(jnp.abs(a))) for a in jax.tree_util.tree_leaves(grads))
+    assert gn > 0.0
+
+
 def test_fused_attention_prime_window_count(rng):
     """b_ not divisible by any windows-per-program ladder entry (odd window
     grids happen at common sensor sizes, e.g. 7x9=63 windows at level 1 of
@@ -316,7 +381,7 @@ def test_fused_attention_prime_window_count(rng):
         q, k, v, bias,
     )
     want_g = vjp(g)
-    got_g = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    got_g = _attn_core_bwd_call(heads, True, True, q, k, v, bias, g)
     for a, b, name in zip(got_g, want_g, ("dq", "dk", "dv", "dbias")):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4, err_msg=name
@@ -344,7 +409,7 @@ def test_bwd_kernel_bf16_matches_twin_vjp(rng):
         q, k, v, bias,
     )
     want = vjp(g)
-    got = _attn_core_bwd_call(heads, True, q, k, v, bias, g)
+    got = _attn_core_bwd_call(heads, True, True, q, k, v, bias, g)
     for a, b, name in zip(got, want, ("dq", "dk", "dv", "dbias")):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(b).max(), 1e-3)

@@ -81,6 +81,7 @@ def profile_one(
     remat: bool = False,
     bf16: bool = False,
     pallas: bool = False,
+    f32_fast: bool = False,
     losses: str = "l1",
     loss_inds=None,
     batch: int = 1,
@@ -93,11 +94,12 @@ def profile_one(
     from bde2vid_tpu.train import SequenceLossComputer, make_train_step
 
     name, cfg, is_seq = CONFIGS[key]
-    if name == "BDE2VID" and (pallas or remat):
+    if name == "BDE2VID" and (pallas or remat or f32_fast):
         # remat goes to the MODEL (per-step nn.remat inside the scans) — the
         # trainer-level jax.checkpoint cannot reduce the backward peak
         cfg = {"generator": dict(cfg["generator"],
-                                 use_pallas_attention=pallas, remat=remat)}
+                                 use_pallas_attention=pallas, remat=remat,
+                                 pallas_f32_exact=not f32_fast)}
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     model = build_model(name, cfg, train=True, dtype=dtype)
     h, w = hw
@@ -144,6 +146,7 @@ def profile_one(
         "config": key, "T": T, "hw": list(hw), "batch": batch,
         "dtype": "bf16" if bf16 else "f32",
         "attention": "pallas" if pallas else "xla",
+        "f32_fast": f32_fast,
         "losses": losses, "loss_inds": loss_inds, "remat": remat,
         "steps_per_s": round(steps / dt, 3),
         "frames_per_s": round(steps * T * batch / dt, 1),
@@ -210,6 +213,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--pallas", action="store_true",
                     help="fused Pallas attention (custom-vjp backward)")
+    ap.add_argument("--f32_fast", action="store_true",
+                    help="f32 kernel dots at default (single-pass MXU) "
+                         "precision instead of HIGHEST — the f32 training "
+                         "throughput mode (pallas_f32_exact=False)")
     ap.add_argument("--losses", default="l1", choices=["l1", "ref"],
                     help="'ref' = L1 + PerceptualLoss (random LPIPS params; "
                          "timing-only — no converted backbone in this image)")
@@ -225,6 +232,7 @@ def main(argv=None) -> int:
         print(json.dumps(profile_one(
             k, args.T, tuple(args.hw), args.steps,
             remat=args.remat, bf16=args.bf16, pallas=args.pallas,
+            f32_fast=args.f32_fast,
             losses=args.losses, loss_inds=args.loss_inds, batch=args.batch,
         )), flush=True)
     if args.which in ("both", "data"):
