@@ -492,8 +492,12 @@ class EventSequence:
         span0 = int(wins[:, 0].min())
         span1 = int(wins[:, 1].max())
         n_span = span1 - span0
-        # bytes: span 9 B/event + 8 B/window vs padded 9 B/event*capacity
-        if 9 * n_span + 8 * len(wins) >= 9 * len(wins) * self.capacity:
+        # bytes ACTUALLY shipped: the span buffer is padded to
+        # _span_bucket(n_span) (min-capacity floor + sixteenth-octave
+        # rounding), so compare the bucketed size — the raw n_span guard
+        # picked the span path for small/tail batches where the 16384-event
+        # floor ships several times MORE than the padded form
+        if 9 * _span_bucket(n_span) + 8 * len(wins) >= 9 * len(wins) * self.capacity:
             return None
         rxs, rys, rts, rps = self.reader.raw_events(span0, span1)
         rebased = wins - span0

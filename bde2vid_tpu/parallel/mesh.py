@@ -20,6 +20,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def get_shard_map():
+    """Version-compat shim: returns ``(shard_map, rep_kw)``.
+
+    jax >= 0.4.35 exposes ``jax.shard_map`` with the replication check
+    spelled ``check_vma``; older pins keep ``jax.experimental.shard_map``
+    with ``check_rep``. One shared helper so sharded_eval/sharded_train
+    cannot drift apart when the pin moves.
+    """
+    try:
+        from jax import shard_map  # stable API
+
+        return shard_map, {"check_vma": False}
+    except ImportError:  # older pins keep the experimental module
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map, {"check_rep": False}
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_spatial: int = 1,

@@ -58,14 +58,9 @@ def _cached_sharded_fn(spec: ModelSpec, shapes, chunk: int, mesh: Mesh):
     # replicating all-gather); inside shard_map the kernel only ever sees
     # device-local shapes. Chunks are embarrassingly parallel, so
     # out_specs=P('data') is the only collective (the final gather).
-    try:
-        from jax import shard_map  # stable API (jax >= 0.4.35)
+    from bde2vid_tpu.parallel.mesh import get_shard_map
 
-        rep_kw = {"check_vma": False}  # stable spelling of check_rep
-    except ImportError:  # older pins keep the experimental module
-        from jax.experimental.shard_map import shard_map
-
-        rep_kw = {"check_rep": False}
+    shard_map, rep_kw = get_shard_map()
 
     def local(params, local_chunks):
         return jax.vmap(lambda v: per_chunk(params, v))(local_chunks)

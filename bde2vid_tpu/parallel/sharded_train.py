@@ -24,16 +24,10 @@ from typing import Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from bde2vid_tpu.parallel.mesh import get_shard_map
 from bde2vid_tpu.train.trainer import SequenceLossComputer, make_loss_fn
 
-try:
-    from jax import shard_map  # stable API (jax >= 0.4.35)
-
-    _REP_KW = {"check_vma": False}
-except ImportError:  # older pins keep the experimental module
-    from jax.experimental.shard_map import shard_map
-
-    _REP_KW = {"check_rep": False}
+shard_map, _REP_KW = get_shard_map()
 
 
 def make_dp_train_step(
@@ -52,7 +46,8 @@ def make_dp_train_step(
         flows or None) -> (params, opt_state, loss_dict)
 
     Same signature and semantics as train.trainer.make_train_step; the
-    batch axis N (axis 1) must divide mesh.shape['data']. Params/opt_state
+    batch axis N (axis 1) must be divisible by mesh.shape['data'] (equal
+    shards per device). Params/opt_state
     replicate; batch tensors shard over 'data'. Mutated batch_stats (BN/IN
     training) pmean over shards — each shard's running-stat update is an
     equal-weight estimate of the same batch statistics.
@@ -68,6 +63,12 @@ def make_dp_train_step(
     )
 
     def local_step(params, opt_state, rng, voxels, frames, flows):
+        # fold the shard index into the droppath key: the key replicates
+        # over the mesh, and without the fold every shard would draw the
+        # SAME stochastic-depth masks for its (N, 1, 1, 1) bernoulli —
+        # all samples dropping the same blocks every step, unlike the
+        # unsharded step's independent per-sample draws
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         rngs = {"droppath": rng}
         (_, (loss_dict, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, voxels, frames, flows, rngs
