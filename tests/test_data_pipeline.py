@@ -186,6 +186,34 @@ def test_span_upload_voxels_bitexact_vs_padded(seq_file):
     np.testing.assert_array_equal(np.asarray(seq.voxels()), want)
 
 
+def test_span_upload_declines_when_bucket_exceeds_padded(tmp_path, rng):
+    """The span-vs-padded guard must count the bytes ACTUALLY shipped: the
+    span buffer pads to _span_bucket(n_span) (16384-event floor), so a
+    small tail batch — few windows, tiny capacity — must take the padded
+    path even though its unpadded span is smaller than the padded form."""
+    from bde2vid_tpu.data.pipeline import _span_bucket
+
+    xs, ys, ts, ps = make_events(rng, n=400, sensor_size=SENSOR, t1=2.0)
+    path = str(tmp_path / "tiny.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(4):
+            w.add_image(
+                (rng.uniform(0, 255, SENSOR)).astype(np.uint8), (i + 0.5) * 0.5
+            )
+    seq = load_sequence(path, num_bins=5)
+    n_w = len(seq.windows)
+    # precondition: the bucketed span is bigger than the padded buffers
+    # while the raw span is smaller (the pre-fix guard would pick span)
+    n_span = int(seq.windows[:, 1].max() - seq.windows[:, 0].min())
+    assert 9 * n_span + 8 * n_w < 9 * n_w * seq.capacity
+    assert 9 * _span_bucket(n_span) + 8 * n_w >= 9 * n_w * seq.capacity
+    assert seq._pack_span_batch(0, n_w) is None
+    vox = np.asarray(seq.voxels())  # padded path still serves the data
+    assert vox.shape == (n_w, 5, *SENSOR)
+    assert np.isfinite(vox).all()
+
+
 def test_span_upload_declines_overlapping_windows(seq_file):
     """k_events with a sliding window produces OVERLAPPING windows — an
     event would need two different ts rebases — so the span packer must
