@@ -531,6 +531,30 @@ class EventSequence:
         stop = self.length if stop is None else min(stop, self.length)
         return np.stack([self.reader.frame(i) for i in range(start, stop)])
 
+    def flows(
+        self, start: int = 0, stop: Optional[int] = None
+    ) -> Optional[np.ndarray]:
+        """(T, H, W, 2) per-window DISPLACEMENT flows for windows
+        [start, stop), or None when the file carries no flow for the range
+        (or windows are ev_rate sub-splits, where per-window flow pairing
+        is undefined). Displacement = stored flow * window duration — the
+        same scaling item() applies (reference h5_dataset.py:239-241);
+        the training CLI stacks these for TemporalConsistencyLoss."""
+        stop = self.length if stop is None else min(stop, self.length)
+        if (
+            not self.has_frames
+            or self.item_last is not None
+            or getattr(self.reader, "num_flow", 0) < stop
+        ):
+            return None
+        out = []
+        for i in range(start, stop):
+            i0, i1 = self.windows[i]
+            sl = self.reader.events(int(i0), int(i1))
+            dt = float(sl.ts[-1] - sl.ts[0]) if len(sl.ts) else 0.0
+            out.append(np.transpose(self.reader.flow(i) * dt, (1, 2, 0)))
+        return np.stack(out).astype(np.float32)
+
     def frames_u8(
         self, start: int = 0, stop: Optional[int] = None
     ) -> Optional[np.ndarray]:

@@ -549,7 +549,11 @@ def evaluate_all(
     os.makedirs(os.path.dirname(result_file) or ".", exist_ok=True)
     with open(result_file, "w") as fp:
         json.dump(results, fp)
-    with open(result_file.replace(".txt", "_detail.txt"), "w") as fp:
+    # splitext, not str.replace('.txt', ...): a non-.txt result_file (public
+    # API callers) would otherwise alias all three paths onto result_file,
+    # clobbering the results with the detail dump
+    root, ext = os.path.splitext(result_file)
+    with open(f"{root}_detail{ext or '.txt'}", "w") as fp:
         json.dump(details, fp)
-    generate_table([result_file], result_file.replace(".txt", "_table.txt"))
+    generate_table([result_file], f"{root}_table{ext or '.txt'}")
     return dict(results)

@@ -87,7 +87,25 @@ def _window_device_fn(ch: int, cw: int):
     return f
 
 
-def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None):
+def _crop_shape(sensor_hw, crop_size, multiple):
+    """Final (ch, cw) crop for a sensor: requested size clipped to the
+    sensor and rounded down to ``multiple`` (the decoder-pyramid
+    divisibility requirement)."""
+    h, w = sensor_hw
+    ch, cw = crop_size if crop_size else (h, w)
+    ch = min(int(ch), h) // multiple * multiple
+    cw = min(int(cw), w) // multiple * multiple
+    if ch == 0 or cw == 0:
+        raise ValueError(
+            f"sensor {h}x{w} too small to crop to a multiple of {multiple}"
+        )
+    return ch, cw
+
+
+def _one_window(
+    files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None,
+    want_flows=False,
+):
     import jax.numpy as jnp
 
     from bde2vid_tpu.data.transforms import sample_pause_mask
@@ -101,9 +119,18 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
     candidates += [files[int(i)] for i in rng.permutation(len(files))]
     for path in candidates:
         seq = _open_sequence(path, num_bins)
-        if len(seq) < seq_len + 1:
+        if len(seq) < seq_len:
             continue
-        start = int(rng.integers(0, len(seq) - seq_len))
+        # high is inclusive of the LAST valid start (len - seq_len): the
+        # window only reads items [start, start+seq_len), so files of
+        # exactly seq_len items are trainable and each file's final item
+        # stays in the training distribution
+        start = int(rng.integers(0, len(seq) - seq_len + 1))
+        flows = None
+        if want_flows:
+            flows = seq.flows(start, start + seq_len)  # (L, H, W, 2) or None
+            if flows is None:
+                continue  # file carries no flow — try another
         idx, paused = sample_pause_mask(
             seq_len,
             rng,
@@ -128,18 +155,12 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
         # window = the reference's RandomCrop training protocol
         # (utils_func/data_augmentation.py:127-180).
         h, w = int(vox.shape[2]), int(vox.shape[3])
-        ch, cw = crop_size if crop_size else (h, w)
-        ch = min(ch, h) // multiple * multiple
-        cw = min(cw, w) // multiple * multiple
-        if ch == 0 or cw == 0:
-            raise ValueError(
-                f"sensor {h}x{w} too small to crop to a multiple of {multiple}"
-            )
+        ch, cw = _crop_shape((h, w), crop_size, multiple)
         y0 = int(rng.integers(0, h - ch + 1))
         x0 = int(rng.integers(0, w - cw + 1))
         # voxels stay ON DEVICE end to end (select/zero/transpose/crop in
         # one jitted program); only the small uint8 frames cross the tunnel
-        vox = _window_device_fn(ch, cw)(
+        vox = _window_device_fn(int(ch), int(cw))(
             vox,
             jnp.asarray(idx, jnp.int32),
             jnp.asarray(paused),
@@ -147,32 +168,52 @@ def _one_window(files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=
             jnp.int32(x0),
         )
         frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
-        return vox, frames[..., None]
+        if want_flows:
+            # pause semantics for flow: repeated (paused) steps see a static
+            # scene, so their gt-to-gt displacement is ZERO; running steps
+            # keep their window's flow, item-selected like the frames
+            flows = flows[idx]
+            flows[np.asarray(paused)] = 0.0
+            flows = flows[:, y0 : y0 + ch, x0 : x0 + cw]
+            return vox, frames[..., None], flows
+        return vox, frames[..., None], None
+    need = f">= {seq_len} items" + (" with flow data" if want_flows else "")
     raise ValueError(
-        f"no h5 sequence under {len(files)} files has >= {seq_len + 1} "
-        "items — shorten sequence_length or add data"
+        f"no h5 sequence under {len(files)} files has {need} — shorten "
+        "sequence_length or add data"
     )
 
 
 def iterate_training_windows(
-    data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0, multiple=1, crop_size=None
+    data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0, multiple=1,
+    crop_size=None, want_flows=False,
 ):
-    """Yield (voxels (L,N,H,W,B), frames (L,N,H,W,1)) batches of independent
-    windows from all h5 sequences under data_dir, with Markov pause
-    augmentation (zeroed events + repeated frame — reference
-    SequenceDataset, h5_dataset.py:668-756). Windows are cropped to
-    ``crop_size`` (or the full sensor) rounded down to ``multiple``."""
+    """Yield (voxels (L,N,H,W,B), frames (L,N,H,W,1), flows (L,N,H,W,2)
+    or None) batches of independent windows from all h5 sequences under
+    data_dir, with Markov pause augmentation (zeroed events + repeated
+    frame, zeroed flow — reference SequenceDataset, h5_dataset.py:668-756).
+    Windows are cropped to ``crop_size`` (or the full sensor) rounded down
+    to ``multiple``; flows are read only when ``want_flows``
+    (TemporalConsistencyLoss)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     files = sorted(glob.glob(os.path.join(data_dir, "**", "*.h5"), recursive=True))
     if not files:
         raise FileNotFoundError(f"no h5 sequences under {data_dir}")
+    # ONE run-wide crop shape, derived from the minimum sensor dims across
+    # all files (one-time open of each, LRU-bounded): per-file crops would
+    # shape-mismatch inside a batch when a dataset mixes sensor resolutions
+    # and would recompile the train step across batches even at batch=1
+    sensors = [_open_sequence(p, num_bins).sensor_size for p in files]
+    min_hw = (min(s[0] for s in sensors), min(s[1] for s in sensors))
+    crop_hw = _crop_shape(min_hw, crop_size, multiple)
     while True:
-        vs, fs = zip(
+        vs, fs, fls = zip(
             *(
                 _one_window(
-                    files, rng, seq_len, num_bins, pause_cfg, multiple, crop_size
+                    files, rng, seq_len, num_bins, pause_cfg, 1, crop_hw,
+                    want_flows,
                 )
                 for _ in range(batch)
             )
@@ -192,7 +233,8 @@ def iterate_training_windows(
         fr_dev = jnp.asarray(fr)
         if fr.dtype == np.uint8:
             fr_dev = fr_dev.astype(jnp.float32) / 255.0
-        yield jnp.stack(vs, axis=1), fr_dev
+        fl_dev = jnp.asarray(np.stack(fls, axis=1)) if want_flows else None
+        yield jnp.stack(vs, axis=1), fr_dev, fl_dev
 
 
 def main(argv=None) -> int:
@@ -273,6 +315,11 @@ def main(argv=None) -> int:
             else (int(crop_size[0]), int(crop_size[1]))
         )
 
+    losses_cfg = cfg.get("losses", [{"type": "L1Loss"}])
+    # TemporalConsistencyLoss consumes per-step gt displacement flows —
+    # read them from the h5 files (SequenceData.flows) only when configured
+    want_flows = any(c["type"] == "TemporalConsistencyLoss" for c in losses_cfg)
+
     it = iterate_training_windows(
         args.data_dir,
         seq_len,
@@ -281,6 +328,7 @@ def main(argv=None) -> int:
         batch=args.batch,
         multiple=2**num_encoders,
         crop_size=crop_size,
+        want_flows=want_flows,
     )
     if args.prefetch > 0:
         # background thread assembles ahead: overlaps the window
@@ -289,11 +337,13 @@ def main(argv=None) -> int:
         from bde2vid_tpu.data.prefetch import prefetch_to_device
 
         it = prefetch_to_device(it, size=args.prefetch)
-    voxels, gts = next(it)
+    voxels, gts, flows = next(it)
 
-    # data-parallel sharding when the batch divides the device count
+    # data-parallel sharding when the batch divides a MULTI-device count
+    # (on one device the DP path is pure overhead: a 1-device mesh plus
+    # per-step device_puts through the tunnel for zero parallelism)
     shard = None
-    if args.batch > 1 and args.batch % jax.device_count() == 0:
+    if args.batch > 1 and jax.device_count() > 1 and args.batch % jax.device_count() == 0:
         from bde2vid_tpu.parallel.mesh import make_mesh, data_sharding
 
         mesh = make_mesh(jax.device_count(), 1)
@@ -314,7 +364,6 @@ def main(argv=None) -> int:
     tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
     opt_state = tx.init(params)
 
-    losses_cfg = cfg.get("losses", [{"type": "L1Loss"}])
     comp = SequenceLossComputer(losses_cfg, cfg.get("loss_inds"))
 
     # LPIPS-backed losses need feature-net params (reference PerceptualLoss/
@@ -357,16 +406,38 @@ def main(argv=None) -> int:
 
     steps = args.steps or int(cfg.get("train", {}).get("steps", 1000))
     ckpt_every = int(cfg.get("train", {}).get("ckpt_every", 200))
+    # ONE jitted program for the noise augmentation: eager add_noise_to_voxel
+    # issues ~5 separate device dispatches per step (~1-2 ms RPC each on the
+    # tunneled backend) for work that is microseconds on chip
+    noise_fn = (
+        jax.jit(
+            functools.partial(
+                add_noise_to_voxel,
+                noise_std=noise_std,
+                noise_fraction=noise_fraction,
+            )
+        )
+        if noise_std > 0
+        else None
+    )
     key = jax.random.PRNGKey(42)
     t0 = time.perf_counter()
     for i in range(steps):
+        if i > 0:  # step 0 trains on the batch fetched for init — fetching
+            # at the loop top (not bottom) avoids assembling one full
+            # unused batch after the final step
+            voxels, gts, flows = next(it)
         key, k1, k2 = jax.random.split(key, 3)
-        if noise_std > 0:
-            voxels = add_noise_to_voxel(voxels, k2, noise_std, noise_fraction)
+        if noise_fn is not None:
+            voxels = noise_fn(voxels, k2)
         if shard is not None:
             voxels = jax.device_put(voxels, shard)
             gts = jax.device_put(gts, shard)
-        params, opt_state, loss_dict = step_fn(params, opt_state, k1, voxels, gts, None)
+            if flows is not None:
+                flows = jax.device_put(flows, shard)
+        params, opt_state, loss_dict = step_fn(
+            params, opt_state, k1, voxels, gts, flows
+        )
         if i % 20 == 0:
             loss = float(loss_dict["loss"])
             rate = (i + 1) / (time.perf_counter() - t0)
@@ -375,7 +446,6 @@ def main(argv=None) -> int:
             path = os.path.join(out_dir, f"epoch_{i + 1}.msgpack")
             save_checkpoint(path, params, model_name, model_cfg)
             print(f"saved {path}", flush=True)
-        voxels, gts = next(it)
     return 0
 
 

@@ -38,7 +38,11 @@ class SequenceLossComputer:
         loss_inds: Optional[Any] = None,
         unroll_threshold: int = 64,
     ):
-        self.losses = {cfg["type"]: build_loss(cfg) for cfg in losses_cfg}
+        # a LIST of (type, fn) pairs, not a type-keyed dict: the reference's
+        # summed-loss-list convention permits the same type twice (e.g. two
+        # L1 terms at different weights) — a dict would silently drop all
+        # but the last entry and train a different objective than configured
+        self.losses = [(cfg["type"], build_loss(cfg)) for cfg in losses_cfg]
         if loss_inds is not None and not isinstance(loss_inds, (list, tuple)):
             loss_inds = [t for t in range(40) if t % int(loss_inds) == 0]
         self.loss_inds = loss_inds
@@ -57,6 +61,21 @@ class SequenceLossComputer:
                 g[t] = True
         return g
 
+    def _short_names(self):
+        """Display keys for loss_dict; duplicate types get an index suffix
+        so two same-type entries report separately instead of colliding."""
+        seen: Dict[str, int] = {}
+        out = []
+        for name, _ in self.losses:
+            short = "L_" + "".join(c for c in name if c.isupper())
+            k = seen.get(short, 0)
+            seen[short] = k + 1
+            out.append(short if k == 0 else f"{short}{k + 1}")
+        return out
+
+    def _has(self, type_name: str) -> bool:
+        return any(n == type_name for n, _ in self.losses)
+
     def __call__(
         self,
         lpips_params,
@@ -66,28 +85,28 @@ class SequenceLossComputer:
     ) -> Tuple[Array, Dict[str, Array]]:
         T = preds.shape[0]
         gate = self._gate(T)
-        if "TemporalConsistencyLoss" in self.losses and flows is None:
+        if self._has("TemporalConsistencyLoss") and flows is None:
             # same clear error the scan path raises — without it the
             # unrolled path dies on flows[t] with a bare TypeError
             raise ValueError("TemporalConsistencyLoss requires flows")
         if int(gate.sum()) > self.unroll_threshold:
             return self._call_scan(lpips_params, preds, gts, flows, gate)
-        sums: Dict[str, Array] = {}
-        counts: Dict[str, Array] = {}
-        vip_state = None
-        for name in self.losses:
-            sums[name] = jnp.zeros(())
-            counts[name] = jnp.zeros(())
+        J = len(self.losses)
+        sums = [jnp.zeros(()) for _ in range(J)]
+        counts = [jnp.zeros(()) for _ in range(J)]
+        vip_states: Dict[int, Any] = {}  # per-instance VIP feature state
 
         prev_gt = prev_pd = None
         for t in range(T):  # static unroll: loss graph is cheap vs model fwd
             cur_pd, cur_gt = preds[t], gts[t]
             if gate[t]:
-                for name, fn in self.losses.items():
+                for j, (name, fn) in enumerate(self.losses):
                     if name in ("PerceptualLoss", "L1Loss"):
                         v, _ = fn(lpips_params, cur_pd, cur_gt)
                     elif name == "VIPLoss":
-                        v, vip_state = fn(lpips_params, cur_pd, cur_gt, vip_state)
+                        v, vip_states[j] = fn(
+                            lpips_params, cur_pd, cur_gt, vip_states.get(j)
+                        )
                     elif name == "TemporalConsistencyLoss":
                         if t <= fn.L0 or prev_gt is None:
                             continue
@@ -96,15 +115,14 @@ class SequenceLossComputer:
                         )
                     else:
                         raise ValueError(f"unknown loss {name}")
-                    sums[name] = sums[name] + v
-                    counts[name] = counts[name] + 1.0
+                    sums[j] = sums[j] + v
+                    counts[j] = counts[j] + 1.0
             prev_gt, prev_pd = cur_gt, cur_pd
 
         loss_dict = {}
         total = jnp.zeros(())
-        for name in self.losses:
-            mean = sums[name] / jnp.maximum(counts[name], 1.0)
-            short = "L_" + "".join(c for c in name if c.isupper())
+        for j, short in enumerate(self._short_names()):
+            mean = sums[j] / jnp.maximum(counts[j], 1.0)
             loss_dict[short] = mean
             total = total + mean
         loss_dict["loss"] = total
@@ -125,74 +143,85 @@ class SequenceLossComputer:
         state=None behavior of the unrolled loop); TemporalConsistency gets
         its own gate (t > L0, t >= 1)."""
         T = preds.shape[0]
-        names = list(self.losses)
         gate_f = jnp.asarray(gate, jnp.float32)
         prev_preds = jnp.concatenate([preds[:1], preds[:-1]])
         prev_gts = jnp.concatenate([gts[:1], gts[:-1]])
 
-        tc = self.losses.get("TemporalConsistencyLoss")
-        if tc is not None:
-            if flows is None:
-                raise ValueError("TemporalConsistencyLoss requires flows")
-            t_idx = np.arange(T)
-            gate_tc = gate_f * jnp.asarray(
-                (t_idx > tc.L0) & (t_idx >= 1), jnp.float32
-            )
-        else:
-            gate_tc = gate_f
+        # per-INSTANCE gates (T, J): TemporalConsistency entries each apply
+        # their own (t > L0, t >= 1) window on top of the loss_inds gate
+        t_idx = np.arange(T)
+        gates = []
+        for name, fn in self.losses:
+            if name == "TemporalConsistencyLoss":
+                if flows is None:
+                    raise ValueError("TemporalConsistencyLoss requires flows")
+                gates.append(
+                    gate_f
+                    * jnp.asarray((t_idx > fn.L0) & (t_idx >= 1), jnp.float32)
+                )
+            else:
+                gates.append(gate_f)
+        gates = jnp.stack(gates, axis=1)  # (T, J)
+        if flows is None:
             flows = jnp.zeros((T, 1, 1, 1, 2), preds.dtype)
 
-        vip = self.losses.get("VIPLoss")
-        if vip is not None:
+        # per-INSTANCE VIP feature states (duplicate VIPLoss entries must
+        # not share a temporal cache)
+        def _vip_placeholder(fn):
             ph = jax.eval_shape(
-                lambda p, a, b: vip(p, a, b, None)[1], lpips_params, preds[0], gts[0]
+                lambda p, a, b: fn(p, a, b, None)[1], lpips_params, preds[0], gts[0]
             )
-            vip_state0 = jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), ph
-            )
-        else:
-            vip_state0 = ()
+            return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), ph)
+
+        vip_state0 = tuple(
+            _vip_placeholder(fn) if name == "VIPLoss" else ()
+            for name, fn in self.losses
+        )
 
         def body(carry, x):
-            vip_state, vip_seen, sums, counts = carry
-            pd, gt, ppd, pgt, fl, g, g_tc = x
+            vip_states, vip_seen, sums, counts = carry
+            pd, gt, ppd, pgt, fl, gates_t = x
+            vip_states = list(vip_states)
             new_sums, new_counts = [], []
-            for j, name in enumerate(names):
-                fn = self.losses[name]
+            for j, (name, fn) in enumerate(self.losses):
+                gj = gates_t[j]
                 if name in ("PerceptualLoss", "L1Loss"):
                     v, _ = fn(lpips_params, pd, gt)
-                    gj = g
                 elif name == "VIPLoss":
-                    v, new_state = fn.step(lpips_params, pd, gt, vip_state, vip_seen)
-                    vip_state = jax.tree_util.tree_map(
-                        lambda n, o: jnp.where(g > 0, n, o), new_state, vip_state
+                    v, new_state = fn.step(
+                        lpips_params, pd, gt, vip_states[j], vip_seen
                     )
-                    vip_seen = jnp.logical_or(vip_seen, g > 0)
-                    gj = g
+                    vip_states[j] = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(gj > 0, n, o), new_state, vip_states[j]
+                    )
+                    vip_seen = jnp.logical_or(vip_seen, gj > 0)
                 elif name == "TemporalConsistencyLoss":
                     v, _ = fn(lpips_params, pgt, gt, ppd, pd, fl)
-                    gj = g_tc
                 else:
                     raise ValueError(f"unknown loss {name}")
                 new_sums.append(sums[j] + gj * v)
                 new_counts.append(counts[j] + gj)
-            return (vip_state, vip_seen, jnp.stack(new_sums), jnp.stack(new_counts)), None
+            return (
+                tuple(vip_states),
+                vip_seen,
+                jnp.stack(new_sums),
+                jnp.stack(new_counts),
+            ), None
 
         carry0 = (
             vip_state0,
             jnp.asarray(False),
-            jnp.zeros((len(names),)),
-            jnp.zeros((len(names),)),
+            jnp.zeros((len(self.losses),)),
+            jnp.zeros((len(self.losses),)),
         )
         (_, _, sums, counts), _ = jax.lax.scan(
-            body, carry0, (preds, gts, prev_preds, prev_gts, flows, gate_f, gate_tc)
+            body, carry0, (preds, gts, prev_preds, prev_gts, flows, gates)
         )
 
         loss_dict = {}
         total = jnp.zeros(())
-        for j, name in enumerate(names):
+        for j, short in enumerate(self._short_names()):
             mean = sums[j] / jnp.maximum(counts[j], 1.0)
-            short = "L_" + "".join(c for c in name if c.isupper())
             loss_dict[short] = mean
             total = total + mean
         loss_dict["loss"] = total
@@ -209,7 +238,6 @@ def make_loss_fn(
     """loss_fn(variables, voxels, frames, flows, rngs) ->
     (total, (loss_dict, mutated_stats)) — the shared core of the
     single-device train step and the shard_map data-parallel step."""
-    from bde2vid_tpu.models.api import run_sequence
 
     def forward(variables, voxels, rngs):
         # BN/IN-bearing models (train=True) mutate "batch_stats": declare
@@ -232,27 +260,35 @@ def make_loss_fn(
         n, h, w = voxels.shape[1], voxels.shape[2], voxels.shape[3]
         state0 = model.initial_state(n, h, w)
         has_stats = "batch_stats" in variables
-        if not has_stats:
-            imgs, _ = run_sequence(model, variables, voxels, state0)
-            return imgs, {}
-
         base = {k: v for k, v in variables.items() if k != "batch_stats"}
+        T = voxels.shape[0]
 
-        def step_fn(carry, voxel):
+        # both step-model branches thread rngs, each scan step with a FRESH
+        # fold_in(key, t) — reusing one key per step would time-correlate
+        # any stochastic layer (droppath-style), and dropping rngs entirely
+        # (the old stat-free path via run_sequence) would crash a step
+        # model that calls make_rng
+        def step_fn(carry, xs):
+            voxel, t = xs
             state, bstats = carry
-            (out, new_state), mut = model.apply(
-                {**base, "batch_stats": bstats},
-                voxel,
-                state,
-                rngs=rngs,
-                mutable=["batch_stats"],
-            )
-            return (new_state, mut["batch_stats"]), out["image"]
+            step_rngs = {k: jax.random.fold_in(r, t) for k, r in (rngs or {}).items()}
+            if has_stats:
+                (out, new_state), mut = model.apply(
+                    {**base, "batch_stats": bstats},
+                    voxel,
+                    state,
+                    rngs=step_rngs,
+                    mutable=["batch_stats"],
+                )
+                return (new_state, mut["batch_stats"]), out["image"]
+            out, new_state = model.apply(variables, voxel, state, rngs=step_rngs)
+            return (new_state, bstats), out["image"]
 
+        bstats0 = variables["batch_stats"] if has_stats else ()
         (_, final_stats), imgs = jax.lax.scan(
-            step_fn, (state0, variables["batch_stats"]), voxels
+            step_fn, (state0, bstats0), (voxels, jnp.arange(T))
         )
-        return imgs, {"batch_stats": final_stats}
+        return imgs, ({"batch_stats": final_stats} if has_stats else {})
 
     fwd = jax.checkpoint(forward, static_argnums=()) if remat else forward
 
@@ -336,13 +372,15 @@ def save_checkpoint_orbax(path: str, params, model_name: str, config: Dict) -> N
         json.dump({"model": model_name, "config": config}, fp)
 
 
-def load_checkpoint_orbax(path: str, dtype=jnp.float32):
-    """Load an orbax checkpoint -> ModelSpec (mirror of load_checkpoint)."""
-    import orbax.checkpoint as ocp
-
+def _checkpoint_target(path: str, dtype):
+    """Shared sidecar-parse + model-build for both checkpoint formats:
+    reads ``<path>.json``, builds the model, dummy-inits the parameter
+    tree (the restore target), and returns ``(target, make_spec)`` where
+    ``make_spec(params)`` assembles the ModelSpec. Keeping this in ONE
+    place means the num_bins fallback chain / init shapes cannot drift
+    between the msgpack and orbax loaders."""
     from bde2vid_tpu.models.api import ModelSpec, build_model
 
-    path = os.path.abspath(path)
     with open(path + ".json") as fp:
         meta = json.load(fp)
     name, config = meta["model"], meta["config"]
@@ -352,18 +390,31 @@ def load_checkpoint_orbax(path: str, dtype=jnp.float32):
     nb = int(config.get("num_bins", config.get("generator", {}).get("num_bins", 5)))
     voxel = jnp.zeros((2, 1, h, w, nb)) if is_seq else jnp.zeros((1, h, w, nb))
     target = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
+    gen_cfg = config.get("generator", config)
+
+    def make_spec(params):
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        return ModelSpec(
+            name=name,
+            module=model,
+            params=params,
+            num_bins=nb,
+            num_encoders=int(gen_cfg.get("num_encoders", 3)),
+            is_sequence_model=is_seq,
+        )
+
+    return target, make_spec
+
+
+def load_checkpoint_orbax(path: str, dtype=jnp.float32):
+    """Load an orbax checkpoint -> ModelSpec (mirror of load_checkpoint)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    target, make_spec = _checkpoint_target(path, dtype)
     with ocp.StandardCheckpointer() as ckptr:
         params = ckptr.restore(path, jax.device_get(target))
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    gen_cfg = config.get("generator", config)
-    return ModelSpec(
-        name=name,
-        module=model,
-        params=params,
-        num_bins=nb,
-        num_encoders=int(gen_cfg.get("num_encoders", 3)),
-        is_sequence_model=is_seq,
-    )
+    return make_spec(params)
 
 
 def save_checkpoint(path: str, params, model_name: str, config: Dict) -> None:
@@ -382,27 +433,7 @@ def load_checkpoint(path: str, dtype=jnp.float32):
     """Load a framework-native checkpoint -> ModelSpec."""
     from flax import serialization
 
-    from bde2vid_tpu.models.api import ModelSpec, build_model
-
-    with open(path + ".json") as fp:
-        meta = json.load(fp)
-    name, config = meta["model"], meta["config"]
-    model = build_model(name, config, dtype=dtype)
-    is_seq = bool(getattr(model, "is_sequence_model", False))
-    h = w = 64
-    nb = int(config.get("num_bins", config.get("generator", {}).get("num_bins", 5)))
-    voxel = jnp.zeros((2, 1, h, w, nb)) if is_seq else jnp.zeros((1, h, w, nb))
-    target = model.init(jax.random.PRNGKey(0), voxel, model.initial_state(1, h, w))
+    target, make_spec = _checkpoint_target(path, dtype)
     with open(path, "rb") as fp:
         params = serialization.from_bytes(jax.device_get(target), fp.read())
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    gen_cfg = config.get("generator", config)
-    spec = ModelSpec(
-        name=name,
-        module=model,
-        params=params,
-        num_bins=nb,
-        num_encoders=int(gen_cfg.get("num_encoders", 3)),
-        is_sequence_model=is_seq,
-    )
-    return spec
+    return make_spec(params)

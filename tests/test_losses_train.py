@@ -319,7 +319,7 @@ def test_one_window_deterministic_fallback_finds_rare_long_file(tmp_path, rng):
             return getattr(self._inner, name)
 
     tm._SEQ_CACHE = None  # isolate from other tests
-    vox, frames = tm._one_window(
+    vox, frames, _ = tm._one_window(
         [str(short), str(long_)],
         _ShortBiasedRng(np.random.default_rng(0)),
         seq_len=3,
@@ -521,3 +521,90 @@ def test_flagship_arch_train_smoke(rng):
         losses.append(float(loss_dict["loss"]))
     assert np.isfinite(losses).all(), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_duplicate_loss_types_both_counted(rng):
+    """A config listing the SAME loss type twice (the reference's summed
+    loss-list convention permits it, e.g. two L1 terms at different
+    weights) must train against BOTH — the old type-keyed dict silently
+    dropped all but the last entry. Both unrolled and scan paths."""
+    preds = jnp.asarray(rng.uniform(0, 1, (4, 1, 8, 8, 1)).astype(np.float32))
+    gts = jnp.zeros_like(preds)
+    l1 = float(np.abs(np.asarray(preds)).mean())
+    cfg = [{"type": "L1Loss", "weight": 1.0}, {"type": "L1Loss", "weight": 0.5}]
+    for thresh in (1000, 0):  # unrolled / scan
+        comp = SequenceLossComputer(cfg, unroll_threshold=thresh)
+        total, d = comp(None, preds, gts)
+        assert float(total) == pytest.approx(1.5 * l1, rel=1e-5), thresh
+        assert "L_LL" in d and "L_LL2" in d, sorted(d)
+        assert float(d["L_LL"]) == pytest.approx(l1, rel=1e-5)
+        assert float(d["L_LL2"]) == pytest.approx(0.5 * l1, rel=1e-5)
+
+
+def test_one_window_samples_exact_length_file(tmp_path, rng):
+    """A file with EXACTLY seq_len items is trainable, and the last valid
+    start is reachable (the old sampler required seq_len+1 items and never
+    drew start = len - seq_len, excluding every file's final item)."""
+    import bde2vid_tpu.train.__main__ as tm
+
+    path = tmp_path / "exact.h5"
+    _write_h5_seq(path, rng, n_frames=4)  # between_frames -> len(seq) == 3
+    tm._SEQ_CACHE = None
+    vox, frames, _ = tm._one_window(
+        [str(path)], np.random.default_rng(0), seq_len=3, num_bins=5,
+        pause_cfg={},
+    )
+    assert vox.shape[0] == 3 and frames.shape[0] == 3
+    tm._SEQ_CACHE = None
+
+
+def test_train_cli_temporal_consistency_with_flows(tmp_path, rng):
+    """End-to-end: TemporalConsistencyLoss trains through the CLI — flows
+    are read from the h5 (SequenceData.flows, displacement = stored flow *
+    window dt), pause-masked, cropped with the window, and reach the loss
+    (the old loop hard-coded flows=None, crashing any TC config)."""
+    import json as _json
+
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.train.__main__ import main
+    from tests.conftest import make_events
+
+    sensor = (16, 16)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    xs, ys, ts, ps = make_events(rng, n=6000, sensor_size=sensor, t1=1.0)
+    with H5EventWriter(str(data_dir / "s.h5"), sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(8):
+            t = (i + 0.5) / 8
+            w.add_image(rng.integers(0, 255, sensor).astype(np.uint8), t)
+            w.add_flow(
+                rng.normal(0, 0.5, (2, *sensor)).astype(np.float32), t
+            )
+
+    cfg = {
+        "name": "tc",
+        "model": {
+            "type": "E2VIDRecurrent",
+            "args": {
+                "num_bins": 5, "num_encoders": 2, "base_num_channels": 4,
+                "num_residual_blocks": 1, "recurrent_block_type": "convlstm",
+            },
+        },
+        "losses": [
+            {"type": "L1Loss"},
+            {"type": "TemporalConsistencyLoss", "L0": 0},
+        ],
+        "optimizer": {"lr": 1e-3},
+        "data": {"sequence_length": 4, "num_bins": 5},
+        "train": {"steps": 2, "ckpt_every": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    rc = main([
+        "--config", str(cfg_path), "--data_dir", str(data_dir),
+        "--out_dir", str(out_dir), "--steps", "2",
+    ])
+    assert rc == 0
+    assert list(out_dir.glob("*.msgpack")), "no checkpoint written"

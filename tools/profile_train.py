@@ -189,7 +189,7 @@ def profile_data(T: int, hw, n_windows: int = 20) -> dict:
     np.asarray(next(it)[0])  # open + first voxelize compile (readback sync)
     t0 = time.monotonic()
     for _ in range(n_windows):
-        v, _f = next(it)
+        v, _f, _ = next(it)
     np.asarray(v)  # force the async device window assembly to completion
     dt = time.monotonic() - t0
     return {
