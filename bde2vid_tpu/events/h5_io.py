@@ -217,8 +217,10 @@ class H5EventWriter:
 
     Reference: event_packagers.py:36-111. Events append in chunks; images and
     flow are individual datasets with timestamp attrs; ``finalize`` writes the
-    file attrs and per-frame ``event_idx`` (index of the last event at or
-    before each frame timestamp, clamped to >= 0 — reference :75-89).
+    file attrs and per-frame ``event_idx`` — searchsorted-LEFT minus 1,
+    clamped to >= 0: the last event strictly BEFORE the frame timestamp (an
+    event exactly simultaneous with the frame is excluded — the reference
+    packager's convention, :75-89).
     """
 
     def __init__(self, path: str, sensor_size: Tuple[int, int] = (180, 240)):
@@ -291,5 +293,12 @@ class H5EventWriter:
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            # the with-body raised: close WITHOUT finalize. Writing the
+            # complete-looking file attrs over partial data would make a
+            # truncated conversion indistinguishable from a successful one
+            # (and a finalize failure would mask the original error)
+            self.f.close()
+            return
         self.finalize()

@@ -90,6 +90,7 @@ def zip_to_h5(
         raise ValueError("zip contains no events file")
 
     first_ts = None
+    sensor_known = sensor_size is not None
     with H5EventWriter(output_path, sensor_size=sensor_size or (180, 240)) as w:
         if imgtsfile is not None:
             lines = zf.read(imgtsfile).decode().strip().splitlines()
@@ -103,11 +104,13 @@ def zip_to_h5(
                 w.add_image(img, ts)
                 if sensor_size is None:
                     w.sensor_size = img.shape[:2]
+                    sensor_known = True
         # the reference resets first_ts before the event loop
         # (zip_to_h5.py:70-71): events zero by the FIRST EVENT timestamp,
         # independently of the image stream (and regardless of whether an
         # images.txt exists)
         ev_first_ts = None
+        max_x = max_y = 0
         ts_l, xs_l, ys_l, ps_l = [], [], [], []
         for raw in zf.read(evtfile).decode().strip().splitlines():
             t, x, y, pol = raw.split()
@@ -118,10 +121,19 @@ def zip_to_h5(
             ys_l.append(int(y))
             ps_l.append(int(pol) > 0)
             if len(ts_l) >= 100_000:
+                max_x = max(max_x, max(xs_l))
+                max_y = max(max_y, max(ys_l))
                 _flush_events(w, ts_l, xs_l, ys_l, ps_l, ev_first_ts, zero_timestamps)
                 ts_l, xs_l, ys_l, ps_l = [], [], [], []
         if ts_l:
+            max_x = max(max_x, max(xs_l))
+            max_y = max(max_y, max(ys_l))
             _flush_events(w, ts_l, xs_l, ys_l, ps_l, ev_first_ts, zero_timestamps)
+        if not sensor_known:
+            # events-only zip (no decodable frames): infer the sensor from
+            # the event extents like txt_to_h5 — the (180,240) placeholder
+            # would silently mask every event beyond it downstream
+            w.sensor_size = (max_y + 1, max_x + 1)
 
 
 def _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps):
@@ -134,12 +146,16 @@ def _flush_events(w, ts_l, xs_l, ys_l, ps_l, first_ts, zero_timestamps):
 
 
 def _decode_gray_image(data: bytes) -> np.ndarray:
-    """Decode an image to grayscale uint8; OpenCV if present, else PNG via
-    the standard library for the common case."""
+    """Decode an image to grayscale uint8; OpenCV if present, else PIL.
+    cv2.imdecode signals failure by returning None (not raising), so an
+    undecodable payload falls through to PIL instead of handing None to
+    the caller."""
     try:
         import cv2
 
-        return cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_GRAYSCALE)
+        if img is not None:
+            return img
     except ImportError:
         pass
     try:
@@ -196,14 +212,29 @@ def h5_to_memmap(h5_path: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with H5EventReader(h5_path) as r:
         # raw dtypes: float64 absolute ts kept lossless (float32 relative ts
-        # would quantize microsecond timing late in long recordings)
-        rxs, rys, rts, rps = r.raw_events(0, r.num_events)
-        np.save(os.path.join(out_dir, "t.npy"), rts.astype(np.float64))
-        np.save(
-            os.path.join(out_dir, "xy.npy"),
-            np.stack([rxs, rys], axis=1).astype(np.int16),
+        # would quantize microsecond timing late in long recordings).
+        # Copy CHUNK-WISE into pre-sized memmaps: materializing the whole
+        # stream (~13 B/event) needs >10 GB transient RAM on long
+        # recordings, for a purely sequential copy
+        n = r.num_events
+        t_out = np.lib.format.open_memmap(
+            os.path.join(out_dir, "t.npy"), mode="w+", dtype=np.float64, shape=(n,)
         )
-        np.save(os.path.join(out_dir, "p.npy"), (rps > 0).astype(np.uint8))
+        xy_out = np.lib.format.open_memmap(
+            os.path.join(out_dir, "xy.npy"), mode="w+", dtype=np.int16, shape=(n, 2)
+        )
+        p_out = np.lib.format.open_memmap(
+            os.path.join(out_dir, "p.npy"), mode="w+", dtype=np.uint8, shape=(n,)
+        )
+        chunk = 1 << 22  # ~4M events (~60 MB working set)
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            rxs, rys, rts, rps = r.raw_events(i0, i1)
+            t_out[i0:i1] = rts
+            xy_out[i0:i1, 0] = rxs
+            xy_out[i0:i1, 1] = rys
+            p_out[i0:i1] = rps > 0
+        del t_out, xy_out, p_out  # flush the memmaps
         if r.num_frames:
             imgs = np.stack(
                 [np.asarray(r.f["images"][k]) for k in r._frame_keys]
@@ -296,7 +327,11 @@ class NPYEventReader:
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
-        return int(np.searchsorted(np.asarray(self.t) - self.t0, t, side=side))
+        # search the stored ABSOLUTE timestamps with the query shifted by
+        # t0: `np.asarray(self.t) - self.t0` would materialize + subtract
+        # the whole stream on EVERY call (one per window in t_seconds/HFR
+        # windowing) — O(N) copies against an O(log N) search
+        return int(np.searchsorted(self.t, t + self.t0, side=side))
 
     def frame(self, i: int) -> np.ndarray:
         img = np.asarray(self.images[i])
@@ -321,9 +356,12 @@ class MemMapEventReader:
         if not os.path.isdir(path):
             raise ValueError(f"{path} is not a memmap directory")
         self.path = path
-        self.t = np.load(os.path.join(path, "t.npy"), mmap_mode="r").squeeze()
-        self.xy = np.load(os.path.join(path, "xy.npy"), mmap_mode="r").squeeze()
-        self.p = np.load(os.path.join(path, "p.npy"), mmap_mode="r").squeeze()
+        # reshape, not squeeze: RPG files store (N,1)/(N,1,2)-shaped arrays,
+        # but an unconditional squeeze corrupts N==1 files ((1,2) xy ->
+        # (2,), (1,) t -> 0-d, breaking len()/column indexing)
+        self.t = np.load(os.path.join(path, "t.npy"), mmap_mode="r").reshape(-1)
+        self.xy = np.load(os.path.join(path, "xy.npy"), mmap_mode="r").reshape(-1, 2)
+        self.p = np.load(os.path.join(path, "p.npy"), mmap_mode="r").reshape(-1)
         img_path = os.path.join(path, "images.npy")
         self.images = np.load(img_path, mmap_mode="r") if os.path.exists(img_path) else None
         ts_path = os.path.join(path, "timestamps.npy")
@@ -382,7 +420,8 @@ class MemMapEventReader:
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
-        return int(np.searchsorted(np.asarray(self.t) - self.t0, t, side=side))
+        # copy-free binary search over the memmap (see NPYEventReader)
+        return int(np.searchsorted(self.t, t + self.t0, side=side))
 
     def frame(self, i: int) -> np.ndarray:
         img = np.asarray(self.images[i])

@@ -122,7 +122,9 @@ def events_to_image(
     return img.reshape(h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("sensor_size", "padding"))
+@functools.partial(
+    jax.jit, static_argnames=("sensor_size", "padding", "clip_weights")
+)
 def events_to_image_bilinear(
     xs: Array,
     ys: Array,
@@ -131,6 +133,7 @@ def events_to_image_bilinear(
     *,
     sensor_size: Tuple[int, int] = (180, 240),
     padding: bool = True,
+    clip_weights: bool = True,
 ) -> Array:
     """Bilinear (4-corner) scatter of float-coordinate events into an image.
 
@@ -138,11 +141,16 @@ def events_to_image_bilinear(
     splits its weight over the 4 surrounding integer pixels by the fractional
     offsets. With ``padding`` the image gets a +1 guard row/col (reference
     event_utils.py:348) which is kept in the output, as the reference does.
+    ``clip_weights=False`` reproduces the timestamp-image quirk: out-of-range
+    events keep their weight and deposit it at the origin corner (their
+    coordinates are zeroed, their fractions kept — reference
+    events_to_timestamp_image scatters un-masked weights).
     """
     h, w = sensor_size
     if padding:
         h, w = h + 1, w + 1
-    pxi, pyi, dx, dy, gate = _bilinear_coords(xs, ys, n_events, h, w)
+    pxi, pyi, dx, dy, valid, inb = _bilinear_coords(xs, ys, n_events, h, w)
+    gate = valid * inb if clip_weights else valid
     wgt = ps.astype(jnp.float32) * gate
     corners = jnp.stack(
         [
@@ -157,11 +165,15 @@ def events_to_image_bilinear(
 
 
 def _bilinear_coords(xs: Array, ys: Array, n_events, h: int, w: int):
-    """Shared bilinear-scatter front end: floor/fractional coordinates and
-    the combined validity gate. Matches the reference mask chain
-    (event_utils.py:223-237): clip at img_size-1, and zero the
-    *coordinates* of masked events (``pxs*mask``) rather than the corner
-    weights — masked events land at (0,0) with their (gated) weight."""
+    """Shared bilinear-scatter front end: floor/fractional coordinates plus
+    the two masks SEPARATELY — ``valid`` (inside the padded event count) and
+    ``inb`` (the reference clip at img_size-1, event_utils.py:223-237).
+    Out-of-range events get their *coordinates* zeroed (``pxs*mask``, like
+    the reference) while the fractional offsets keep the original
+    coordinate's fraction; whether their WEIGHT is also zeroed is the
+    caller's choice — the reference gates it for image/derivative scatters
+    (``masked_ps``) but NOT for the timestamp image, whose out-of-range
+    events deposit at the origin corner (see events_to_timestamp_image)."""
     xs = xs.astype(jnp.float32)
     ys = ys.astype(jnp.float32)
     valid = _valid_mask(xs.shape[0], n_events)
@@ -170,7 +182,7 @@ def _bilinear_coords(xs: Array, ys: Array, n_events, h: int, w: int):
     py = jnp.floor(ys)
     pxi = (px * inb).astype(jnp.int32)
     pyi = (py * inb).astype(jnp.int32)
-    return pxi, pyi, xs - px, ys - py, valid * inb
+    return pxi, pyi, xs - px, ys - py, valid, inb
 
 
 def _corner_scatter(pxi: Array, pyi: Array, corners: Array, h: int, w: int) -> Array:
@@ -229,8 +241,8 @@ def events_to_image_drv(
     h, w = sensor_size
     if padding:
         h, w = h + 1, w + 1
-    pxi, pyi, dx, dy, gate = _bilinear_coords(xs, ys, n_events, h, w)
-    wgt = ps.astype(jnp.float32) * gate
+    pxi, pyi, dx, dy, valid, inb = _bilinear_coords(xs, ys, n_events, h, w)
+    wgt = ps.astype(jnp.float32) * (valid * inb)  # reference masked_ps
     w1 = jx.astype(jnp.float32) * wgt  # (P, N)
     w2 = jy.astype(jnp.float32) * wgt
     img_corners = jnp.stack(
@@ -426,6 +438,10 @@ def events_to_timestamp_image(
     (+1e-6, matching the reference's normalization quirk), then bilinearly
     scattered per polarity. Returns the *sum* images (the reference returns
     the un-divided sums; see its commented-out count division at :319).
+    Out-of-range events keep their normalized-ts weight and land at the
+    origin corner (``clip_weights=False``): the reference scatters
+    ``normalized_ts * polarity_mask`` WITHOUT the clip mask (:305-313),
+    unlike its image/derivative scatters which use ``masked_ps``.
     """
     ts = ts.astype(jnp.float32)
     valid = _valid_mask(xs.shape[0], n_events)
@@ -434,10 +450,12 @@ def events_to_timestamp_image(
     pos_mask = jnp.where(ps > 0, 1.0, 0.0)
     neg_mask = jnp.where(ps <= 0, 1.0, 0.0)
     img_pos = events_to_image_bilinear(
-        xs, ys, t_norm * pos_mask, n_events, sensor_size=sensor_size, padding=padding
+        xs, ys, t_norm * pos_mask, n_events, sensor_size=sensor_size,
+        padding=padding, clip_weights=False,
     )
     img_neg = events_to_image_bilinear(
-        xs, ys, t_norm * neg_mask, n_events, sensor_size=sensor_size, padding=padding
+        xs, ys, t_norm * neg_mask, n_events, sensor_size=sensor_size,
+        padding=padding, clip_weights=False,
     )
     return img_pos, img_neg
 

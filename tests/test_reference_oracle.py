@@ -1215,3 +1215,52 @@ def test_event_idx_recovery_matches_packager_convention(tmp_path, rng):
     with H5EventReader(path) as r:
         recovered = np.array(r.frame_event_indices)
     np.testing.assert_array_equal(recovered, with_attrs)
+
+
+def test_timestamp_image_out_of_range_matches_reference(rng):
+    """Events BEYOND the clip range must reproduce the reference's quirk:
+    the timestamp image scatters UN-masked weights (event_utils.py:305-313),
+    so an out-of-range event's coordinates zero but its normalized-ts
+    weight still deposits around the origin pixel — unlike the image /
+    derivative scatters, whose weights are masked (masked_ps). Negative
+    coordinates are excluded: the reference never clips them (torch
+    index_put_ would wrap), a documented divergence."""
+    eu, _, _ = _ref_modules()
+    from bde2vid_tpu.events import (
+        events_to_image_bilinear,
+        events_to_timestamp_image,
+        pad_events,
+    )
+
+    h, w = 24, 32
+    n = 2000
+    xs, ys, ts, ps = _events(rng, n, h, w, float_coords=True)
+    oor_x = rng.random(n) < 0.08
+    oor_y = rng.random(n) < 0.08
+    xs[oor_x] += w  # beyond the padded clip (img_size-1)
+    ys[oor_y] += h
+
+    want_pos, want_neg = eu.events_to_timestamp_image(
+        xs.astype(np.float64), ys.astype(np.float64),
+        ts.astype(np.float64), ps.astype(np.float64),
+        sensor_size=(h, w), clip_out_of_range=True,
+        interpolation="bilinear", padding=True,
+    )
+    px, py, pt, pp, pn = pad_events(xs, ys, ts, ps, capacity=2048)
+    got_pos, got_neg = events_to_timestamp_image(
+        px, py, pt, pp, pn, sensor_size=(h, w), padding=True
+    )
+    assert float(np.abs(want_pos[:2, :2]).sum()) > 0  # the quirk fires
+    np.testing.assert_allclose(np.asarray(got_pos), want_pos, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_neg), want_neg, atol=1e-4)
+
+    # ...while the plain image scatter MASKS those weights (masked_ps)
+    want_img, _ = eu.events_to_image_drv(
+        xs.astype(np.float64), ys.astype(np.float64), ps.astype(np.float64),
+        None, None, sensor_size=(h, w), clip_out_of_range=True,
+        interpolation="bilinear", padding=True,
+    )
+    got_img = np.asarray(
+        events_to_image_bilinear(px, py, pp, pn, sensor_size=(h, w), padding=True)
+    )
+    np.testing.assert_allclose(got_img, want_img, atol=1e-4)
