@@ -127,10 +127,10 @@ def read_datafiles(data_dir: str, datasets, loader_type: str = "H5"):
         with open(listing) as f:
             files = [l for l in f.read().split("\n") if l]
     elif loader_type in ("H5", "SpadeH5", "H5VOX"):  # fall back to walking the tree
-        files = [
+        files = sorted(  # glob order is filesystem-dependent; keep results diffable
             os.path.relpath(p, root)
             for p in glob(os.path.join(root, "**", "*.h5"), recursive=True)
-        ]
+        )
     else:  # directory-per-sequence backends
         files = sorted(
             os.path.relpath(os.path.dirname(p), root)
@@ -175,6 +175,17 @@ def main(argv=None) -> int:
             if args.lpips_backbone
             else None
         )
+        if backbone is None:
+            # lin heads alone leave the AlexNet trunk at RANDOM init:
+            # p_loss numbers would be meaningless yet land in the result
+            # files looking real (training refuses outright; eval warns
+            # loudly since the other metrics remain valid)
+            print(
+                "WARNING: p_loss will use a RANDOM LPIPS backbone — pass "
+                "--lpips_backbone (converted torchvision weights) for real "
+                "perceptual scores",
+                file=sys.stderr,
+            )
         lpips_pair = (LPIPS(net="alex"), load_lpips_params(lin, backbone))
 
     metrics = tuple(args.metrics)
@@ -215,15 +226,30 @@ def main(argv=None) -> int:
             spec = load_checkpoint(ckpt, dtype=dtype)
         else:
             spec = load_model_from_torch(ckpt, dtype=dtype)
-        if resolve_pallas(args.pallas, spec.name):
-            from bde2vid_tpu.models import build_model
+        if spec.name == "BDE2VID":
+            # ALWAYS rebuild with the resolved flag — not only to enable:
+            # a checkpoint trained with use_pallas_attention baked into its
+            # sidecar config must honor --no-pallas (and the auto-off on
+            # non-TPU hosts, where the kernels would crawl in interpret
+            # mode), so disabling matters as much as enabling
+            use_pallas = resolve_pallas(args.pallas, spec.name)
+            mcfg = spec.module.config
+            cur = bool(
+                mcfg.get(
+                    "use_pallas_attention",
+                    mcfg.get("generator", {}).get("use_pallas_attention", False),
+                )
+            )
+            if cur != use_pallas:
+                from bde2vid_tpu.models import build_model
 
-            cfg2 = dict(spec.module.config)
-            cfg2["use_pallas_attention"] = True
-            spec.module = build_model("BDE2VID", cfg2, dtype=dtype)
+                cfg2 = dict(spec.module.config)
+                cfg2["use_pallas_attention"] = use_pallas
+                spec.module = build_model("BDE2VID", cfg2, dtype=dtype)
         print(f"{spec.name}: {spec.num_params / 1e6:.2f}M parameters")
         cfg = EvalConfig(
             ltype=args.loader_type,
+            num_bins=spec.num_bins,
             combined_voxel_channels=not args.separate_polarity,
             subseq_L=subseq,
             max_length=args.max_length,
@@ -234,7 +260,11 @@ def main(argv=None) -> int:
             eq=args.eq,
             metrics=metrics,
             lpips=lpips_pair,
-            robust_norm_output="SNN" in name,
+            # keyed on the LOADED model type, not the checkpoint filename:
+            # a lowercase 'evsnn_e10.pth' must still get the reference's
+            # robust 1/99-percentile output normalization
+            # (rec_snn_forward.py applies it to membrane potentials)
+            robust_norm_output=spec.name in ("EVSNN", "PAEVSNN") or "SNN" in name,
             save_images_to=args.saveim,
             show=args.show,
             wait_time=args.wait_time,

@@ -61,6 +61,13 @@ def main(argv=None) -> int:
         spec = load_model_from_torch(args.path_to_pretrain_models)
         params = spec.params
         model = build_model(args.network, {"normalize_input": False})
+    if spec.name != args.network:
+        # a PAEVSNN param tree applied to an EVSNN module (or vice versa)
+        # dies deep inside flax with a missing-param error — fail clearly
+        raise SystemExit(
+            f"checkpoint is a {spec.name} model but -network says "
+            f"{args.network} — pass the matching network name"
+        )
 
     savepath = os.path.join(args.save_path, args.network)
     os.makedirs(savepath, exist_ok=True)

@@ -48,13 +48,23 @@ def find_default_lpips_lin(net: str = "alex") -> Optional[str]:
     import os
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = os.environ.get("BDE2VID_LPIPS_LIN")
+    if env:
+        # an EXPLICITLY-set path that doesn't resolve is a user error —
+        # silently falling through to other candidates would score with
+        # weights the user never chose
+        if not os.path.isfile(env):
+            raise FileNotFoundError(
+                f"BDE2VID_LPIPS_LIN={env} does not exist (unset it to use "
+                "the discovered defaults)"
+            )
+        return env
     candidates = [
-        os.environ.get("BDE2VID_LPIPS_LIN"),
         os.path.join(repo_root, "weights", "lpips", f"{net}.pth"),
         f"/root/reference/LPIPS/weights/v0.1/{net}.pth",
     ]
     for c in candidates:
-        if c and os.path.isfile(c):
+        if os.path.isfile(c):
             return c
     return None
 
@@ -361,12 +371,21 @@ def load_lpips_params(
     # would produce unweighted (wrong) LPIPS values with no error. An empty
     # dict is an explicit "backbone only" request (e.g. PNet conversion).
     if lin_state:
-        for k in range(len(_net_chns(net))):
+        chns = _net_chns(net)
+        for k in range(len(chns)):
             for key in (f"lin{k}.model.1.weight", f"lin{k}.weight"):
                 if key in lin_state:
-                    params["params"][f"lin{k}"] = (
-                        np.asarray(lin_state[key]).reshape(-1).astype(np.float32)
-                    )
+                    arr = np.asarray(lin_state[key]).reshape(-1).astype(np.float32)
+                    if arr.shape != (chns[k],):
+                        # fail HERE, not as an opaque XLA broadcast error
+                        # later: a vgg lin file against net='alex' passes
+                        # lin0 (64 == 64) and only diverges at lin1
+                        raise ValueError(
+                            f"lin{k} weight has {arr.shape[0]} channels, "
+                            f"net='{net}' expects {chns[k]} — wrong-net lin "
+                            "file?"
+                        )
+                    params["params"][f"lin{k}"] = arr
                     break
             else:
                 raise KeyError(
@@ -558,14 +577,13 @@ def bce_ranking_loss(rank_net: Dist2Logit, rank_params, d0, d1, judge) -> Array:
 def clamp_lin_nonnegative(params):
     """Reference clamp_weights (dist_model.py:173-175): the metric's 1x1 lin
     weights are projected to >= 0 after every optimizer step."""
-    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
-    p = dict(out["params"])
-    for k in list(p):
-        if k.startswith("lin"):
-            p[k] = jnp.maximum(p[k], 0.0)
-    out = dict(out)
-    out["params"] = p
-    return out
+    return {
+        **params,
+        "params": {
+            k: jnp.maximum(v, 0.0) if k.startswith("lin") else v
+            for k, v in params["params"].items()
+        },
+    }
 
 
 def compute_2afc_accuracy(d0, d1, judge) -> float:

@@ -306,7 +306,10 @@ def _bin_fold(one_bin, voxel, state, normalize_input=True):
     lets callers that pre-normalize (the rec_snn CLI feeds single bins)
     skip the per-call norm."""
     if normalize_input:
-        voxel = legacy_norm(voxel, unbiased=True)
+        # PER SAMPLE, like the reference's per-tensor norm (its runner only
+        # ever sees one sample): one batch-wide mean/std would let sample
+        # A's event density shift sample B's normalized input at N>1
+        voxel = jax.vmap(lambda v: legacy_norm(v, unbiased=True))(voxel)
     img = None
     for j in range(voxel.shape[-1]):
         img, state = one_bin(voxel[..., j:j + 1], state)
