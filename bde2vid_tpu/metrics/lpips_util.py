@@ -4,8 +4,9 @@ The metric-path pieces (normalize_tensor, l2/dssim fakes, tensor2im-exact
 uint8 casting inside dssim, voc_ap, 2AFC/JND scorers) live in
 ``metrics/lpips.py``; this module carries the remaining report/visualization
 utilities: NHWC<->uint8 image conversion, Lab color space, bootstrap
-confidence intervals, montage grids, and 255-range PSNR. All NumPy, all off
-the device path. The reference's torch NCHW convention becomes NHWC here
+confidence intervals, montage grids, 255-range PSNR, and the small debug
+helpers (diagnose_network/info/varname/print_numpy, patch/resize/display
+utilities, mkdirs — reference :152-256). All NumPy, all off the device path. The reference's torch NCHW convention becomes NHWC here
 (CLAUDE.md conventions); its astropy/skimage dependencies are replaced with
 self-contained implementations.
 """
@@ -189,6 +190,139 @@ def montage(
         r0, c0 = grid_mm[i] * (y + pad), grid_nn[i] * (x + pad)
         out[r0 : r0 + y, c0 : c0 + x] = imgs[:, :, :, i]
     return out[:, :, 0] if to_exp else out
+
+
+def tensor2vec(vector_tensor: np.ndarray) -> np.ndarray:
+    """(N, 1, 1, C) NHWC -> (N, C) (reference util.tensor2vec :152-153,
+    which squeezes the trailing 1x1 spatial dims of an NCHW tensor)."""
+    return np.asarray(vector_tensor)[:, 0, 0, :]
+
+
+def diagnose_network(grads, name: str = "network") -> float:
+    """Mean absolute gradient over a pytree of gradient leaves (reference
+    util.diagnose_network :155-165, which walks ``net.parameters()`` and
+    averages per-leaf mean |grad|). Functional JAX has no grad-bearing
+    module, so this takes the grads pytree a ``jax.grad`` call returns;
+    leaves that are None (untouched params) are skipped like the
+    reference's ``param.grad is None`` check. Prints and returns the mean."""
+    import jax
+
+    leaf_means = [
+        float(np.mean(np.abs(np.asarray(g))))
+        for g in jax.tree_util.tree_leaves(grads)
+        if g is not None
+    ]
+    mean = float(np.mean(leaf_means)) if leaf_means else 0.0
+    print(name)
+    print(mean)
+    return mean
+
+
+def grab_patch(img_in: np.ndarray, P: int, yy: int, xx: int) -> np.ndarray:
+    """P×P crop at (yy, xx) of an (H, W, C) image (reference util.grab_patch
+    :167-168)."""
+    return img_in[yy : yy + P, xx : xx + P, :]
+
+
+def load_image(path: str) -> np.ndarray:
+    """Image file -> (H, W, 3) RGB uint8 (reference util.load_image
+    :170-181; its rawpy DNG branch is dropped — rawpy isn't a dependency
+    here — and the matplotlib fallback becomes the same cv2 read)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(f"load_image: cannot read {path}")
+    return img[:, :, ::-1]
+
+
+def resize_image(img: np.ndarray, max_size: int = 256) -> np.ndarray:
+    """Zoom so the longest side is max_size (reference util.resize_image
+    :184-192 via scipy.ndimage.zoom)."""
+    from scipy.ndimage import zoom
+
+    max_dim = max(img.shape[:2])
+    zoom_factor = 1.0 * max_size / max_dim
+    return zoom(img, [zoom_factor, zoom_factor, 1])
+
+
+def resize_image_zoom(img: np.ndarray, zoom_factor: float = 1.0,
+                      order: int = 3) -> np.ndarray:
+    """Spline zoom with explicit factor (reference util.resize_image_zoom
+    :194-198); factor 1 returns the input unchanged."""
+    if zoom_factor == 1:
+        return img
+    from scipy.ndimage import zoom
+
+    return zoom(img, [zoom_factor, zoom_factor, 1], order=order)
+
+
+def prep_display_image(img: np.ndarray, dtype: str = "uint8") -> np.ndarray:
+    """Clip to display range: [0,255] uint8 or [0,1] float (reference
+    util.prep_display_image :205-209)."""
+    if dtype == "uint8":
+        return np.clip(img, 0, 255).astype("uint8")
+    return np.clip(img, 0, 1.0)
+
+
+def info(obj, spacing: int = 10, collapse: int = 1) -> None:
+    """Print an object's callable attributes with their docstrings
+    (reference util.info :212-226; ``collections.Callable`` there is the
+    pre-3.10 spelling of callable())."""
+    method_list = [e for e in dir(obj) if callable(getattr(obj, e))]
+    process = (lambda s: " ".join(s.split())) if collapse else (lambda s: s)
+    print(
+        "\n".join(
+            f"{m.ljust(spacing)} {process(str(getattr(obj, m).__doc__))}"
+            for m in method_list
+        )
+    )
+
+
+def varname(p) -> Optional[str]:
+    """Best-effort source-level name of the argument at the call site
+    (reference util.varname :229-233): inspects the caller's source line
+    for ``varname(<identifier>)``. None when the line can't be parsed."""
+    import inspect
+    import re
+
+    frame = inspect.currentframe().f_back
+    for line in inspect.getframeinfo(frame)[3] or []:
+        m = re.search(r"\bvarname\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", line)
+        if m:
+            return m.group(1)
+    return None
+
+
+def print_numpy(x: np.ndarray, val: bool = True, shp: bool = False) -> None:
+    """Print shape and/or summary stats of an array (reference
+    util.print_numpy :236-245)."""
+    x = np.asarray(x).astype(np.float64)
+    if shp:
+        print("shape,", x.shape)
+    if val:
+        x = x.flatten()
+        print(
+            "mean = %3.3f, min = %3.3f, max = %3.3f, median = %3.3f, std=%3.3f"
+            % (np.mean(x), np.min(x), np.max(x), np.median(x), np.std(x))
+        )
+
+
+def mkdir(path: str) -> None:
+    """mkdir -p one directory (reference util.mkdir :259-261)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+
+def mkdirs(paths) -> None:
+    """mkdir -p one path or a list of paths (reference util.mkdirs
+    :248-256)."""
+    if isinstance(paths, list) and not isinstance(paths, str):
+        for path in paths:
+            mkdir(path)
+    else:
+        mkdir(paths)
 
 
 def save_image(image: np.ndarray, path: str) -> None:

@@ -607,3 +607,72 @@ def test_tensor2tensorlab_reference_chain(rng):
     # mc_only centers L but leaves a/b unscaled
     np.testing.assert_allclose(mc[..., 1:], raw[..., 1:], atol=1e-4)
     np.testing.assert_allclose(mc[..., 0], raw[..., 0] - 50.0, atol=1e-4)
+
+
+def test_lpips_util_debug_helpers(tmp_path, rng, capsys):
+    """The debug-helper tail of reference LPIPS/util/util.py:152-256:
+    tensor2vec squeeze, diagnose_network mean |grad| over a pytree,
+    grab_patch, resize/zoom shapes, prep_display_image clipping,
+    print_numpy/info/varname output, mkdirs."""
+    from bde2vid_tpu.metrics import lpips_util as lu
+
+    # tensor2vec: (N,1,1,C) -> (N,C)
+    v = rng.standard_normal((3, 1, 1, 5)).astype(np.float32)
+    np.testing.assert_array_equal(lu.tensor2vec(v), v[:, 0, 0, :])
+
+    # diagnose_network: mean over per-leaf mean |g|, None leaves skipped
+    grads = {"a": np.array([1.0, -3.0]), "b": None, "c": np.array([[2.0]])}
+    got = lu.diagnose_network(grads, name="net")
+    assert np.isclose(got, (2.0 + 2.0) / 2.0)
+    out = capsys.readouterr().out
+    assert "net" in out
+
+    # grab_patch
+    img = rng.standard_normal((8, 9, 3))
+    np.testing.assert_array_equal(lu.grab_patch(img, 4, 1, 2), img[1:5, 2:6, :])
+
+    # resize_image: longest side -> max_size; resize_image_zoom identity at 1
+    small = rng.uniform(0, 1, (4, 8, 3))
+    resized = lu.resize_image(small, max_size=16)
+    assert resized.shape[:2] == (8, 16)
+    assert lu.resize_image_zoom(small, 1.0) is small
+    assert lu.resize_image_zoom(small, 2.0, order=1).shape == (8, 16, 3)
+
+    # prep_display_image
+    f = np.array([[-0.5, 0.5, 1.5]])
+    np.testing.assert_array_equal(
+        lu.prep_display_image(f, dtype="float"), [[0.0, 0.5, 1.0]]
+    )
+    u = np.array([[-3.0, 128.0, 300.0]])
+    np.testing.assert_array_equal(lu.prep_display_image(u), [[0, 128, 255]])
+
+    # print_numpy / info emit readable summaries
+    lu.print_numpy(np.arange(4.0), val=True, shp=True)
+    lu.info(np.ndarray, spacing=4)
+    out = capsys.readouterr().out
+    assert "shape," in out and "mean" in out
+
+    # varname resolves the call-site identifier
+    some_array = f
+    assert lu.varname(some_array) == "some_array"
+
+    # mkdirs handles str and list
+    d1 = str(tmp_path / "x" / "y")
+    d2 = str(tmp_path / "z")
+    lu.mkdirs([d1, d2])
+    lu.mkdirs(d1)  # idempotent
+    import os
+
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+
+
+def test_lpips_util_load_image_roundtrip(tmp_path, rng):
+    """load_image reads back the PNG save_image wrote, as RGB (reference
+    load_image :176-177 returns BGR reversed to RGB)."""
+    from bde2vid_tpu.metrics import lpips_util as lu
+
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    path = str(tmp_path / "t.png")
+    lu.save_image(img, path)
+    got = lu.load_image(path)
+    np.testing.assert_array_equal(got, img)
