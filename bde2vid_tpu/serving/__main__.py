@@ -1,0 +1,152 @@
+"""Serving CLI: export checkpoints to AOT bundles, run bundles on voxels.
+
+    python -m bde2vid_tpu.serving export --weights model.pth \
+        --out model.bundle.zip --hw 180 240 [--T 16] [--platforms tpu,cpu]
+    python -m bde2vid_tpu.serving run --bundle model.bundle.zip \
+        --voxels voxels.npy [--out_dir imgs/]
+
+``export`` accepts every checkpoint dialect the eval CLI does (torch
+mmengine/template/bare/SNN via eval/checkpoint.py, framework msgpack/orbax
+via train/trainer.py) and emits a source-free StableHLO bundle. ``run``
+needs only jax + the bundle: it loads ``voxels.npy`` ((T, H, W, C) float),
+pads to the bundle's exported spatial shape, runs, crops back, and writes
+PNGs — a minimal reference server loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_spec(path: str, bf16: bool, pallas: bool):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if path.endswith(".msgpack"):
+        from bde2vid_tpu.train import load_checkpoint
+
+        spec = load_checkpoint(path, dtype=dtype)
+    else:
+        from bde2vid_tpu.eval.checkpoint import load_model_from_torch
+
+        spec = load_model_from_torch(path, dtype=dtype)
+    if spec.name == "BDE2VID":
+        # Portability default: pure-XLA attention (Pallas lowers to
+        # tpu_custom_call, which pins the artifact to platforms=tpu and
+        # carries no cross-version stability guarantee — serving/export.py).
+        mcfg = dict(spec.module.config)
+        if bool(mcfg.get("use_pallas_attention",
+                         mcfg.get("generator", {}).get("use_pallas_attention",
+                                                       False))) != pallas:
+            from bde2vid_tpu.models import build_model
+
+            mcfg["use_pallas_attention"] = pallas
+            spec.module = build_model("BDE2VID", mcfg, dtype=dtype)
+    return spec
+
+
+def cmd_export(args) -> int:
+    from bde2vid_tpu.serving.export import export_spec_bundle, save_bundle
+    from bde2vid_tpu.utils.padding import optimal_crop_size
+
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    spec = _load_spec(args.weights, args.bf16, args.pallas)
+    h, w = args.hw
+    factor = max(spec.num_encoders, 1)
+    ph = optimal_crop_size(h, factor)
+    pw = optimal_crop_size(w, factor)
+    if (ph, pw) != (h, w):
+        print(f"padding exported shape {h}x{w} -> {ph}x{pw} "
+              f"(/2^{factor} stride; Croper semantics)")
+    bundle = export_spec_bundle(
+        spec, ph, pw, seq_len=args.T, batch=args.batch, platforms=platforms
+    )
+    # record the pre-pad sensor shape so `run` can crop outputs back
+    bundle.meta["sensor_height"], bundle.meta["sensor_width"] = h, w
+    save_bundle(args.out, bundle)
+    size = os.path.getsize(args.out)
+    print(json.dumps({
+        "out": args.out, "bytes": size, "model": spec.name,
+        "kind": bundle.meta["kind"], "platforms": list(platforms),
+        "exported_hw": [ph, pw], "num_params": spec.num_params,
+    }))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from bde2vid_tpu.serving.export import load_bundle, run_voxels
+
+    bundle = load_bundle(args.bundle)
+    voxels = np.load(args.voxels)
+    if voxels.ndim == 4:
+        voxels = voxels[:, None]
+    t, n, h, w, c = voxels.shape
+    ph, pw = bundle.meta["height"], bundle.meta["width"]
+    if (h, w) != (ph, pw):
+        if h > ph or w > pw:
+            raise SystemExit(
+                f"voxels {h}x{w} exceed the bundle's exported {ph}x{pw}")
+        pt, pl = (ph - h) // 2, (pw - w) // 2
+        voxels = np.pad(voxels, ((0, 0), (0, 0), (pt, ph - h - pt),
+                                 (pl, pw - w - pl), (0, 0)))
+    else:
+        pt = pl = 0
+    if bundle.meta["kind"] == "sequence" and t != bundle.meta["seq_len"]:
+        raise SystemExit(
+            f"sequence bundle exported at T={bundle.meta['seq_len']}, "
+            f"got {t} voxel frames (step bundles accept any T)")
+    images = run_voxels(bundle, voxels)  # (T, N, ph, pw, 1)
+    images = images[:, :, pt:pt + h, pl:pl + w, 0]
+    print(f"ran {t} frames: image range [{images.min():.4f}, "
+          f"{images.max():.4f}]")
+    if args.out_dir:
+        from bde2vid_tpu.metrics.lpips_util import save_image
+
+        os.makedirs(args.out_dir, exist_ok=True)
+        for i in range(t):
+            img = np.clip(images[i, 0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            save_image(img, os.path.join(args.out_dir, f"frame_{i:06d}.png"))
+        print(f"wrote {t} PNGs to {args.out_dir}")
+    return 0
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m bde2vid_tpu.serving")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("export", help="checkpoint -> AOT bundle zip")
+    pe.add_argument("--weights", required=True,
+                    help="checkpoint (.pth torch dialects or .msgpack)")
+    pe.add_argument("--out", required=True, help="output bundle zip path")
+    pe.add_argument("--hw", nargs=2, type=int, required=True,
+                    metavar=("H", "W"), help="sensor shape (padded to stride)")
+    pe.add_argument("--T", type=int, default=16,
+                    help="sequence length for sequence models")
+    pe.add_argument("--batch", type=int, default=1)
+    pe.add_argument("--platforms", default="tpu,cpu")
+    pe.add_argument("--bf16", action="store_true")
+    pe.add_argument("--pallas", action="store_true",
+                    help="export the fused Pallas attention (tpu-only artifact)")
+    pe.set_defaults(fn=cmd_export)
+
+    pr = sub.add_parser("run", help="run a bundle over voxels.npy")
+    pr.add_argument("--bundle", required=True)
+    pr.add_argument("--voxels", required=True,
+                    help=".npy of (T, H, W, C) float voxels")
+    pr.add_argument("--out_dir", default=None, help="write per-frame PNGs")
+    pr.set_defaults(fn=cmd_run)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

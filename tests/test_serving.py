@@ -1,0 +1,166 @@
+"""Serving/export subsystem: jax.export AOT bundles (serving/export.py).
+
+The reference has no deployment path (serving = re-running the source tree,
+eval_models_seq.py:41-96); these tests pin the framework's replacement: a
+serialized StableHLO bundle must reproduce the live model exactly after a
+zip round-trip, for both model kinds, and the CLI must export/run end to
+end from a framework checkpoint.
+"""
+
+import json
+import os
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bde2vid_tpu.models import build_model, run_sequence
+from bde2vid_tpu.models.api import ModelSpec
+from bde2vid_tpu.serving import (
+    export_forward,
+    export_spec_bundle,
+    load_bundle,
+    run_voxels,
+    save_bundle,
+)
+
+H, W, B = 32, 48, 5
+CFG = {"num_bins": B, "num_encoders": 2, "base_num_channels": 8,
+       "num_residual_blocks": 1}
+
+
+def _e2vid_spec():
+    model = build_model("E2VIDRecurrent", CFG)
+    voxel = jnp.zeros((1, H, W, B))
+    state = model.initial_state(1, H, W)
+    params = model.init(jax.random.PRNGKey(0), voxel, state)
+    return ModelSpec(name="E2VIDRecurrent", module=model, params=params,
+                     num_bins=B, num_encoders=2)
+
+
+def _bde2vid_spec():
+    cfg = {"generator": {"num_bins": B, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1,
+                         "buffer_index": [-1, 0, 1], "depths": [1, 1],
+                         "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg)
+    v = jnp.zeros((3, 1, H, W, B))
+    params = model.init(jax.random.PRNGKey(0), v)
+    return ModelSpec(name="BDE2VID", module=model, params=params,
+                     num_bins=B, num_encoders=2, is_sequence_model=True)
+
+
+def test_step_bundle_roundtrip_matches_live(rng, tmp_path):
+    """Step-model bundle: save -> load -> scan the exported step from the
+    exported init_state == live run_sequence, to float32 exactness."""
+    spec = _e2vid_spec()
+    bundle = export_spec_bundle(spec, H, W, platforms=("cpu",))
+    assert set(bundle.functions) == {"step", "init_state"}
+    path = str(tmp_path / "e2vid.bundle.zip")
+    save_bundle(path, bundle)
+
+    loaded = load_bundle(path)
+    voxels = jnp.asarray(rng.normal(size=(4, 1, H, W, B)).astype(np.float32))
+    got = run_voxels(loaded, voxels)
+
+    state0 = spec.module.initial_state(1, H, W)
+    want, _ = run_sequence(spec.module, spec.params, voxels, state0)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+    assert loaded.meta["kind"] == "step"
+    assert loaded.meta["model"] == "E2VIDRecurrent"
+
+
+def test_sequence_bundle_roundtrip_matches_live(rng, tmp_path):
+    """Sequence-model (BDE2VID) bundle reproduces the live whole-sequence
+    forward after serialization."""
+    spec = _bde2vid_spec()
+    t = 3
+    bundle = export_spec_bundle(spec, H, W, seq_len=t, platforms=("cpu",))
+    assert set(bundle.functions) == {"forward"}
+    path = str(tmp_path / "bde2vid.bundle.zip")
+    save_bundle(path, bundle)
+
+    loaded = load_bundle(path)
+    voxels = jnp.asarray(rng.normal(size=(t, 1, H, W, B)).astype(np.float32))
+    got = run_voxels(loaded, voxels)
+    want, _ = spec.module.apply(spec.params, voxels, ())
+    np.testing.assert_allclose(got, np.asarray(want["image"]), atol=1e-6)
+    # artifact is self-describing
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read("meta.json"))
+    assert meta["seq_len"] == t and meta["num_bins"] == B
+    assert meta["functions"] == ["forward"]
+
+
+def test_exported_step_is_jit_composable(rng):
+    """An exported step must be callable under an outer jit/scan — the
+    server-side pattern for streaming without re-dispatch overhead."""
+    spec = _e2vid_spec()
+    fns = export_forward(spec, H, W, platforms=("cpu",))
+    voxels = jnp.asarray(rng.normal(size=(3, 1, H, W, B)).astype(np.float32))
+
+    @jax.jit
+    def serve(voxels):
+        state = fns["init_state"].call()
+
+        def step_fn(carry, v):
+            out, new_state = fns["step"].call(carry, v)
+            return new_state, out["image"]
+
+        _, imgs = jax.lax.scan(step_fn, state, voxels)
+        return imgs
+
+    got = np.asarray(serve(voxels))
+    state0 = spec.module.initial_state(1, H, W)
+    want, _ = run_sequence(spec.module, spec.params, voxels, state0)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+def test_pallas_export_requires_tpu_only_platforms():
+    """Pallas attention lowers to tpu_custom_call: exporting it for any
+    non-TPU platform must fail loudly, not produce a broken artifact."""
+    cfg = {"generator": {"num_bins": B, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1,
+                         "buffer_index": [-1, 0, 1], "depths": [1, 1],
+                         "num_heads": 2, "window_size": [4, 4],
+                         "use_pallas_attention": True}}
+    model = build_model("BDE2VID", cfg)
+    v = jnp.zeros((2, 1, 16, 16, B))
+    params = model.init(jax.random.PRNGKey(0), v)
+    spec = ModelSpec(name="BDE2VID", module=model, params=params, num_bins=B,
+                     num_encoders=2, is_sequence_model=True)
+    with pytest.raises(ValueError, match="tpu_custom_call"):
+        export_forward(spec, 16, 16, seq_len=2, platforms=("cpu",))
+
+
+def test_serving_cli_export_run_roundtrip(rng, tmp_path, capsys):
+    """CLI end to end: msgpack checkpoint -> export (with stride padding:
+    30x45 pads to 32x48 at 2 encoders) -> run on (T, 30, 45, B) voxels ->
+    cropped PNGs on disk."""
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint
+
+    spec = _e2vid_spec()
+    ckpt = str(tmp_path / "model.msgpack")
+    save_checkpoint(ckpt, spec.params, "E2VIDRecurrent", CFG)
+
+    out = str(tmp_path / "model.bundle.zip")
+    rc = main(["export", "--weights", ckpt, "--out", out,
+               "--hw", "30", "45", "--platforms", "cpu"])
+    assert rc == 0 and os.path.exists(out)
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    info = json.loads(line)
+    assert info["exported_hw"] == [32, 48] and info["kind"] == "step"
+
+    voxels = rng.normal(size=(3, 30, 45, B)).astype(np.float32)
+    vpath = str(tmp_path / "voxels.npy")
+    np.save(vpath, voxels)
+    img_dir = str(tmp_path / "imgs")
+    rc = main(["run", "--bundle", out, "--voxels", vpath,
+               "--out_dir", img_dir])
+    assert rc == 0
+    pngs = sorted(os.listdir(img_dir))
+    assert pngs == [f"frame_{i:06d}.png" for i in range(3)]
