@@ -165,6 +165,15 @@ def _span_bucket(n: int, min_capacity: int = 16384) -> int:
     return ((n + step - 1) // step) * step
 
 
+def _no_span_upload() -> bool:
+    """Value-aware parse of the BDE2VID_NO_SPAN_UPLOAD A/B knob: "=0" /
+    "=false" / "=no" mean OFF (bare truthiness would read "0" as
+    disable-the-span-path, inverting the A/B)."""
+    return os.environ.get("BDE2VID_NO_SPAN_UPLOAD", "").strip().lower() not in (
+        "", "0", "false", "no"
+    )
+
+
 def _pack_span_to_bytes(ts_rel, starts, ns, xs, ys, ps) -> np.ndarray:
     """Fuse a raw UNPADDED event span + window index table into one uint8
     buffer (same one-put rationale as _pack_to_bytes). The padded (W, cap)
@@ -381,7 +390,12 @@ class EventSequence:
                 "— iterate voxels() and map items via item_last"
             )
         xs, ys, ts, ps, n = self.raw_window(i)
-        dt = float(ts[n - 1]) if n > 0 else 0.0
+        # f64 raw-timestamp difference, not the f32 relative ts: the
+        # reference takes ts_0/ts_k BEFORE its f32 cast (h5_dataset.py:
+        # 215-217,229), so dt carries full f64 precision
+        i0, i1 = self.windows[i]
+        tf, tl = self.reader.ts_bounds(int(i0), int(i1))
+        dt = tl - tf if n > 0 else 0.0
         frame = self.reader.frame(i) if self.has_frames else None
         flow = None
         if self.has_frames and self.reader.num_flow > i:
@@ -439,7 +453,7 @@ class EventSequence:
             # device) ships fewer bytes whenever windows pad; it requires
             # non-overlapping windows and a gap-free-enough span
             # (_pack_span_batch returns None otherwise -> padded path).
-            if span is not None and not os.environ.get("BDE2VID_NO_SPAN_UPLOAD"):
+            if span is not None and not _no_span_upload():
                 buf, span_cap = span
                 fn = _cached_voxelize_span_fn(
                     self.num_bins,
@@ -550,9 +564,12 @@ class EventSequence:
         out = []
         for i in range(start, stop):
             i0, i1 = self.windows[i]
-            sl = self.reader.events(int(i0), int(i1))
-            dt = float(sl.ts[-1] - sl.ts[0]) if len(sl.ts) else 0.0
-            out.append(np.transpose(self.reader.flow(i) * dt, (1, 2, 0)))
+            # boundary timestamps only: reading the full event slice per
+            # window just for dt dominated host window assembly; two f64
+            # scalar reads match the reference's f64 ts_k - ts_0
+            # (h5_dataset.py:215-217,229) exactly
+            tf, tl = self.reader.ts_bounds(int(i0), int(i1))
+            out.append(np.transpose(self.reader.flow(i) * (tl - tf), (1, 2, 0)))
         return np.stack(out).astype(np.float32)
 
     def frames_u8(

@@ -227,25 +227,16 @@ def main(argv=None) -> int:
         else:
             spec = load_model_from_torch(ckpt, dtype=dtype)
         if spec.name == "BDE2VID":
-            # ALWAYS rebuild with the resolved flag — not only to enable:
+            # ALWAYS apply the resolved flag — not only to enable:
             # a checkpoint trained with use_pallas_attention baked into its
             # sidecar config must honor --no-pallas (and the auto-off on
             # non-TPU hosts, where the kernels would crawl in interpret
             # mode), so disabling matters as much as enabling
-            use_pallas = resolve_pallas(args.pallas, spec.name)
-            mcfg = spec.module.config
-            cur = bool(
-                mcfg.get(
-                    "use_pallas_attention",
-                    mcfg.get("generator", {}).get("use_pallas_attention", False),
-                )
-            )
-            if cur != use_pallas:
-                from bde2vid_tpu.models import build_model
+            from bde2vid_tpu.models.api import set_pallas_attention
 
-                cfg2 = dict(spec.module.config)
-                cfg2["use_pallas_attention"] = use_pallas
-                spec.module = build_model("BDE2VID", cfg2, dtype=dtype)
+            spec = set_pallas_attention(
+                spec, resolve_pallas(args.pallas, spec.name), dtype=dtype
+            )
         print(f"{spec.name}: {spec.num_params / 1e6:.2f}M parameters")
         cfg = EvalConfig(
             ltype=args.loader_type,

@@ -107,6 +107,16 @@ class H5EventReader:
             self.t0,
         )
 
+    def ts_bounds(self, idx0: int, idx1: int):
+        """Raw f64 (first, last) absolute timestamps of events [idx0, idx1)
+        — two scalar dataset reads, no window payload. This is how the
+        reference computes window dt (h5_dataset.py:215-217,229: f64
+        ``ts_k - ts_0`` BEFORE the f32 cast)."""
+        if idx1 <= idx0:
+            return 0.0, 0.0
+        ts = self.f["events/ts"]
+        return float(ts[idx0]), float(ts[idx1 - 1])
+
     def search_time(self, t: float, side: str = "left") -> int:
         """Binary search over the on-disk timestamp dataset (chunked reads)."""
         ts = self.f["events/ts"]

@@ -258,6 +258,25 @@ def h5_to_memmap(h5_path: str, out_dir: str) -> None:
             )
 
 
+def _search_time_shifted(ts, t0: float, t: float, side: str = "left") -> int:
+    """Binary search over stored ABSOLUTE timestamps for a t0-relative query,
+    comparing ``(ts[mid] - t0) < t`` PER ELEMENT — the same float arithmetic
+    as H5EventReader.search_time (h5_io.py:110-121). ``searchsorted(ts,
+    t + t0)`` is NOT float-equivalent: rounding of ``(a - t0)`` vs
+    ``(t + t0)`` can disagree at a t_seconds window edge, putting a boundary
+    event in different windows for the same recording read through different
+    backends. O(log N), no stream copy."""
+    lo, hi = 0, len(ts)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = ts[mid] - t0
+        if (v < t) if side == "left" else (v <= t):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 class NPYEventReader:
     """Raw-NPY event layout reader (reference SynchronizedNPYDataset,
     data_loader/dataset.py:207-376): base/{event_folder}/{xs,ys,ts,ps}.npy,
@@ -327,11 +346,19 @@ class NPYEventReader:
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
-        # search the stored ABSOLUTE timestamps with the query shifted by
-        # t0: `np.asarray(self.t) - self.t0` would materialize + subtract
-        # the whole stream on EVERY call (one per window in t_seconds/HFR
-        # windowing) — O(N) copies against an O(log N) search
-        return int(np.searchsorted(self.t, t + self.t0, side=side))
+        # per-element (ts[mid] - t0) < t comparison, matching the H5 reader
+        # bit-for-bit (materializing `self.t - t0` would copy the whole
+        # stream on EVERY call — one per window in t_seconds/HFR windowing)
+        return _search_time_shifted(self.t, self.t0, t, side)
+
+    def ts_bounds(self, i0: int, i1: int):
+        """Raw f64 (first, last) absolute timestamps of events [i0, i1) —
+        the reference's window-dt inputs (h5_dataset.py:215-217,229: f64
+        ts_k - ts_0, computed BEFORE the f32 cast) without reading the
+        window's event payload."""
+        if i1 <= i0:
+            return 0.0, 0.0
+        return float(self.t[i0]), float(self.t[i1 - 1])
 
     def frame(self, i: int) -> np.ndarray:
         img = np.asarray(self.images[i])
@@ -420,8 +447,16 @@ class MemMapEventReader:
         )
 
     def search_time(self, t: float, side: str = "left") -> int:
-        # copy-free binary search over the memmap (see NPYEventReader)
-        return int(np.searchsorted(self.t, t + self.t0, side=side))
+        # copy-free binary search over the memmap, same per-element
+        # arithmetic as the H5 reader (see _search_time_shifted)
+        return _search_time_shifted(self.t, self.t0, t, side)
+
+    def ts_bounds(self, i0: int, i1: int):
+        """Raw f64 (first, last) absolute event timestamps (see
+        NPYEventReader.ts_bounds)."""
+        if i1 <= i0:
+            return 0.0, 0.0
+        return float(self.t[i0]), float(self.t[i1 - 1])
 
     def frame(self, i: int) -> np.ndarray:
         img = np.asarray(self.images[i])

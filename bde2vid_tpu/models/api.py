@@ -41,6 +41,38 @@ def build_model(name: str, config: Dict[str, Any], **kwargs):
     return MODEL_REGISTRY[name](config=config, **kwargs)
 
 
+def pallas_attention_enabled(config) -> bool:
+    """Nested lookup of ``use_pallas_attention`` (top level or inside
+    ``generator`` — both spellings occur in checkpoint sidecar configs).
+    The single home of this lookup: the eval CLI, the serving CLI, and the
+    exporter all resolve the flag through here."""
+    config = config or {}
+    return bool(
+        config.get(
+            "use_pallas_attention",
+            config.get("generator", {}).get("use_pallas_attention", False),
+        )
+    )
+
+
+def set_pallas_attention(spec, enabled: bool, dtype=None):
+    """Rebuild ``spec.module`` with the fused-attention flag when it differs
+    from the checkpoint's baked value — disabling matters as much as
+    enabling (a checkpoint trained with the kernel must honor --no-pallas
+    and the auto-off on non-TPU hosts). Params are untouched: the flag only
+    changes which attention implementation the module dispatches to. No-op
+    for families without the kernel."""
+    if spec.name != "BDE2VID":
+        return spec
+    cfg = dict(spec.module.config)
+    if pallas_attention_enabled(cfg) == bool(enabled):
+        return spec
+    cfg["use_pallas_attention"] = bool(enabled)
+    kwargs = {} if dtype is None else {"dtype": dtype}
+    spec.module = build_model("BDE2VID", cfg, **kwargs)
+    return spec
+
+
 @dataclasses.dataclass
 class ModelSpec:
     """A built model + its params: everything needed to run sequences."""

@@ -35,19 +35,12 @@ def _load_spec(path: str, bf16: bool, pallas: bool):
         from bde2vid_tpu.eval.checkpoint import load_model_from_torch
 
         spec = load_model_from_torch(path, dtype=dtype)
-    if spec.name == "BDE2VID":
-        # Portability default: pure-XLA attention (Pallas lowers to
-        # tpu_custom_call, which pins the artifact to platforms=tpu and
-        # carries no cross-version stability guarantee — serving/export.py).
-        mcfg = dict(spec.module.config)
-        if bool(mcfg.get("use_pallas_attention",
-                         mcfg.get("generator", {}).get("use_pallas_attention",
-                                                       False))) != pallas:
-            from bde2vid_tpu.models import build_model
+    # Portability default: pure-XLA attention (Pallas lowers to
+    # tpu_custom_call, which pins the artifact to platforms=tpu and
+    # carries no cross-version stability guarantee — serving/export.py).
+    from bde2vid_tpu.models.api import set_pallas_attention
 
-            mcfg["use_pallas_attention"] = pallas
-            spec.module = build_model("BDE2VID", mcfg, dtype=dtype)
-    return spec
+    return set_pallas_attention(spec, pallas, dtype=dtype)
 
 
 def cmd_export(args) -> int:
@@ -81,27 +74,36 @@ def cmd_export(args) -> int:
 def cmd_run(args) -> int:
     from bde2vid_tpu.serving.export import load_bundle, run_voxels
 
+    from bde2vid_tpu.utils.padding import CropParameters
+
     bundle = load_bundle(args.bundle)
     voxels = np.load(args.voxels)
     if voxels.ndim == 4:
         voxels = voxels[:, None]
     t, n, h, w, c = voxels.shape
     ph, pw = bundle.meta["height"], bundle.meta["width"]
-    if (h, w) != (ph, pw):
-        if h > ph or w > pw:
-            raise SystemExit(
-                f"voxels {h}x{w} exceed the bundle's exported {ph}x{pw}")
-        pt, pl = (ph - h) // 2, (pw - w) // 2
-        voxels = np.pad(voxels, ((0, 0), (0, 0), (pt, ph - h - pt),
-                                 (pl, pw - w - pl), (0, 0)))
-    else:
-        pt = pl = 0
+    if n != bundle.meta["batch"]:
+        raise SystemExit(
+            f"bundle exported at batch={bundle.meta['batch']}, got N={n}")
+    # the SAME pad/crop object the eval driver uses (ceil on top/left —
+    # the reference ZeroPad2d parity trap, utils/padding.py), so serving
+    # and eval see identical zero borders for identical inputs
+    cp = CropParameters(w, h, bundle.meta["num_encoders"])
+    if (cp.height_crop_size, cp.width_crop_size) != (ph, pw):
+        raise SystemExit(
+            f"voxels {h}x{w} pad to {cp.height_crop_size}x"
+            f"{cp.width_crop_size} but the bundle was exported at {ph}x{pw} "
+            f"(sensor {bundle.meta.get('sensor_height')}x"
+            f"{bundle.meta.get('sensor_width')})")
+    voxels = np.pad(voxels, ((0, 0), (0, 0),
+                             (cp.padding_top, cp.padding_bottom),
+                             (cp.padding_left, cp.padding_right), (0, 0)))
     if bundle.meta["kind"] == "sequence" and t != bundle.meta["seq_len"]:
         raise SystemExit(
             f"sequence bundle exported at T={bundle.meta['seq_len']}, "
             f"got {t} voxel frames (step bundles accept any T)")
     images = run_voxels(bundle, voxels)  # (T, N, ph, pw, 1)
-    images = images[:, :, pt:pt + h, pl:pl + w, 0]
+    images = images[:, :, cp.iy0:cp.iy1, cp.ix0:cp.ix1, 0]
     print(f"ran {t} frames: image range [{images.min():.4f}, "
           f"{images.max():.4f}]")
     if args.out_dir:

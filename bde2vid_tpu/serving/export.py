@@ -43,11 +43,9 @@ _TPU_CUSTOM_CALL = "tpu_custom_call"
 
 
 def _uses_pallas(module) -> bool:
-    cfg = getattr(module, "config", None) or {}
-    return bool(
-        cfg.get("use_pallas_attention",
-                cfg.get("generator", {}).get("use_pallas_attention", False))
-    )
+    from bde2vid_tpu.models.api import pallas_attention_enabled
+
+    return pallas_attention_enabled(getattr(module, "config", None))
 
 
 def _input_dtype(module) -> jnp.dtype:

@@ -226,3 +226,47 @@ def test_span_upload_declines_overlapping_windows(seq_file):
     assert seq._pack_span_batch(0, len(seq.windows)) is None
     vox = np.asarray(seq.voxels())  # padded fallback still works
     assert np.isfinite(vox).all()
+
+
+def test_item_dt_is_f64_raw_difference(tmp_path, rng):
+    """The reference computes window dt from the RAW f64 timestamps BEFORE
+    the f32 cast (h5_dataset.py:215-217,229). At a large absolute-time
+    anchor (relative ts ~1500 s) the f32 relative timestamps quantize to a
+    ~1e-4 grid, so a 5e-7 window reads dt == 0.0 from them; the f64 path
+    must preserve it."""
+    t0 = 1.7e9
+    n = 65
+    ts_all = np.concatenate([[t0], t0 + 1500.0 + np.linspace(0.0, 5e-7, n)])
+    path = str(tmp_path / "dt.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(
+            rng.integers(0, SENSOR[1], n + 1).astype(np.int16),
+            rng.integers(0, SENSOR[0], n + 1).astype(np.int16),
+            ts_all,
+            rng.integers(0, 2, n + 1).astype(bool),
+        )
+    # window 1 = events [33, 66): entirely inside the tight cluster
+    seq = load_sequence(path, voxel_method={"method": "k_events", "k": 33})
+    item = seq.item(1)
+    true_dt = float(ts_all[65] - ts_all[33])
+    assert true_dt > 0
+    assert item.dt == pytest.approx(true_dt, rel=1e-9)
+    # the f32 relative-ts path would have produced exactly 0.0 here
+    sl_ts = item.events[2][: item.n_events]
+    assert float(sl_ts[-1] - sl_ts[0]) == 0.0
+
+
+def test_no_span_upload_env_parse(monkeypatch):
+    """BDE2VID_NO_SPAN_UPLOAD is value-aware: '0'/'false'/'no'/'' keep the
+    span path ON; '1'/'true' force it OFF (a bare truthiness check read
+    '=0' as disable)."""
+    from bde2vid_tpu.data.pipeline import _no_span_upload
+
+    for off in ("", "0", "false", "No", " 0 "):
+        monkeypatch.setenv("BDE2VID_NO_SPAN_UPLOAD", off)
+        assert _no_span_upload() is False, off
+    monkeypatch.delenv("BDE2VID_NO_SPAN_UPLOAD")
+    assert _no_span_upload() is False
+    for on in ("1", "true", "yes", "TRUE"):
+        monkeypatch.setenv("BDE2VID_NO_SPAN_UPLOAD", on)
+        assert _no_span_upload() is True, on

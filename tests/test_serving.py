@@ -164,3 +164,62 @@ def test_serving_cli_export_run_roundtrip(rng, tmp_path, capsys):
     assert rc == 0
     pngs = sorted(os.listdir(img_dir))
     assert pngs == [f"frame_{i:06d}.png" for i in range(3)]
+
+
+def test_serving_cli_run_padding_matches_eval_croper(rng, tmp_path):
+    """cmd_run must pad with the SAME CropParameters object the eval driver
+    uses (ceil on top/left — the reference ZeroPad2d convention). At 29x45
+    with 2 encoders the vertical slack is 3, so a floor-top pad would shift
+    the zero border by one pixel and the PNGs would diverge."""
+    from bde2vid_tpu.metrics.lpips_util import load_image
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint
+    from bde2vid_tpu.utils.padding import CropParameters
+
+    spec = _e2vid_spec()
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, spec.params, "E2VIDRecurrent", CFG)
+    out = str(tmp_path / "m.bundle.zip")
+    assert main(["export", "--weights", ckpt, "--out", out,
+                 "--hw", "29", "45", "--platforms", "cpu"]) == 0
+
+    voxels = rng.normal(size=(2, 29, 45, B)).astype(np.float32)
+    vpath = str(tmp_path / "v.npy")
+    np.save(vpath, voxels)
+    img_dir = str(tmp_path / "imgs")
+    assert main(["run", "--bundle", out, "--voxels", vpath,
+                 "--out_dir", img_dir]) == 0
+
+    # expected: eval-driver padding (ceil top/left), live model, crop back
+    cp = CropParameters(45, 29, 2)
+    assert (cp.padding_top, cp.padding_bottom) == (2, 1)
+    padded = np.pad(voxels[:, None], ((0, 0), (0, 0),
+                                      (cp.padding_top, cp.padding_bottom),
+                                      (cp.padding_left, cp.padding_right),
+                                      (0, 0)))
+    state0 = spec.module.initial_state(1, 32, 48)
+    want, _ = run_sequence(spec.module, spec.params, jnp.asarray(padded), state0)
+    want = np.asarray(want)[:, 0, cp.iy0:cp.iy1, cp.ix0:cp.ix1, 0]
+    want_u8 = np.clip(want * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    for i in range(2):
+        got = load_image(os.path.join(img_dir, f"frame_{i:06d}.png"))[:, :, 0]
+        np.testing.assert_array_equal(got, want_u8[i])
+
+
+def test_serving_cli_run_batch_mismatch_is_clear(rng, tmp_path):
+    """A batch-N voxel file against a batch-1 bundle must die with the CLI's
+    own message, not an opaque calling-convention error from Exported.call."""
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint
+
+    spec = _e2vid_spec()
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, spec.params, "E2VIDRecurrent", CFG)
+    out = str(tmp_path / "m.bundle.zip")
+    assert main(["export", "--weights", ckpt, "--out", out,
+                 "--hw", "32", "48", "--platforms", "cpu"]) == 0
+    bad = rng.normal(size=(2, 2, 32, 48, B)).astype(np.float32)
+    vpath = str(tmp_path / "bad.npy")
+    np.save(vpath, bad)
+    with pytest.raises(SystemExit, match="batch=1"):
+        main(["run", "--bundle", out, "--voxels", vpath])

@@ -352,3 +352,60 @@ def test_h5_to_memmap_preserves_float64_timestamps(tmp_path):
     got = np.load(f"{out}/t.npy")
     np.testing.assert_array_equal(got, ts)
     assert (np.diff(got) > 0).all()
+
+
+def test_search_time_float_parity_across_backends(tmp_path):
+    """searchsorted(ts_abs, t + t0) is NOT float-equivalent to the H5
+    reader's per-element (ts[mid] - t0) < t comparison: at this (t0, ts, t)
+    triple (found by numeric search) the two roundings disagree, and the
+    NPY/MMP backends used to place the boundary event in a different
+    t_seconds window than the H5 backend for the SAME recording. All
+    backends must agree exactly."""
+    from bde2vid_tpu.events.tools import NPYEventReader, _search_time_shifted
+
+    t0 = 1636961687.3214543
+    tsm = 1636961687.3214812
+    q = 2.6941299538476564e-05  # (tsm - t0) < q True, tsm < (q + t0) False
+    assert ((tsm - t0) < q) and not (tsm < (q + t0))  # still a counterexample
+    ts = np.array([t0, tsm, t0 + 1.0], np.float64)
+    xs = np.array([1, 2, 3], np.int16)
+    ys = np.array([1, 2, 3], np.int16)
+    ps = np.array([1, 0, 1], bool)
+
+    path = str(tmp_path / "cx.h5")
+    with H5EventWriter(path, sensor_size=SENSOR) as w:
+        w.append_events(xs, ys, ts, ps)
+        w.add_image(np.zeros(SENSOR, np.uint8), 0.0)
+    h5r = H5EventReader(path)
+
+    mm_dir = str(tmp_path / "cx_mm")
+    h5_to_memmap(path, mm_dir)
+    mmr = MemMapEventReader(mm_dir)
+
+    nd = tmp_path / "cx_npy"
+    (nd / "events").mkdir(parents=True)
+    (nd / "frames").mkdir()
+    np.save(nd / "events" / "xs.npy", xs)
+    np.save(nd / "events" / "ys.npy", ys)
+    np.save(nd / "events" / "ts.npy", ts)
+    np.save(nd / "events" / "ps.npy", ps.astype(np.uint8))
+    np.save(nd / "frames" / "frames.npy", np.zeros((1,) + SENSOR, np.uint8))
+    np.savetxt(nd / "frames" / "frame_ts.txt", [t0])
+    np.savetxt(nd / "frames" / "frame_event_idxes.txt", [[0, 3]], fmt="%d")
+    npr = NPYEventReader(str(nd))
+
+    want_l = h5r.search_time(q, side="left")
+    want_r = h5r.search_time(q, side="right")
+    assert want_l == 2  # the H5 semantics place the boundary event INSIDE
+    for r in (mmr, npr):
+        assert r.search_time(q, side="left") == want_l
+        assert r.search_time(q, side="right") == want_r
+    # and the helper matches the H5 loop over a dense query sweep
+    rg = np.random.default_rng(0)
+    dense = np.sort(rg.uniform(-1e-4, 1.0 + 1e-4, 200))
+    for t in dense:
+        for side in ("left", "right"):
+            assert _search_time_shifted(ts, t0, float(t), side) == h5r.search_time(
+                float(t), side
+            )
+    h5r.close() if hasattr(h5r, "close") else None
