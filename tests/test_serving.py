@@ -19,6 +19,7 @@ import pytest
 from bde2vid_tpu.models import build_model, run_sequence
 from bde2vid_tpu.models.api import ModelSpec
 from bde2vid_tpu.serving import (
+    ServingBundle,
     export_forward,
     export_spec_bundle,
     load_bundle,
@@ -223,3 +224,30 @@ def test_serving_cli_run_batch_mismatch_is_clear(rng, tmp_path):
     np.save(vpath, bad)
     with pytest.raises(SystemExit, match="batch=1"):
         main(["run", "--bundle", out, "--voxels", vpath])
+
+
+@pytest.mark.parametrize("name,cfg,hw", [
+    ("FireNet", {"num_bins": B, "base_num_channels": 8}, (H, W)),
+    ("SPADEE2VID", {}, (32, 40)),
+    ("EITR", {"num_bins": B, "norm": None, "d_model": 32,
+              "dim_feedforward": 64, "nhead": 4,
+              "channels": [8, 16, 32, 32]}, (H, W)),
+    ("EVSNN", {}, (32, 40)),
+])
+def test_every_step_family_exports(name, cfg, hw, rng):
+    """The export path must cover the whole step-model zoo, whatever the
+    state pytree shape (ConvGRU tuples, SPADE's pred/initialized dict, SNN
+    membrane stacks): exported step+init_state reproduce the live
+    run_sequence."""
+    h, w = hw
+    model = build_model(name, cfg)
+    state = model.initial_state(1, h, w)
+    voxel = jnp.zeros((1, h, w, B))
+    params = model.init(jax.random.PRNGKey(0), voxel, state)
+    spec = ModelSpec(name=name, module=model, params=params, num_bins=B)
+    fns = export_forward(spec, h, w, platforms=("cpu",))
+    bundle = ServingBundle(functions=fns, meta={"kind": "step"})
+    voxels = jnp.asarray(rng.normal(size=(2, 1, h, w, B)).astype(np.float32))
+    got = run_voxels(bundle, voxels)
+    want, _ = run_sequence(model, params, voxels, state)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
