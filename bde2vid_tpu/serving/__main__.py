@@ -31,6 +31,11 @@ def _load_spec(path: str, bf16: bool, pallas: bool):
         from bde2vid_tpu.train import load_checkpoint
 
         spec = load_checkpoint(path, dtype=dtype)
+    elif os.path.isdir(path) and os.path.exists(path + ".json"):
+        # orbax checkpoint directory with the trainer's sidecar config
+        from bde2vid_tpu.train.trainer import load_checkpoint_orbax
+
+        spec = load_checkpoint_orbax(path, dtype=dtype)
     else:
         from bde2vid_tpu.eval.checkpoint import load_model_from_torch
 

@@ -251,3 +251,23 @@ def test_every_step_family_exports(name, cfg, hw, rng):
     got = run_voxels(bundle, voxels)
     want, _ = run_sequence(model, params, voxels, state)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+def test_serving_cli_export_from_orbax(rng, tmp_path):
+    """The export CLI accepts the trainer's orbax checkpoint directories
+    (the production format) alongside msgpack and torch dialects."""
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint_orbax
+
+    spec = _e2vid_spec()
+    ckpt = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(ckpt, spec.params, "E2VIDRecurrent", CFG)
+    out = str(tmp_path / "orbax.bundle.zip")
+    assert main(["export", "--weights", ckpt, "--out", out,
+                 "--hw", "32", "48", "--platforms", "cpu"]) == 0
+
+    voxels = jnp.asarray(rng.normal(size=(2, 1, H, W, B)).astype(np.float32))
+    got = run_voxels(load_bundle(out), voxels)
+    state0 = spec.module.initial_state(1, H, W)
+    want, _ = run_sequence(spec.module, spec.params, voxels, state0)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
