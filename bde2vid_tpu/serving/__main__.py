@@ -3,7 +3,7 @@
     python -m bde2vid_tpu.serving export --weights model.pth \
         --out model.bundle.zip --hw 180 240 [--T 16] [--platforms tpu,cpu]
     python -m bde2vid_tpu.serving run --bundle model.bundle.zip \
-        --voxels voxels.npy [--out_dir imgs/]
+        {--voxels voxels.npy | --h5 seq.h5} [--out_dir imgs/]
 
 ``export`` accepts every checkpoint dialect the eval CLI does (torch
 mmengine/template/bare/SNN via eval/checkpoint.py, framework msgpack/orbax
@@ -82,7 +82,18 @@ def cmd_run(args) -> int:
     from bde2vid_tpu.utils.padding import CropParameters
 
     bundle = load_bundle(args.bundle)
-    voxels = np.load(args.voxels)
+    if args.h5:
+        # events -> voxels through the standard device pipeline (same
+        # between-frames windowing + fused-scatter voxelizer the eval
+        # driver uses), then into the bundle: a whole serving path that
+        # needs no model source
+        from bde2vid_tpu.data import load_sequence
+
+        seq = load_sequence(args.h5, num_bins=bundle.meta["num_bins"])
+        vox = np.asarray(seq.voxels())  # (T, C, H, W)
+        voxels = np.transpose(vox, (0, 2, 3, 1))[:, None]
+    else:
+        voxels = np.load(args.voxels)
     if voxels.ndim == 4:
         voxels = voxels[:, None]
     t, n, h, w, c = voxels.shape
@@ -141,10 +152,14 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="export the fused Pallas attention (tpu-only artifact)")
     pe.set_defaults(fn=cmd_export)
 
-    pr = sub.add_parser("run", help="run a bundle over voxels.npy")
+    pr = sub.add_parser("run", help="run a bundle over voxels.npy or an event h5")
     pr.add_argument("--bundle", required=True)
-    pr.add_argument("--voxels", required=True,
-                    help=".npy of (T, H, W, C) float voxels")
+    src = pr.add_mutually_exclusive_group(required=True)
+    src.add_argument("--voxels", default=None,
+                     help=".npy of (T, H, W, C) float voxels")
+    src.add_argument("--h5", default=None,
+                     help="canonical event h5: voxelized on device via the "
+                     "standard between-frames pipeline, then served")
     pr.add_argument("--out_dir", default=None, help="write per-frame PNGs")
     pr.set_defaults(fn=cmd_run)
     return p

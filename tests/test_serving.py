@@ -271,3 +271,46 @@ def test_serving_cli_export_from_orbax(rng, tmp_path):
     state0 = spec.module.initial_state(1, H, W)
     want, _ = run_sequence(spec.module, spec.params, voxels, state0)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+def test_serving_cli_run_from_h5(rng, tmp_path):
+    """`run --h5` voxelizes a canonical event file through the standard
+    device pipeline (between-frames windows, fused scatter) and serves the
+    bundle on it — the whole event->image path with no model source. PNGs
+    must match voxelizing + running the live model by hand."""
+    from bde2vid_tpu.data import load_sequence
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.metrics.lpips_util import load_image
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint
+    from tests.conftest import make_events
+
+    spec = _e2vid_spec()
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, spec.params, "E2VIDRecurrent", CFG)
+    out = str(tmp_path / "m.bundle.zip")
+    assert main(["export", "--weights", ckpt, "--out", out,
+                 "--hw", str(H), str(W), "--platforms", "cpu"]) == 0
+
+    xs, ys, ts, ps = make_events(rng, n=6000, sensor_size=(H, W), t1=1.0)
+    h5 = str(tmp_path / "seq.h5")
+    with H5EventWriter(h5, sensor_size=(H, W)) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(4):
+            w.add_image(rng.integers(0, 255, (H, W)).astype(np.uint8),
+                        (i + 0.5) * 0.25)
+    img_dir = str(tmp_path / "imgs")
+    assert main(["run", "--bundle", out, "--h5", h5,
+                 "--out_dir", img_dir]) == 0
+    pngs = sorted(os.listdir(img_dir))
+    assert len(pngs) == 3  # between_frames: windows between consecutive frames
+
+    vox = np.asarray(load_sequence(h5, num_bins=B).voxels())
+    voxels = jnp.asarray(np.transpose(vox, (0, 2, 3, 1))[:, None])
+    state0 = spec.module.initial_state(1, H, W)
+    want, _ = run_sequence(spec.module, spec.params, voxels, state0)
+    want_u8 = np.clip(np.asarray(want)[:, 0, :, :, 0] * 255.0 + 0.5,
+                      0, 255).astype(np.uint8)
+    for i, name in enumerate(pngs):
+        got = load_image(os.path.join(img_dir, name))[:, :, 0]
+        np.testing.assert_array_equal(got, want_u8[i])
