@@ -89,7 +89,11 @@ def cmd_run(args) -> int:
         # needs no model source
         from bde2vid_tpu.data import load_sequence
 
-        seq = load_sequence(args.h5, num_bins=bundle.meta["num_bins"])
+        seq = load_sequence(
+            args.h5,
+            num_bins=bundle.meta["num_bins"],
+            normalize=bundle.meta.get("normalize", False),
+        )
         vox = np.asarray(seq.voxels())  # (T, C, H, W)
         voxels = np.transpose(vox, (0, 2, 3, 1))[:, None]
     else:
@@ -139,7 +143,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
     pe = sub.add_parser("export", help="checkpoint -> AOT bundle zip")
     pe.add_argument("--weights", required=True,
-                    help="checkpoint (.pth torch dialects or .msgpack)")
+                    help="checkpoint: .pth (all torch dialects), .msgpack, "
+                    "or an orbax checkpoint directory")
     pe.add_argument("--out", required=True, help="output bundle zip path")
     pe.add_argument("--hw", nargs=2, type=int, required=True,
                     metavar=("H", "W"), help="sensor shape (padded to stride)")

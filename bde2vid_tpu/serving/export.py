@@ -160,6 +160,10 @@ def export_spec_bundle(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "config": getattr(spec.module, "config", None),
+        # SNN/SPADE checkpoints require LegacyNorm'd voxels (reference
+        # sets args.normalize at load, eval_models_seq.py:91); recorded so
+        # `run --h5` voxelizes with the right transform
+        "normalize": bool(getattr(spec, "normalize", False)),
     }
     return ServingBundle(functions=fns, meta=meta)
 
