@@ -8,9 +8,10 @@
 ``export`` accepts every checkpoint dialect the eval CLI does (torch
 mmengine/template/bare/SNN via eval/checkpoint.py, framework msgpack/orbax
 via train/trainer.py) and emits a source-free StableHLO bundle. ``run``
-needs only jax + the bundle: it loads ``voxels.npy`` ((T, H, W, C) float),
-pads to the bundle's exported spatial shape, runs, crops back, and writes
-PNGs — a minimal reference server loop.
+loads ``voxels.npy`` ((T, H, W, C) float) — or voxelizes a canonical event
+h5 through the standard device pipeline with ``--h5`` — pads to the
+bundle's exported spatial shape (eval-driver Croper semantics), runs,
+crops back, and writes PNGs: a minimal reference server loop.
 """
 
 from __future__ import annotations
