@@ -56,6 +56,27 @@ class EventSlice:
         )
 
 
+def search_time_shifted(ts, t0: float, t: float, side: str = "left") -> int:
+    """Binary search over stored ABSOLUTE timestamps for a t0-relative query,
+    comparing ``(ts[mid] - t0) < t`` PER ELEMENT (reference
+    binary_search_h5_dset semantics, event_utils.py:10-28). This is the ONE
+    implementation every backend uses — ``searchsorted(ts, t + t0)`` is NOT
+    float-equivalent (rounding of ``(a - t0)`` vs ``(t + t0)`` can disagree
+    at a t_seconds window edge, putting a boundary event in different
+    windows for the same recording read through different backends).
+    Works on h5py datasets (chunked scalar reads), memmaps, and arrays:
+    only ``len(ts)`` and ``ts[mid]`` are touched. O(log N), no copy."""
+    lo, hi = 0, len(ts)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = ts[mid] - t0
+        if (v < t) if side == "left" else (v <= t):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 class H5EventReader:
     """Random-access reader over a canonical event h5 file.
 
@@ -119,16 +140,7 @@ class H5EventReader:
 
     def search_time(self, t: float, side: str = "left") -> int:
         """Binary search over the on-disk timestamp dataset (chunked reads)."""
-        ts = self.f["events/ts"]
-        lo, hi = 0, ts.shape[0]
-        while lo < hi:
-            mid = (lo + hi) // 2
-            v = ts[mid] - self.t0
-            if (v < t) if side == "left" else (v <= t):
-                lo = mid + 1
-            else:
-                hi = mid
-        return lo
+        return search_time_shifted(self.f["events/ts"], self.t0, t, side)
 
     # -- frames ------------------------------------------------------------
 

@@ -18,7 +18,11 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from bde2vid_tpu.events.h5_io import H5EventReader, H5EventWriter
+from bde2vid_tpu.events.h5_io import (
+    H5EventReader,
+    H5EventWriter,
+    search_time_shifted as _search_time_shifted,
+)
 
 
 def txt_to_h5(
@@ -256,25 +260,6 @@ def h5_to_memmap(h5_path: str, out_dir: str) -> None:
                 },
                 fp,
             )
-
-
-def _search_time_shifted(ts, t0: float, t: float, side: str = "left") -> int:
-    """Binary search over stored ABSOLUTE timestamps for a t0-relative query,
-    comparing ``(ts[mid] - t0) < t`` PER ELEMENT — the same float arithmetic
-    as H5EventReader.search_time (h5_io.py:110-121). ``searchsorted(ts,
-    t + t0)`` is NOT float-equivalent: rounding of ``(a - t0)`` vs
-    ``(t + t0)`` can disagree at a t_seconds window edge, putting a boundary
-    event in different windows for the same recording read through different
-    backends. O(log N), no stream copy."""
-    lo, hi = 0, len(ts)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        v = ts[mid] - t0
-        if (v < t) if side == "left" else (v <= t):
-            lo = mid + 1
-        else:
-            hi = mid
-    return lo
 
 
 class NPYEventReader:

@@ -28,6 +28,7 @@ def _load_spec(path: str, bf16: bool, pallas: bool):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if bf16 else jnp.float32
+    path = path.rstrip(os.sep)  # shell tab-completion appends / to dirs
     if path.endswith(".msgpack"):
         from bde2vid_tpu.train import load_checkpoint
 
@@ -56,7 +57,10 @@ def cmd_export(args) -> int:
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     spec = _load_spec(args.weights, args.bf16, args.pallas)
     h, w = args.hw
-    factor = max(spec.num_encoders, 1)
+    # the RAW num_encoders (2^0 = 1 means no padding for FireNet-class
+    # models) — cmd_run recomputes CropParameters with the same value from
+    # bundle meta, so export and run must agree on the factor
+    factor = spec.num_encoders
     ph = optimal_crop_size(h, factor)
     pw = optimal_crop_size(w, factor)
     if (ph, pw) != (h, w):
@@ -106,6 +110,10 @@ def cmd_run(args) -> int:
     if n != bundle.meta["batch"]:
         raise SystemExit(
             f"bundle exported at batch={bundle.meta['batch']}, got N={n}")
+    if c != bundle.meta["num_bins"]:
+        raise SystemExit(
+            f"bundle exported for num_bins={bundle.meta['num_bins']} voxel "
+            f"channels, got C={c}")
     # the SAME pad/crop object the eval driver uses (ceil on top/left —
     # the reference ZeroPad2d parity trap, utils/padding.py), so serving
     # and eval see identical zero borders for identical inputs

@@ -314,3 +314,34 @@ def test_serving_cli_run_from_h5(rng, tmp_path):
     for i, name in enumerate(pngs):
         got = load_image(os.path.join(img_dir, name))[:, :, 0]
         np.testing.assert_array_equal(got, want_u8[i])
+
+
+def test_serving_firenet_odd_dims_export_run(rng, tmp_path):
+    """num_encoders == 0 models (FireNet) take any spatial shape: export at
+    odd dims must NOT pad (2^0 = 1), and run must accept the same dims.
+    (A max(num_encoders, 1) factor in export once padded 181->182 while run
+    recomputed 181, making such bundles permanently unrunnable.)"""
+    from bde2vid_tpu.serving.__main__ import main
+    from bde2vid_tpu.train.trainer import save_checkpoint
+
+    cfg = {"num_bins": B, "base_num_channels": 8, "num_encoders": 0}
+    model = build_model("FireNet", cfg)
+    h, w = 31, 45
+    state = model.initial_state(1, h, w)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, B)), state)
+    ckpt = str(tmp_path / "firenet.msgpack")
+    save_checkpoint(ckpt, params, "FireNet", cfg)
+
+    out = str(tmp_path / "f.bundle.zip")
+    assert main(["export", "--weights", ckpt, "--out", out,
+                 "--hw", str(h), str(w), "--platforms", "cpu"]) == 0
+    meta = load_bundle(out).meta
+    assert (meta["height"], meta["width"]) == (h, w)  # unpadded
+    assert meta["num_encoders"] == 0
+
+    np.save(str(tmp_path / "v.npy"),
+            rng.normal(size=(2, h, w, B)).astype(np.float32))
+    img_dir = str(tmp_path / "imgs")
+    assert main(["run", "--bundle", out, "--voxels",
+                 str(tmp_path / "v.npy"), "--out_dir", img_dir]) == 0
+    assert len(os.listdir(img_dir)) == 2
