@@ -127,11 +127,22 @@ def cmd_run(args) -> int:
     voxels = np.pad(voxels, ((0, 0), (0, 0),
                              (cp.padding_top, cp.padding_bottom),
                              (cp.padding_left, cp.padding_right), (0, 0)))
-    if bundle.meta["kind"] == "sequence" and t != bundle.meta["seq_len"]:
-        raise SystemExit(
-            f"sequence bundle exported at T={bundle.meta['seq_len']}, "
-            f"got {t} voxel frames (step bundles accept any T)")
-    images = run_voxels(bundle, voxels)  # (T, N, ph, pw, 1)
+    L = bundle.meta.get("seq_len")
+    if bundle.meta["kind"] == "sequence" and t != L:
+        # chunk to the exported length with zero-padded tails — the eval
+        # driver's subseq_L semantics (chunks are state-reset-independent
+        # in the reference, eval_models_seq.py:216-219, so a whole-sequence
+        # program per chunk is exact; padding reuses the compiled shape)
+        outs = []
+        for s in range(0, t, L):
+            blk = voxels[s:s + L]
+            k = blk.shape[0]
+            if k < L:
+                blk = np.pad(blk, ((0, L - k),) + ((0, 0),) * 4)
+            outs.append(run_voxels(bundle, blk)[:k])
+        images = np.concatenate(outs, axis=0)
+    else:
+        images = run_voxels(bundle, voxels)  # (T, N, ph, pw, 1)
     images = images[:, :, cp.iy0:cp.iy1, cp.ix0:cp.ix1, 0]
     print(f"ran {t} frames: image range [{images.min():.4f}, "
           f"{images.max():.4f}]")

@@ -345,3 +345,41 @@ def test_serving_firenet_odd_dims_export_run(rng, tmp_path):
     assert main(["run", "--bundle", out, "--voxels",
                  str(tmp_path / "v.npy"), "--out_dir", img_dir]) == 0
     assert len(os.listdir(img_dir)) == 2
+
+
+def test_serving_cli_sequence_bundle_chunks_long_input(rng, tmp_path):
+    """Sequence bundles serve inputs LONGER than the exported T by chunking
+    with zero-padded tails (eval-driver subseq_L semantics: chunks are
+    state-reset-independent in the reference, eval_models_seq.py:216-219).
+    PNGs must equal running the live model per chunk."""
+    from bde2vid_tpu.metrics.lpips_util import load_image
+    from bde2vid_tpu.serving.__main__ import main
+
+    spec = _bde2vid_spec()
+    bundle = export_spec_bundle(spec, H, W, seq_len=3, platforms=("cpu",))
+    path = str(tmp_path / "b.bundle.zip")
+    save_bundle(path, bundle)
+
+    voxels = rng.normal(size=(5, H, W, B)).astype(np.float32)
+    vpath = str(tmp_path / "v.npy")
+    np.save(vpath, voxels)
+    img_dir = str(tmp_path / "imgs")
+    assert main(["run", "--bundle", path, "--voxels", vpath,
+                 "--out_dir", img_dir]) == 0
+    pngs = sorted(os.listdir(img_dir))
+    assert len(pngs) == 5
+
+    v5 = jnp.asarray(voxels[:, None])
+    chunks = []
+    for s in (0, 3):
+        blk = v5[s:s + 3]
+        k = blk.shape[0]
+        if k < 3:
+            blk = jnp.pad(blk, ((0, 3 - k),) + ((0, 0),) * 4)
+        out, _ = spec.module.apply(spec.params, blk, ())
+        chunks.append(np.asarray(out["image"])[:k])
+    want = np.concatenate(chunks, axis=0)[:, 0, :, :, 0]
+    want_u8 = np.clip(want * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    for i, name in enumerate(pngs):
+        got = load_image(os.path.join(img_dir, name))[:, :, 0]
+        np.testing.assert_array_equal(got, want_u8[i])
