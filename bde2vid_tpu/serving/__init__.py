@@ -20,6 +20,7 @@ from bde2vid_tpu.serving.export import (
     load_bundle,
     run_voxels,
     save_bundle,
+    serving_mesh,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "load_bundle",
     "run_voxels",
     "save_bundle",
+    "serving_mesh",
 ]

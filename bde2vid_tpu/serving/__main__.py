@@ -67,7 +67,8 @@ def cmd_export(args) -> int:
         print(f"padding exported shape {h}x{w} -> {ph}x{pw} "
               f"(/2^{factor} stride; Croper semantics)")
     bundle = export_spec_bundle(
-        spec, ph, pw, seq_len=args.T, batch=args.batch, platforms=platforms
+        spec, ph, pw, seq_len=args.T, batch=args.batch, platforms=platforms,
+        data_parallel=args.dp,
     )
     # record the pre-pad sensor shape so `run` can crop outputs back
     bundle.meta["sensor_height"], bundle.meta["sensor_width"] = h, w
@@ -77,6 +78,7 @@ def cmd_export(args) -> int:
         "out": args.out, "bytes": size, "model": spec.name,
         "kind": bundle.meta["kind"], "platforms": list(platforms),
         "exported_hw": [ph, pw], "num_params": spec.num_params,
+        "data_parallel": args.dp,
     }))
     return 0
 
@@ -172,6 +174,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="sequence length for sequence models")
     pe.add_argument("--batch", type=int, default=1)
     pe.add_argument("--platforms", default="tpu,cpu")
+    pe.add_argument("--dp", type=int, default=1,
+                    help="data-parallel devices: shard the batch over an "
+                    "N-device mesh (the bundle then requires N devices; "
+                    "export itself needs none — abstract-mesh lowering)")
     pe.add_argument("--bf16", action="store_true")
     pe.add_argument("--pallas", action="store_true",
                     help="export the fused Pallas attention (tpu-only artifact)")

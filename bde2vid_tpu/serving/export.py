@@ -22,6 +22,16 @@ cross-version stability guarantee); exporting a Pallas-enabled BDE2VID
 therefore requires ``platforms=("tpu",)`` and sets
 ``DisabledSafetyCheck.custom_call("tpu_custom_call")``. The default export
 path uses the pure-XLA attention, which is fully portable.
+
+Multi-device serving: ``data_parallel=N`` exports the program SPMD-sharded
+over an N-way ``"data"`` mesh (batch axis sharded, everything else
+replicated — XLA GSPMD partitions the body; weights are baked in as
+replicated constants). The export side needs NO devices — the shardings are
+lowered against a ``jax.sharding.AbstractMesh``, so a single-chip (or
+CPU-only) host can emit an N-chip bundle. The loader side rebuilds a
+concrete mesh from its visible devices (:func:`serving_mesh`) and
+:func:`run_voxels` commits inputs with ``Exported.in_shardings_jax`` before
+calling. The batch must divide by N.
 """
 
 from __future__ import annotations
@@ -40,6 +50,51 @@ from jax import export as jax_export
 FORMAT_VERSION = 1
 # Mosaic's custom-call target (what Pallas TPU kernels lower to).
 _TPU_CUSTOM_CALL = "tpu_custom_call"
+# Mesh axis name baked into data-parallel bundles. The loader must rebuild
+# its mesh with the SAME axis name (Exported.in_shardings_jax checks it);
+# serving_mesh() is the single source of truth on both sides.
+_MESH_AXIS = "data"
+
+
+def _dp_mesh(data_parallel: int):
+    """Export-time mesh: abstract, so no devices are needed to export."""
+    from jax.sharding import AbstractMesh
+
+    return AbstractMesh((data_parallel,), (_MESH_AXIS,))
+
+
+def _dp_shardings(mesh, batch: int, tree, batch_axis: int):
+    """Per-leaf NamedShardings: shard the batch axis where the leaf has one
+    (``shape[batch_axis] == batch``), replicate everything else (e.g. EITR's
+    scalar step counters)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def one(leaf):
+        shape = tuple(leaf.shape)
+        if len(shape) > batch_axis and shape[batch_axis] == batch:
+            return NamedSharding(
+                mesh, PartitionSpec(*([None] * batch_axis + [_MESH_AXIS]))
+            )
+        return NamedSharding(mesh, PartitionSpec())
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def serving_mesh(bundle_or_dp) -> "jax.sharding.Mesh":
+    """Concrete loader-side mesh for a data-parallel bundle: the first
+    ``data_parallel`` visible devices on a 1-D ``"data"`` axis (matching the
+    abstract mesh the bundle was exported against)."""
+    from jax.sharding import Mesh
+
+    dp = bundle_or_dp if isinstance(bundle_or_dp, int) else int(
+        bundle_or_dp.meta.get("data_parallel") or 1)
+    devices = jax.devices()
+    if len(devices) < dp:
+        raise ValueError(
+            f"bundle exported for {dp}-way data parallelism but only "
+            f"{len(devices)} device(s) are visible"
+        )
+    return Mesh(np.asarray(devices[:dp]).reshape(dp), (_MESH_AXIS,))
 
 
 def _uses_pallas(module) -> bool:
@@ -75,6 +130,7 @@ def export_forward(
     seq_len: int = 16,
     batch: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    data_parallel: int = 1,
 ) -> Dict[str, jax_export.Exported]:
     """Export a ModelSpec's forward with params baked in.
 
@@ -84,6 +140,12 @@ def export_forward(
     state)``; ``init_state() -> state``). (H, W) must already be padded to
     the model's stride (``2^num_encoders`` — Croper semantics,
     reference utils_func/inference_utils.py:26-114).
+
+    ``data_parallel=N`` shards the batch axis over an N-device ``"data"``
+    mesh (abstract at export time — no devices needed to export). The
+    artifact then requires N devices to run, with inputs committed to the
+    loader's concrete mesh (:func:`run_voxels` / :func:`serving_mesh`
+    handle this).
     """
     platforms = tuple(platforms)
     module, params = spec.module, spec.params
@@ -96,10 +158,36 @@ def export_forward(
                 "use_pallas_attention=False (eval CLI: --no-pallas) for a "
                 f"portable artifact (requested platforms={platforms})"
             )
+        if data_parallel > 1:
+            # GSPMD cannot partition an opaque custom call; the framework's
+            # sharded eval runs Pallas under shard_map
+            # (parallel/sharded_eval.py), which this export path does not
+            # serialize. DP bundles use the pure-XLA attention.
+            raise ValueError(
+                "data_parallel export requires the pure-XLA attention "
+                "(use_pallas_attention=False / --no-pallas): XLA SPMD cannot "
+                "partition tpu_custom_call ops"
+            )
         disabled = (jax_export.DisabledSafetyCheck.custom_call(_TPU_CUSTOM_CALL),)
+    if data_parallel > 1 and batch % data_parallel:
+        raise ValueError(
+            f"batch={batch} does not divide over data_parallel={data_parallel}"
+        )
+    mesh = _dp_mesh(data_parallel) if data_parallel > 1 else None
 
     nb = spec.num_bins
     dt = _input_dtype(module)
+
+    def jit_sharded(fn, in_specs, batch_axis):
+        # jit with batch-axis shardings derived per leaf (inputs from their
+        # specs, outputs via eval_shape) when data_parallel is on
+        if mesh is None:
+            return jax.jit(fn)
+        in_sh = tuple(_dp_shardings(mesh, batch, s, batch_axis) for s in in_specs)
+        out_sh = _dp_shardings(
+            mesh, batch, jax.eval_shape(fn, *in_specs), batch_axis
+        )
+        return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
 
     if spec.is_sequence_model:
         vspec = jax.ShapeDtypeStruct((seq_len, batch, height, width, nb), dt)
@@ -109,7 +197,9 @@ def export_forward(
             return out
 
         exp = jax_export.export(
-            jax.jit(forward), platforms=platforms, disabled_checks=list(disabled)
+            jit_sharded(forward, (vspec,), batch_axis=1),
+            platforms=platforms,
+            disabled_checks=list(disabled),
         )(vspec)
         return {"forward": exp}
 
@@ -126,10 +216,20 @@ def export_forward(
     def init_state():
         return module.initial_state(batch, height, width)
 
+    if mesh is None:
+        init_jit = jax.jit(init_state)
+    else:
+        # zero-arg: only out_shardings (the fresh state lands batch-sharded;
+        # the loader calls it under jax.set_mesh — run_voxels)
+        init_jit = jax.jit(
+            init_state, out_shardings=_dp_shardings(mesh, batch, state_spec, 0)
+        )
     kw = dict(platforms=platforms, disabled_checks=list(disabled))
     return {
-        "step": jax_export.export(jax.jit(step), **kw)(state_spec, vspec),
-        "init_state": jax_export.export(jax.jit(init_state), **kw)(),
+        "step": jax_export.export(
+            jit_sharded(step, (state_spec, vspec), batch_axis=0), **kw
+        )(state_spec, vspec),
+        "init_state": jax_export.export(init_jit, **kw)(),
     }
 
 
@@ -141,10 +241,12 @@ def export_spec_bundle(
     seq_len: int = 16,
     batch: int = 1,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    data_parallel: int = 1,
 ) -> ServingBundle:
     """Build the standard bundle for a loaded ModelSpec."""
     fns = export_forward(
-        spec, height, width, seq_len=seq_len, batch=batch, platforms=platforms
+        spec, height, width, seq_len=seq_len, batch=batch, platforms=platforms,
+        data_parallel=data_parallel,
     )
     meta = {
         "format_version": FORMAT_VERSION,
@@ -158,6 +260,7 @@ def export_spec_bundle(
         "batch": batch,
         "seq_len": seq_len if spec.is_sequence_model else None,
         "platforms": list(platforms),
+        "data_parallel": data_parallel,
         "jax_version": jax.__version__,
         "config": getattr(spec.module, "config", None),
         # SNN/SPADE checkpoints require LegacyNorm'd voxels (reference
@@ -210,16 +313,36 @@ def run_voxels(bundle: ServingBundle, voxels) -> np.ndarray:
     if voxels.ndim != 5:
         raise ValueError(f"expected (T,[N,]H,W,C) voxels, got {voxels.shape}")
 
+    dp = int(bundle.meta.get("data_parallel") or 1)
+    mesh = serving_mesh(dp) if dp > 1 else None
+
     if bundle.meta["kind"] == "sequence":
-        out = bundle.call("forward", voxels)
+        fwd = bundle.functions["forward"]
+        if mesh is not None:
+            voxels = jax.device_put(voxels, fwd.in_shardings_jax(mesh)[0])
+        out = fwd.call(voxels)
         return np.asarray(out["image"])
 
-    state = bundle.call("init_state")
     step_exp = bundle.functions["step"]
 
     def step_fn(carry, voxel):
         out, new_state = step_exp.call(carry, voxel)
         return new_state, out["image"]
 
-    _, images = jax.lax.scan(step_fn, state, voxels)
+    if mesh is None:
+        state = bundle.call("init_state")
+        _, images = jax.lax.scan(step_fn, state, voxels)
+        return np.asarray(images)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with jax.set_mesh(mesh):  # zero-arg init_state needs the device context
+        state = bundle.call("init_state")
+        # per-step voxel sharding (the LAST flat input leaf — state leaves
+        # flatten first), with a replicated leading T axis
+        v_sh = step_exp.in_shardings_jax(mesh)[-1]
+        voxels = jax.device_put(
+            voxels, NamedSharding(mesh, PartitionSpec(None, *v_sh.spec))
+        )
+        _, images = jax.lax.scan(step_fn, state, voxels)
     return np.asarray(images)

@@ -383,3 +383,78 @@ def test_serving_cli_sequence_bundle_chunks_long_input(rng, tmp_path):
     for i, name in enumerate(pngs):
         got = load_image(os.path.join(img_dir, name))[:, :, 0]
         np.testing.assert_array_equal(got, want_u8[i])
+
+
+def _bde2vid_spec_batched():
+    cfg = {"generator": {"num_bins": B, "basechannels": 8, "num_encoders": 2,
+                         "ks": 3, "num_res_blocks": 1,
+                         "buffer_index": [-1, 0, 1], "depths": [1, 1],
+                         "num_heads": 2, "window_size": [4, 4]}}
+    model = build_model("BDE2VID", cfg)
+    v = jnp.zeros((3, 4, H, W, B))
+    params = model.init(jax.random.PRNGKey(0), v)
+    return ModelSpec(name="BDE2VID", module=model, params=params,
+                     num_bins=B, num_encoders=2, is_sequence_model=True)
+
+
+def test_dp_sequence_bundle_matches_unsharded(rng, tmp_path):
+    """A data-parallel (batch-sharded) sequence bundle reproduces the live
+    unsharded forward after a zip round-trip, running on a concrete 4-device
+    mesh rebuilt by the loader (serving_mesh). Export uses an AbstractMesh —
+    no devices are consulted at export time."""
+    spec = _bde2vid_spec_batched()
+    t, n, dp = 3, 4, 4
+    bundle = export_spec_bundle(spec, H, W, seq_len=t, batch=n,
+                                platforms=("cpu",), data_parallel=dp)
+    assert bundle.functions["forward"].nr_devices == dp
+    path = str(tmp_path / "bde2vid.dp.bundle.zip")
+    save_bundle(path, bundle)
+
+    loaded = load_bundle(path)
+    assert loaded.meta["data_parallel"] == dp
+    voxels = jnp.asarray(rng.normal(size=(t, n, H, W, B)).astype(np.float32))
+    got = run_voxels(loaded, voxels)
+    want, _ = spec.module.apply(spec.params, voxels, ())
+    np.testing.assert_allclose(got, np.asarray(want["image"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dp_step_bundle_matches_unsharded(rng, tmp_path):
+    """DP step-model bundle: the exported init_state lands batch-sharded on
+    the loader mesh and the scanned step matches the live run_sequence."""
+    model = build_model("E2VIDRecurrent", CFG)
+    n, dp = 4, 2
+    voxel = jnp.zeros((n, H, W, B))
+    state = model.initial_state(n, H, W)
+    params = model.init(jax.random.PRNGKey(0), voxel, state)
+    spec = ModelSpec(name="E2VIDRecurrent", module=model, params=params,
+                     num_bins=B, num_encoders=2)
+
+    bundle = export_spec_bundle(spec, H, W, batch=n, platforms=("cpu",),
+                                data_parallel=dp)
+    assert bundle.functions["step"].nr_devices == dp
+    path = str(tmp_path / "e2vid.dp.bundle.zip")
+    save_bundle(path, bundle)
+
+    loaded = load_bundle(path)
+    voxels = jnp.asarray(rng.normal(size=(4, n, H, W, B)).astype(np.float32))
+    got = run_voxels(loaded, voxels)
+    want, _ = run_sequence(spec.module, spec.params, voxels,
+                           spec.module.initial_state(n, H, W))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_dp_export_rejects_indivisible_batch():
+    spec = _e2vid_spec()
+    with pytest.raises(ValueError, match="does not divide"):
+        export_forward(spec, H, W, batch=3, platforms=("cpu",),
+                       data_parallel=2)
+
+
+def test_dp_bundle_requires_enough_devices(tmp_path):
+    """A bundle exported for more devices than the host has must fail with
+    the loader's clear error, not an opaque XLA one."""
+    from bde2vid_tpu.serving.export import serving_mesh
+
+    with pytest.raises(ValueError, match="64-way"):
+        serving_mesh(64)
