@@ -14,6 +14,9 @@ from bde2vid_tpu.train.trainer import (
     load_checkpoint,
     save_checkpoint_orbax,
     load_checkpoint_orbax,
+    save_train_state_orbax,
+    restore_train_state_orbax,
+    is_train_state,
 )
 
 __all__ = [
@@ -23,4 +26,7 @@ __all__ = [
     "load_checkpoint",
     "save_checkpoint_orbax",
     "load_checkpoint_orbax",
+    "save_train_state_orbax",
+    "restore_train_state_orbax",
+    "is_train_state",
 ]

@@ -243,7 +243,13 @@ def main(argv=None) -> int:
     p.add_argument("--data_dir", default="data/train")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--out_dir", default=None)
-    p.add_argument("--resume", default=None, help="msgpack checkpoint to resume")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint to resume: a .msgpack (params only, "
+                   "fresh optimizer) or a .state dir (exact resume: params "
+                   "+ Adam moments + step + PRNG key)")
+    p.add_argument("--save_state", action="store_true",
+                   help="also write epoch_N.state full train-state "
+                   "checkpoints (orbax) at every checkpoint interval")
     p.add_argument("--batch", type=int, default=1,
                    help="independent windows per step; sharded over the "
                         "device mesh 'data' axis when divisible")
@@ -273,9 +279,12 @@ def main(argv=None) -> int:
     from bde2vid_tpu.models import build_model
     from bde2vid_tpu.train import (
         SequenceLossComputer,
+        is_train_state,
         load_checkpoint,
         make_train_step,
+        restore_train_state_orbax,
         save_checkpoint,
+        save_train_state_orbax,
     )
     from bde2vid_tpu.utils.config import Config
 
@@ -350,9 +359,20 @@ def main(argv=None) -> int:
         shard = data_sharding(mesh, 5, batch_axis=1)
         print(f"sharding batch {args.batch} over {jax.device_count()} devices")
 
-    if args.resume:
+    tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
+    start_step, resume_key = 0, None
+    if args.resume and is_train_state(args.resume):
+        # full train-state checkpoint: params + Adam moments + step + PRNG
+        # key restore, so the resumed run continues the original exactly
+        spec, opt_state, start_step, resume_key = restore_train_state_orbax(
+            args.resume, tx
+        )
+        params = spec.params
+        print(f"exact resume from {args.resume} at step {start_step}")
+    elif args.resume:
         spec = load_checkpoint(args.resume)
         params = spec.params
+        opt_state = tx.init(params)
     else:
         rngs = {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}
         if is_seq:
@@ -360,9 +380,7 @@ def main(argv=None) -> int:
         else:
             n, h, w = voxels.shape[1], voxels.shape[2], voxels.shape[3]
             params = model.init(rngs, voxels[0], model.initial_state(n, h, w))
-
-    tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
-    opt_state = tx.init(params)
+        opt_state = tx.init(params)
 
     comp = SequenceLossComputer(losses_cfg, cfg.get("loss_inds"))
 
@@ -420,10 +438,10 @@ def main(argv=None) -> int:
         if noise_std > 0
         else None
     )
-    key = jax.random.PRNGKey(42)
+    key = resume_key if resume_key is not None else jax.random.PRNGKey(42)
     t0 = time.perf_counter()
-    for i in range(steps):
-        if i > 0:  # step 0 trains on the batch fetched for init — fetching
+    for i in range(start_step, steps):
+        if i > start_step:  # the first step trains on the batch fetched for init —
             # at the loop top (not bottom) avoids assembling one full
             # unused batch after the final step
             voxels, gts, flows = next(it)
@@ -440,12 +458,18 @@ def main(argv=None) -> int:
         )
         if i % 20 == 0:
             loss = float(loss_dict["loss"])
-            rate = (i + 1) / (time.perf_counter() - t0)
+            rate = (i + 1 - start_step) / (time.perf_counter() - t0)
             print(f"step {i}: loss={loss:.5f} ({rate:.2f} steps/s)", flush=True)
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             path = os.path.join(out_dir, f"epoch_{i + 1}.msgpack")
             save_checkpoint(path, params, model_name, model_cfg)
             print(f"saved {path}", flush=True)
+            if args.save_state:
+                spath = os.path.join(out_dir, f"epoch_{i + 1}.state")
+                save_train_state_orbax(
+                    spath, params, opt_state, i + 1, key, model_name, model_cfg
+                )
+                print(f"saved {spath}", flush=True)
     return 0
 
 
