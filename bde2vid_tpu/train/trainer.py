@@ -465,7 +465,9 @@ def save_train_state_orbax(
         "key": key,
     }
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+        # force: overwrite an existing state dir (re-running into the same
+        # out_dir must not crash at checkpoint time, hours into training)
+        ckptr.save(path, state, force=True)
     with open(path + ".json", "w") as fp:
         json.dump({"model": model_name, "config": config, "train_state": True}, fp)
 
