@@ -63,21 +63,49 @@ def _dp_mesh(data_parallel: int):
     return AbstractMesh((data_parallel,), (_MESH_AXIS,))
 
 
-def _dp_shardings(mesh, batch: int, tree, batch_axis: int):
-    """Per-leaf NamedShardings: shard the batch axis where the leaf has one
-    (``shape[batch_axis] == batch``), replicate everything else (e.g. EITR's
+def _batch_mask(tree, tree_bumped, batch_axis: int):
+    """STRUCTURAL batch-leaf detection: ``tree_bumped`` is the same pytree
+    built at batch+1 — a leaf is a batch leaf iff its shape changed, and
+    then it must have changed exactly at ``batch_axis``. This replaces the
+    old ``shape[batch_axis] == batch`` heuristic, which would silently
+    shard a state leaf whose non-batch leading dim coincidentally equals
+    the batch size (r4 advisor finding)."""
+
+    def one(path, a, b):
+        sa, sb = tuple(a.shape), tuple(b.shape)
+        if sa == sb:
+            return False
+        ok = (
+            len(sa) == len(sb)
+            and len(sa) > batch_axis
+            and all(x == y for i, (x, y) in enumerate(zip(sa, sb))
+                    if i != batch_axis)
+        )
+        if not ok:
+            raise ValueError(
+                f"leaf {jax.tree_util.keystr(path)} changes shape {sa} -> "
+                f"{sb} under a batch bump somewhere other than axis "
+                f"{batch_axis}; cannot infer its data-parallel sharding"
+            )
+        return True
+
+    return jax.tree_util.tree_map_with_path(one, tree, tree_bumped)
+
+
+def _dp_shardings(mesh, mask_tree, batch_axis: int):
+    """Per-leaf NamedShardings from a :func:`_batch_mask` tree: shard the
+    batch axis of batch leaves, replicate everything else (e.g. EITR's
     scalar step counters)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    def one(leaf):
-        shape = tuple(leaf.shape)
-        if len(shape) > batch_axis and shape[batch_axis] == batch:
+    def one(is_batch):
+        if is_batch:
             return NamedSharding(
                 mesh, PartitionSpec(*([None] * batch_axis + [_MESH_AXIS]))
             )
         return NamedSharding(mesh, PartitionSpec())
 
-    return jax.tree_util.tree_map(one, tree)
+    return jax.tree_util.tree_map(one, mask_tree)
 
 
 def serving_mesh(bundle_or_dp) -> "jax.sharding.Mesh":
@@ -178,36 +206,49 @@ def export_forward(
     nb = spec.num_bins
     dt = _input_dtype(module)
 
-    def jit_sharded(fn, in_specs, batch_axis):
-        # jit with batch-axis shardings derived per leaf (inputs from their
-        # specs, outputs via eval_shape) when data_parallel is on
+    def jit_sharded(fn, in_specs, in_specs_bumped, batch_axis):
+        # jit with batch-axis shardings derived per leaf when data_parallel
+        # is on; batch leaves are identified STRUCTURALLY by comparing the
+        # specs against their batch+1 twins (inputs directly, outputs via
+        # eval_shape at both batch sizes)
         if mesh is None:
             return jax.jit(fn)
-        in_sh = tuple(_dp_shardings(mesh, batch, s, batch_axis) for s in in_specs)
-        out_sh = _dp_shardings(
-            mesh, batch, jax.eval_shape(fn, *in_specs), batch_axis
+        in_sh = tuple(
+            _dp_shardings(mesh, _batch_mask(s, s2, batch_axis), batch_axis)
+            for s, s2 in zip(in_specs, in_specs_bumped)
         )
+        out_mask = _batch_mask(
+            jax.eval_shape(fn, *in_specs),
+            jax.eval_shape(fn, *in_specs_bumped),
+            batch_axis,
+        )
+        out_sh = _dp_shardings(mesh, out_mask, batch_axis)
         return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
 
     if spec.is_sequence_model:
         vspec = jax.ShapeDtypeStruct((seq_len, batch, height, width, nb), dt)
+        vspec2 = jax.ShapeDtypeStruct((seq_len, batch + 1, height, width, nb), dt)
 
         def forward(voxels):
             out, _ = module.apply(params, voxels, ())
             return out
 
         exp = jax_export.export(
-            jit_sharded(forward, (vspec,), batch_axis=1),
+            jit_sharded(forward, (vspec,), (vspec2,), batch_axis=1),
             platforms=platforms,
             disabled_checks=list(disabled),
         )(vspec)
         return {"forward": exp}
 
-    state0 = module.initial_state(batch, height, width)
-    state_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), state0
-    )
+    def _state_spec(n):
+        return jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+            module.initial_state(n, height, width),
+        )
+
+    state_spec, state_spec2 = _state_spec(batch), _state_spec(batch + 1)
     vspec = jax.ShapeDtypeStruct((batch, height, width, nb), dt)
+    vspec2 = jax.ShapeDtypeStruct((batch + 1, height, width, nb), dt)
 
     def step(state, voxel):
         out, new_state = module.apply(params, voxel, state)
@@ -222,12 +263,16 @@ def export_forward(
         # zero-arg: only out_shardings (the fresh state lands batch-sharded;
         # the loader calls it under jax.set_mesh — run_voxels)
         init_jit = jax.jit(
-            init_state, out_shardings=_dp_shardings(mesh, batch, state_spec, 0)
+            init_state,
+            out_shardings=_dp_shardings(
+                mesh, _batch_mask(state_spec, state_spec2, 0), 0
+            ),
         )
     kw = dict(platforms=platforms, disabled_checks=list(disabled))
     return {
         "step": jax_export.export(
-            jit_sharded(step, (state_spec, vspec), batch_axis=0), **kw
+            jit_sharded(step, (state_spec, vspec), (state_spec2, vspec2),
+                        batch_axis=0), **kw
         )(state_spec, vspec),
         "init_state": jax_export.export(init_jit, **kw)(),
     }

@@ -7,6 +7,7 @@ matching the V5 in-loop computation, a jittable/shardable train step, and
 msgpack checkpoints.
 """
 
+from bde2vid_tpu.train.optim import build_optimizer, build_schedule
 from bde2vid_tpu.train.trainer import (
     SequenceLossComputer,
     make_train_step,
@@ -20,6 +21,8 @@ from bde2vid_tpu.train.trainer import (
 )
 
 __all__ = [
+    "build_optimizer",
+    "build_schedule",
     "SequenceLossComputer",
     "make_train_step",
     "save_checkpoint",

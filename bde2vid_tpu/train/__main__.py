@@ -9,18 +9,46 @@ windows sampled from h5 sequences (with the reference's pause/noise
 augmentation semantics) -> jitted train step (optionally data-parallel over
 the device mesh) -> msgpack checkpoints.
 
-Config schema (see utils/config.py):
+Config schema (see utils/config.py; optimizer/lr_scheduler mirror the
+reference's documented pytorch-template surface, parse_config.py:84-112 —
+torch names, reflection-style {"type", "args"} sections; train/optim.py):
 {
   "name": "bde2vid_run",
   "model": {"type": "BDE2VID", "args": {...model config...}},
   "losses": [{"type": "L1Loss"}, ...],
   "loss_inds": null,
-  "optimizer": {"lr": 1e-4},
-  "data": {"sequence_length": 8, "num_bins": 5,
+  "optimizer": {"type": "Adam"|"AdamW"|"SGD"|"RMSprop",
+                "args": {"lr": 1e-4, "weight_decay": 0.0, "grad_clip": 1.0,
+                         ...torch args (betas/eps/momentum/nesterov/...)}},
+    # back-compat: a flat {"lr": 1e-4} still means Adam(lr)
+  "lr_scheduler": {"type": "StepLR"|"MultiStepLR"|"ExponentialLR"|
+                           "CosineAnnealingLR"|"LinearLR",
+                   "args": {...torch args, boundaries in train STEPS...}},
+  "data": {"sequence_length": 8, "num_bins": 5, "crop_size": 112,
            "proba_pause_when_running": 0.05, "proba_pause_when_paused": 0.9,
-           "noise_std": 0.1, "noise_fraction": 0.05},
+           "noise_std": 0.1, "noise_fraction": 0.05,
+           "hot_pixel_std": 2.0, "max_hot_pixel_fraction": 0.001,
+           "transforms": {"RandomRotationFlip":
+                              {"degrees": 20, "p_hflip": 0.5, "p_vflip": 0.5},
+                          "RandomCrop": {"size": 112}}},
+    # hot pixels/rotation-flip follow the reference training protocol
+    # (utils_func/data_augmentation.py:48-59,126-180; SequenceDataset
+    # hot_pixel_kwargs + per-item transforms, h5_dataset.py:668-756):
+    # one rotation/flip + one hot-pixel pattern per window, shared by every
+    # step; flows get the inverse-matrix channel mix
   "train": {"steps": 1000, "ckpt_every": 200, "remat": false, "bf16": false}
 }
+
+Data order is deterministic and resume-exact: the window sampler seeds a
+fresh numpy Generator per STEP INDEX (``default_rng([seed, step])``), so a
+run resumed from an exact-resume .state checkpoint at step k sees the same
+batches steps k..N as the uninterrupted run — the stream is part of the
+resumed state by construction, with no iterator fast-forward cost.
+
+Validation: ``--val_dir D --val_every N`` scores MSE/SSIM on deterministic
+held-out windows every N steps (eval-mode model, jitted metric program),
+appends ``val_log.jsonl`` in the run dir, and keeps the best-MSE params as
+``best.msgpack``.
 """
 
 from __future__ import annotations
@@ -64,27 +92,57 @@ def _open_sequence(path, num_bins):
 
 
 @functools.lru_cache(maxsize=None)
-def _window_device_fn(ch: int, cw: int):
+def _window_device_fn(ch: int, cw: int, rot: bool = False):
     """Jitted on-device window finisher: item-select (pause repeats), zero
-    paused steps, NHWC transpose, crop. Keeping this on device matters on
-    a remote-TPU host: the old numpy path read the full-sensor voxels back
-    to the host and re-uploaded the crop every window — two ~7 MB tunnel
-    transfers per window that dominated data assembly (measured r3,
-    tools/profile_train.py)."""
+    paused steps, optional full-sensor affine rotation/flip, NHWC
+    transpose, crop. Keeping this on device matters on a remote-TPU host:
+    the old numpy path read the full-sensor voxels back to the host and
+    re-uploaded the crop every window — two ~7 MB tunnel transfers per
+    window that dominated data assembly (measured r3,
+    tools/profile_train.py). With ``rot`` the fn takes the forward 2x3
+    affine matrix and resamples BEFORE the crop — the reference's per-item
+    transform order (rotate full sensor, then RandomCrop; the grid is
+    built on device from the 24-byte matrix, not uploaded)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def f(vox, idx, paused, y0, x0):
-        v = vox[idx]  # (L, B, H, W)
-        v = jnp.where(paused[:, None, None, None], 0.0, v)
+    def _finish(v, y0, x0):
         v = jnp.transpose(v, (0, 2, 3, 1))  # (L, H, W, B)
         return lax.dynamic_slice(
             v, (0, y0, x0, 0), (v.shape[0], ch, cw, v.shape[3])
         )
 
-    return f
+    if not rot:
+
+        @jax.jit
+        def f(vox, idx, paused, y0, x0):
+            v = vox[idx]  # (L, B, H, W)
+            v = jnp.where(paused[:, None, None, None], 0.0, v)
+            return _finish(v, y0, x0)
+
+        return f
+
+    from bde2vid_tpu.nn.sampling import grid_sample_bilinear
+
+    @jax.jit
+    def f_rot(vox, idx, paused, y0, x0, fwd):
+        v = vox[idx]
+        v = jnp.where(paused[:, None, None, None], 0.0, v)
+        L, B, H, W = v.shape
+        # F.affine_grid(align_corners=False) base coords: pixel centers —
+        # identical math to data/transforms.RandomRotationFlip (host twin)
+        gx = (2.0 * jnp.arange(W) + 1.0) / W - 1.0
+        gy = (2.0 * jnp.arange(H) + 1.0) / H - 1.0
+        X, Y = jnp.meshgrid(gx, gy)
+        pts = jnp.stack([X, Y, jnp.ones_like(X)], axis=-1)  # (H, W, 3)
+        grid = pts @ fwd.T  # (H, W, 2) output -> input coords
+        img = v.reshape(L * B, H, W)[..., None]
+        grid = jnp.broadcast_to(grid, (L * B, H, W, 2))
+        v = grid_sample_bilinear(img, grid)[..., 0].reshape(L, B, H, W)
+        return _finish(v, y0, x0)
+
+    return f_rot
 
 
 def _crop_shape(sensor_hw, crop_size, multiple):
@@ -104,11 +162,20 @@ def _crop_shape(sensor_hw, crop_size, multiple):
 
 def _one_window(
     files, rng, seq_len, num_bins, pause_cfg, multiple=1, crop_size=None,
-    want_flows=False,
+    want_flows=False, rot_cfg=None,
 ):
     import jax.numpy as jnp
 
-    from bde2vid_tpu.data.transforms import sample_pause_mask
+    from bde2vid_tpu.data.transforms import RandomRotationFlip, sample_pause_mask
+
+    rotflip = None
+    if rot_cfg:
+        # ONE rotation/flip per window, shared by every step (the
+        # reference's shared per-sequence transform seed,
+        # h5_dataset.py:708-712); voxels resample on device inside the
+        # window finisher, frames/flows on host below
+        rotflip = RandomRotationFlip(**rot_cfg)
+        rotflip.sample_params(rng)
 
     # random draws first; if unlucky, fall back to an exhaustive scan over
     # all files before giving up (a purely random bound would spuriously
@@ -158,21 +225,40 @@ def _one_window(
         ch, cw = _crop_shape((h, w), crop_size, multiple)
         y0 = int(rng.integers(0, h - ch + 1))
         x0 = int(rng.integers(0, w - cw + 1))
-        # voxels stay ON DEVICE end to end (select/zero/transpose/crop in
-        # one jitted program); only the small uint8 frames cross the tunnel
-        vox = _window_device_fn(int(ch), int(cw))(
+        # voxels stay ON DEVICE end to end (select/zero/[rotate]/transpose/
+        # crop in one jitted program); only the small frames cross the tunnel
+        dev_args = [
             vox,
             jnp.asarray(idx, jnp.int32),
             jnp.asarray(paused),
             jnp.int32(y0),
             jnp.int32(x0),
-        )
+        ]
+        if rotflip is not None:
+            dev_args.append(jnp.asarray(rotflip._fwd))
+        vox = _window_device_fn(int(ch), int(cw), rotflip is not None)(*dev_args)
+        if rotflip is not None:
+            # frames rotate on host with the identical sampler math
+            # (data/transforms twin of the device path); bilinear needs
+            # float, so rotation-enabled runs forgo the uint8 upload path
+            if frames.dtype == np.uint8:
+                frames = frames.astype(np.float32) / 255.0
+            frames = rotflip(frames)  # (L, H, W) as channels
         frames = frames[:, y0 : y0 + ch, x0 : x0 + cw]
         if want_flows:
             # pause semantics for flow: repeated (paused) steps see a static
             # scene, so their gt-to-gt displacement is ZERO; running steps
             # keep their window's flow, item-selected like the frames
             flows = flows[idx]
+            if rotflip is not None:
+                # flow fields additionally mix channels by the inverse
+                # matrix (reference :226-240)
+                flows = np.stack(
+                    [
+                        rotflip(f.transpose(2, 0, 1), is_flow=True).transpose(1, 2, 0)
+                        for f in flows
+                    ]
+                )
             flows[np.asarray(paused)] = 0.0
             flows = flows[:, y0 : y0 + ch, x0 : x0 + cw]
             return vox, frames[..., None], flows
@@ -186,18 +272,26 @@ def _one_window(
 
 def iterate_training_windows(
     data_dir, seq_len, num_bins, pause_cfg, batch=1, seed=0, multiple=1,
-    crop_size=None, want_flows=False,
+    crop_size=None, want_flows=False, rot_cfg=None, start_step=0,
 ):
     """Yield (voxels (L,N,H,W,B), frames (L,N,H,W,1), flows (L,N,H,W,2)
     or None) batches of independent windows from all h5 sequences under
     data_dir, with Markov pause augmentation (zeroed events + repeated
-    frame, zeroed flow — reference SequenceDataset, h5_dataset.py:668-756).
+    frame, zeroed flow — reference SequenceDataset, h5_dataset.py:668-756)
+    and optional per-window rotation/flip (``rot_cfg`` =
+    RandomRotationFlip kwargs).
+
     Windows are cropped to ``crop_size`` (or the full sensor) rounded down
     to ``multiple``; flows are read only when ``want_flows``
-    (TemporalConsistencyLoss)."""
+    (TemporalConsistencyLoss).
+
+    The batch for step k is a pure function of ``(seed, k)``: every step
+    seeds a FRESH Generator ``default_rng([seed, step])``, so an exact
+    resume at ``start_step=k`` reproduces the uninterrupted run's data
+    stream from step k with zero fast-forward cost (a single sequential
+    stream would silently re-train steps 0..N-k after resume)."""
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(seed)
     files = sorted(glob.glob(os.path.join(data_dir, "**", "*.h5"), recursive=True))
     if not files:
         raise FileNotFoundError(f"no h5 sequences under {data_dir}")
@@ -208,12 +302,15 @@ def iterate_training_windows(
     sensors = [_open_sequence(p, num_bins).sensor_size for p in files]
     min_hw = (min(s[0] for s in sensors), min(s[1] for s in sensors))
     crop_hw = _crop_shape(min_hw, crop_size, multiple)
+    step = int(start_step)
     while True:
+        rng = np.random.default_rng([int(seed), step])
+        step += 1
         vs, fs, fls = zip(
             *(
                 _one_window(
                     files, rng, seq_len, num_bins, pause_cfg, 1, crop_hw,
-                    want_flows,
+                    want_flows, rot_cfg,
                 )
                 for _ in range(batch)
             )
@@ -258,6 +355,14 @@ def main(argv=None) -> int:
                         "(auto-discovered when omitted)")
     p.add_argument("--lpips_backbone", default=None,
                    help="converted LPIPS backbone weights (.pth/.npz)")
+    p.add_argument("--val_dir", default=None,
+                   help="held-out h5 directory: score MSE/SSIM on fixed "
+                        "windows every --val_every steps, append "
+                        "val_log.jsonl, keep best-MSE params as best.msgpack")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="validation interval in steps (0 disables)")
+    p.add_argument("--val_windows", type=int, default=4,
+                   help="number of held-out windows scored per validation")
     p.add_argument("--prefetch", type=int, default=0,
                    help="windows staged ahead by a background assembly "
                         "thread (0 disables — the right default here: on "
@@ -269,7 +374,6 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from bde2vid_tpu.utils import enable_compilation_cache
 
@@ -317,17 +421,52 @@ def main(argv=None) -> int:
     # H/W divisibility requirement of the model's decoder pyramid
     num_encoders = int(model_cfg.get("num_encoders", 3))
     crop_size = data_cfg.get("crop_size")
+    # reference-shaped per-item transform config (h5_dataset.py:721-747):
+    # RandomCrop maps onto the window sampler's crop; RandomRotationFlip
+    # becomes the per-window affine resample
+    transforms_cfg = dict(data_cfg.get("transforms", {}))
+    rot_cfg = transforms_cfg.pop("RandomRotationFlip", None)
+    rc = transforms_cfg.pop("RandomCrop", None)
+    if rc is not None and crop_size is None:
+        crop_size = rc["size"]
+    if transforms_cfg:
+        raise SystemExit(
+            f"unknown data.transforms entries: {sorted(transforms_cfg)} "
+            "(supported: RandomRotationFlip, RandomCrop)"
+        )
     if crop_size is not None:
         crop_size = (
             (int(crop_size), int(crop_size))
             if np.isscalar(crop_size)
             else (int(crop_size[0]), int(crop_size[1]))
         )
+    hot_std = float(data_cfg.get("hot_pixel_std", 1.0))
+    hot_frac = float(data_cfg.get("max_hot_pixel_fraction", 0.0))
 
     losses_cfg = cfg.get("losses", [{"type": "L1Loss"}])
     # TemporalConsistencyLoss consumes per-step gt displacement flows —
     # read them from the h5 files (SequenceData.flows) only when configured
     want_flows = any(c["type"] == "TemporalConsistencyLoss" for c in losses_cfg)
+
+    from bde2vid_tpu.train.optim import build_optimizer
+
+    tx, tx_desc = build_optimizer(cfg.get("optimizer"), cfg.get("lr_scheduler"))
+    print(f"optimizer: {tx_desc}")
+    start_step, resume_key, params = 0, None, None
+    if args.resume and is_train_state(args.resume):
+        # full train-state checkpoint: params + optimizer state (moments
+        # AND schedule position) + step + PRNG key restore, so the resumed
+        # run continues the original exactly; the data stream follows via
+        # per-step window seeding (iterate_training_windows start_step)
+        spec, opt_state, start_step, resume_key = restore_train_state_orbax(
+            args.resume, tx
+        )
+        params = spec.params
+        print(f"exact resume from {args.resume} at step {start_step}")
+    elif args.resume:
+        spec = load_checkpoint(args.resume)
+        params = spec.params
+        opt_state = tx.init(params)
 
     it = iterate_training_windows(
         args.data_dir,
@@ -338,6 +477,8 @@ def main(argv=None) -> int:
         multiple=2**num_encoders,
         crop_size=crop_size,
         want_flows=want_flows,
+        rot_cfg=rot_cfg,
+        start_step=start_step,
     )
     if args.prefetch > 0:
         # background thread assembles ahead: overlaps the window
@@ -359,21 +500,7 @@ def main(argv=None) -> int:
         shard = data_sharding(mesh, 5, batch_axis=1)
         print(f"sharding batch {args.batch} over {jax.device_count()} devices")
 
-    tx = optax.adam(float(cfg.get("optimizer", {}).get("lr", 1e-4)))
-    start_step, resume_key = 0, None
-    if args.resume and is_train_state(args.resume):
-        # full train-state checkpoint: params + Adam moments + step + PRNG
-        # key restore, so the resumed run continues the original exactly
-        spec, opt_state, start_step, resume_key = restore_train_state_orbax(
-            args.resume, tx
-        )
-        params = spec.params
-        print(f"exact resume from {args.resume} at step {start_step}")
-    elif args.resume:
-        spec = load_checkpoint(args.resume)
-        params = spec.params
-        opt_state = tx.init(params)
-    else:
+    if params is None:
         rngs = {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)}
         if is_seq:
             params = model.init(rngs, voxels)
@@ -438,6 +565,32 @@ def main(argv=None) -> int:
         if noise_std > 0
         else None
     )
+    hot_fn = None
+    if hot_frac > 0:
+        # reference protocol: ONE hot-pixel pattern per sequence window,
+        # added to every step's voxels (data_augmentation.py:48-59); batch
+        # elements are independent windows, so each gets its own pattern
+        from bde2vid_tpu.data.transforms import add_hot_pixels_to_sequence
+
+        _hot_one = functools.partial(
+            add_hot_pixels_to_sequence,
+            hot_pixel_std=hot_std,
+            max_hot_pixel_fraction=hot_frac,
+        )
+        hot_fn = jax.jit(
+            lambda v, ks: jax.vmap(_hot_one, in_axes=(1, 0), out_axes=1)(v, ks)
+        )
+
+    validator = None
+    if args.val_dir and args.val_every > 0:
+        from bde2vid_tpu.train.validate import Validator
+
+        validator = Validator(
+            model_name, model_cfg, args.val_dir,
+            seq_len=seq_len, num_bins=num_bins, windows=args.val_windows,
+            multiple=2**num_encoders, crop_size=crop_size, bf16=bf16,
+        )
+
     key = resume_key if resume_key is not None else jax.random.PRNGKey(42)
     t0 = time.perf_counter()
     for i in range(start_step, steps):
@@ -445,9 +598,11 @@ def main(argv=None) -> int:
             # at the loop top (not bottom) avoids assembling one full
             # unused batch after the final step
             voxels, gts, flows = next(it)
-        key, k1, k2 = jax.random.split(key, 3)
+        key, k1, k2, k3 = jax.random.split(key, 4)
         if noise_fn is not None:
             voxels = noise_fn(voxels, k2)
+        if hot_fn is not None:
+            voxels = hot_fn(voxels, jax.random.split(k3, voxels.shape[1]))
         if shard is not None:
             voxels = jax.device_put(voxels, shard)
             gts = jax.device_put(gts, shard)
@@ -460,6 +615,16 @@ def main(argv=None) -> int:
             loss = float(loss_dict["loss"])
             rate = (i + 1 - start_step) / (time.perf_counter() - t0)
             print(f"step {i}: loss={loss:.5f} ({rate:.2f} steps/s)", flush=True)
+        if validator is not None and (
+            (i + 1) % args.val_every == 0 or i + 1 == steps
+        ):
+            rec = validator.log_and_track(out_dir, i + 1, params)
+            print(
+                f"val step {i + 1}: mse={rec['mse']:.6f} "
+                f"ssim={rec['ssim']:.4f}"
+                + (" (new best)" if rec["best"] else ""),
+                flush=True,
+            )
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             path = os.path.join(out_dir, f"epoch_{i + 1}.msgpack")
             save_checkpoint(path, params, model_name, model_cfg)

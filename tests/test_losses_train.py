@@ -608,3 +608,131 @@ def test_train_cli_temporal_consistency_with_flows(tmp_path, rng):
     ])
     assert rc == 0
     assert list(out_dir.glob("*.msgpack")), "no checkpoint written"
+
+
+def test_iterate_windows_per_step_seeding(tmp_path, rng):
+    """The window stream is a pure function of (seed, step): an iterator
+    created with start_step=2 must yield exactly what the start_step=0
+    iterator yields third — the property exact resume relies on for data-
+    stream continuity."""
+    import bde2vid_tpu.train.__main__ as tm
+
+    data_dir = tmp_path / "d"
+    data_dir.mkdir()
+    _write_h5_seq(data_dir / "a.h5", rng, 8)
+    _write_h5_seq(data_dir / "b.h5", rng, 10)
+    kw = dict(seq_len=3, num_bins=5, pause_cfg={"proba_pause_when_running": 0.3,
+                                                "proba_pause_when_paused": 0.7},
+              batch=2, seed=5, multiple=2)
+
+    it0 = tm.iterate_training_windows(str(data_dir), **kw)
+    draws = [next(it0) for _ in range(3)]
+    it2 = tm.iterate_training_windows(str(data_dir), start_step=2, **kw)
+    vox2, fr2, _ = next(it2)
+    np.testing.assert_array_equal(np.asarray(vox2), np.asarray(draws[2][0]))
+    np.testing.assert_array_equal(np.asarray(fr2), np.asarray(draws[2][1]))
+    # and the stream is genuinely step-dependent (not constant)
+    assert not np.array_equal(np.asarray(draws[0][0]), np.asarray(draws[1][0]))
+
+
+def test_train_cli_augmentation_and_scheduler_smoke(tmp_path, rng):
+    """CLI smoke for the round-5 config surface: rotation/flip + hot-pixel
+    augmentation (reference training protocol, data_augmentation.py:48-59,
+    126-180) and a factory-built optimizer with scheduler + grad clip —
+    two steps train and checkpoint."""
+    import json as _json
+
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.train.__main__ import main
+    from tests.conftest import make_events
+
+    sensor = (20, 24)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    xs, ys, ts, ps = make_events(rng, n=8000, sensor_size=sensor, t1=1.0)
+    with H5EventWriter(str(data_dir / "s.h5"), sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(8):
+            w.add_image(rng.integers(0, 255, sensor).astype(np.uint8),
+                        (i + 0.5) / 8)
+
+    cfg = {
+        "name": "t",
+        "model": {"type": "E2VIDRecurrent",
+                  "args": {"num_bins": 5, "num_encoders": 1,
+                           "base_num_channels": 4,
+                           "num_residual_blocks": 1}},
+        "losses": [{"type": "L1Loss"}],
+        "optimizer": {"type": "SGD",
+                      "args": {"lr": 1e-3, "momentum": 0.9,
+                               "grad_clip": 5.0}},
+        "lr_scheduler": {"type": "ExponentialLR", "args": {"gamma": 0.99}},
+        "data": {"sequence_length": 3, "num_bins": 5,
+                 "noise_std": 0.05, "noise_fraction": 0.1,
+                 "hot_pixel_std": 2.0, "max_hot_pixel_fraction": 0.01,
+                 "transforms": {"RandomRotationFlip": {"degrees": 15},
+                                "RandomCrop": {"size": 16}}},
+        "train": {"steps": 2, "ckpt_every": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    rc = main(["--config", str(cfg_path), "--data_dir", str(data_dir),
+               "--out_dir", str(out_dir), "--steps", "2"])
+    assert rc == 0
+    assert list(out_dir.glob("*.msgpack")), "no checkpoint written"
+
+
+def test_train_cli_validation_tracks_best(tmp_path, rng):
+    """--val_dir/--val_every: every interval appends a val_log.jsonl record
+    with MSE/SSIM on fixed held-out windows and keeps the best-MSE params
+    as best.msgpack (VERDICT r4 #4)."""
+    import json as _json
+
+    from bde2vid_tpu.events import H5EventWriter
+    from bde2vid_tpu.train.__main__ import main
+    from tests.conftest import make_events
+
+    sensor = (16, 16)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    xs, ys, ts, ps = make_events(rng, n=8000, sensor_size=sensor, t1=1.0)
+    with H5EventWriter(str(data_dir / "s.h5"), sensor_size=sensor) as w:
+        w.append_events(xs, ys, ts, ps > 0)
+        for i in range(8):
+            w.add_image(rng.integers(0, 255, sensor).astype(np.uint8),
+                        (i + 0.5) / 8)
+
+    cfg = {
+        "name": "t",
+        "model": {"type": "E2VIDRecurrent",
+                  "args": {"num_bins": 5, "num_encoders": 1,
+                           "base_num_channels": 4,
+                           "num_residual_blocks": 1}},
+        "losses": [{"type": "L1Loss"}],
+        "optimizer": {"lr": 1e-3},
+        "data": {"sequence_length": 2, "num_bins": 5},
+        "train": {"steps": 2, "ckpt_every": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out_dir = tmp_path / "out"
+    rc = main(["--config", str(cfg_path), "--data_dir", str(data_dir),
+               "--out_dir", str(out_dir), "--steps", "2",
+               "--val_dir", str(data_dir), "--val_every", "1",
+               "--val_windows", "2"])
+    assert rc == 0
+    log = (out_dir / "val_log.jsonl").read_text().strip().splitlines()
+    assert len(log) == 2
+    recs = [_json.loads(l) for l in log]
+    assert recs[0]["step"] == 1 and recs[1]["step"] == 2
+    for r in recs:
+        assert np.isfinite(r["mse"]) and np.isfinite(r["ssim"])
+        assert 0.0 <= r["ssim"] <= 1.0
+    assert recs[0]["best"] is True  # first validation always improves
+    best = out_dir / "best.msgpack"
+    assert best.exists()
+    from bde2vid_tpu.train import load_checkpoint
+
+    spec = load_checkpoint(str(best))
+    assert spec.name == "E2VIDRecurrent"

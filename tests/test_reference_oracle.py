@@ -36,6 +36,7 @@ import types
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 REF = "/root/reference"
@@ -1264,3 +1265,109 @@ def test_timestamp_image_out_of_range_matches_reference(rng):
         events_to_image_bilinear(px, py, pp, pn, sensor_size=(h, w), padding=True)
     )
     np.testing.assert_allclose(got_img, want_img, atol=1e-4)
+
+
+def test_hot_pixel_sequence_semantics_match_reference():
+    """Sequence-level hot-pixel chain (reference add_hot_pixels_to_sequence_,
+    data_augmentation.py:48-59): ONE pattern drawn per sequence, the same
+    (x, y, val) added to EVERY item's voxels, duplicate coordinates
+    accumulating. RNG sources differ (python/torch vs jax), so the oracle
+    pins the semantics on each side against an explicit numpy scatter built
+    from that side's own draws."""
+    import random as pyrandom
+
+    _, da, _ = _ref_modules()
+    T, B, H, W = 4, 5, 18, 22
+    base = np.random.RandomState(0).randn(T, B, H, W).astype(np.float32)
+
+    # --- reference side: replay its draws into a numpy scatter ---
+    seq = [{"events": torch.from_numpy(base[t].copy())} for t in range(T)]
+    pyrandom.seed(123)
+    torch.manual_seed(456)
+    da.add_hot_pixels_to_sequence_(seq, hot_pixel_std=2.0,
+                                   max_hot_pixel_fraction=0.5)
+    pyrandom.seed(123)
+    torch.manual_seed(456)
+    frac = pyrandom.uniform(0, 0.5)
+    n = int(frac * W * H)
+    assert n >= 2  # chain exercises multiple pixels
+    x = torch.randint(0, W, (n,)).numpy()
+    y = torch.randint(0, H, (n,)).numpy()
+    val = (torch.randn(n) * 2.0).numpy()
+    img = np.zeros((H, W), np.float32)
+    np.add.at(img, (y, x), val)
+    for t in range(T):
+        np.testing.assert_allclose(
+            seq[t]["events"].numpy(), base[t] + img[None], atol=1e-6)
+
+    # --- our side: same semantics from the jax draws ---
+    from bde2vid_tpu.data.transforms import add_hot_pixels_to_sequence
+
+    vox = jnp.asarray(np.transpose(base, (0, 2, 3, 1)))  # (T, H, W, C)
+    key = jax.random.PRNGKey(7)
+    got = np.asarray(add_hot_pixels_to_sequence(
+        vox, key, hot_pixel_std=2.0, max_hot_pixel_fraction=0.5))
+
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    frac_j = float(jax.random.uniform(k0)) * 0.5
+    max_n = max(int(0.5 * H * W), 1)
+    xs = np.asarray(jax.random.randint(k1, (max_n,), 0, W))
+    ys = np.asarray(jax.random.randint(k2, (max_n,), 0, H))
+    vals = np.asarray(jax.random.normal(k3, (max_n,))) * 2.0
+    n_act = int(np.float32(frac_j) * H * W)
+    img_j = np.zeros((H, W), np.float32)
+    np.add.at(img_j, (ys[:n_act], xs[:n_act]), vals[:n_act])
+    want = np.transpose(base, (0, 2, 3, 1)) + img_j[None, :, :, None]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotation_window_chain_matches_reference(tmp_path):
+    """The train CLI's on-device window chain (item-select -> pause-zero ->
+    full-sensor rotation/flip -> crop, train/__main__._window_device_fn)
+    against the reference training protocol: per-item RandomRotationFlip
+    with the shared per-sequence seed (h5_dataset.py:708-712) followed by
+    the crop, with paused items zeroed."""
+    import random as pyrandom
+
+    import bde2vid_tpu.train.__main__ as tm
+
+    _, da, _ = _ref_modules()
+    L, B, H, W = 4, 5, 24, 32
+    ch, cw, y0, x0 = 16, 16, 3, 9
+    rng0 = np.random.RandomState(1)
+    vox = rng0.randn(L, B, H, W).astype(np.float32)
+    idx = np.array([0, 1, 1, 2])
+    paused = np.array([False, True, False, False])  # note idx[1] repeats 1? no:
+    # reference pause repeats the PREVIOUS item and zeroes it; idx/paused
+    # here encode select-then-zero, the sampler's contract
+    ref_t = da.RandomRotationFlip(degrees=25, p_hflip=0.6, p_vflip=0.6)
+
+    want = []
+    for t in range(L):
+        item = torch.from_numpy(vox[idx[t]].copy())
+        pyrandom.seed(99)  # the shared per-sequence seed, re-seeded per item
+        r = ref_t(item)
+        if r.ndim == 4:
+            r = r[0]
+        r = r[:, y0:y0 + ch, x0:x0 + cw].numpy()
+        if paused[t]:
+            r = np.zeros_like(r)
+        want.append(r)
+    want = np.transpose(np.stack(want), (0, 2, 3, 1))  # (L, ch, cw, B) NHWC
+
+    # replay the reference's sampled params into our matrix builder
+    from bde2vid_tpu.data.transforms import RandomRotationFlip
+
+    pyrandom.seed(99)
+    angle = pyrandom.uniform(-25, 25)
+    hflip = pyrandom.random() < 0.6
+    vflip = pyrandom.random() < 0.6
+    assert hflip or vflip or abs(angle) > 1e-6
+    mine = RandomRotationFlip(degrees=25, p_hflip=0.6, p_vflip=0.6)
+    mine.set_params(angle, hflip, vflip)
+
+    f = tm._window_device_fn(ch, cw, True)
+    got = np.asarray(f(jnp.asarray(vox), jnp.asarray(idx, jnp.int32),
+                       jnp.asarray(paused), jnp.int32(y0), jnp.int32(x0),
+                       jnp.asarray(mine._fwd)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
