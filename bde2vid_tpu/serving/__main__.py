@@ -131,17 +131,32 @@ def cmd_run(args) -> int:
                              (cp.padding_left, cp.padding_right), (0, 0)))
     L = bundle.meta.get("seq_len")
     if bundle.meta["kind"] == "sequence" and t != L:
-        # chunk to the exported length with zero-padded tails — the eval
-        # driver's subseq_L semantics (chunks are state-reset-independent
-        # in the reference, eval_models_seq.py:216-219, so a whole-sequence
-        # program per chunk is exact; padding reuses the compiled shape)
+        # chunk to the exported length — the eval driver's subseq_L
+        # semantics (chunks are state-reset-independent in the reference,
+        # eval_models_seq.py:216-219, so a whole-sequence program per full
+        # chunk is exact). The final PARTIAL chunk runs at its TRUE length
+        # through the bundle's symbolic-T forward_tail program — the eval
+        # driver runs a short chunk, and zero-padding is NOT equivalent for
+        # bidirectional models (padded frames leak into real outputs via
+        # the attention buffer and the backward recurrence —
+        # serving/export.py module docstring).
+        has_tail = "forward_tail" in bundle.functions
         outs = []
         for s in range(0, t, L):
             blk = voxels[s:s + L]
             k = blk.shape[0]
-            if k < L:
+            if k < L and not has_tail:
+                # legacy bundle without the symbolic-T program: zero-pad
+                # and warn — tail frames within the attention buffer's
+                # reach of the end can diverge from the eval driver
+                print(f"warning: zero-padding the final {k}-frame chunk to "
+                      f"the exported T={L} (bundle has no forward_tail "
+                      "program); tail outputs are approximate for "
+                      "bidirectional models", file=sys.stderr)
                 blk = np.pad(blk, ((0, L - k),) + ((0, 0),) * 4)
-            outs.append(run_voxels(bundle, blk)[:k])
+                outs.append(run_voxels(bundle, blk)[:k])
+            else:
+                outs.append(run_voxels(bundle, blk))
         images = np.concatenate(outs, axis=0)
     else:
         images = run_voxels(bundle, voxels)  # (T, N, ph, pw, 1)
@@ -177,7 +192,8 @@ def build_argparser() -> argparse.ArgumentParser:
     pe.add_argument("--dp", type=int, default=1,
                     help="data-parallel devices: shard the batch over an "
                     "N-device mesh (the bundle then requires N devices; "
-                    "export itself needs none — abstract-mesh lowering)")
+                    "export itself needs none — abstract-mesh lowering). "
+                    "Composes with --pallas via a shard_map-wrapped export")
     pe.add_argument("--bf16", action="store_true")
     pe.add_argument("--pallas", action="store_true",
                     help="export the fused Pallas attention (tpu-only artifact)")

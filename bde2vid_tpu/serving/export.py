@@ -32,6 +32,28 @@ CPU-only) host can emit an N-chip bundle. The loader side rebuilds a
 concrete mesh from its visible devices (:func:`serving_mesh`) and
 :func:`run_voxels` commits inputs with ``Exported.in_shardings_jax`` before
 calling. The batch must divide by N.
+
+DP + Pallas compose via ``shard_map``: GSPMD cannot partition the opaque
+``tpu_custom_call`` a Mosaic kernel lowers to, so Pallas-enabled DP exports
+wrap the forward in ``jax.shard_map`` over the abstract mesh — each device
+traces the kernel at its LOCAL batch shape and no partitioner ever sees the
+custom call (the same construction ``parallel/sharded_eval.py`` proved
+Pallas-safe for live eval, and ``tests/test_sharded_train.py`` for
+training). shard_map artifacts must be invoked under ``jit``
+(``ServingBundle.jitted`` / :func:`run_voxels` handle it — a bare
+``Exported.call`` leaves Shardy's ``xla.sdy.GlobalToLocalShape`` custom
+calls unresolved).
+
+Sequence bundles additionally carry ``forward_tail``, a SHAPE-POLYMORPHIC
+program (``jax.export`` symbolic time dimension) used to run a final
+partial chunk at its TRUE length. Zero-padding the tail is NOT exact for
+BDE2VID: padded frames reach real outputs through both the attention
+buffer (encoded zero voxels have nonzero features — conv bias, LayerNorm
+beta) and the backward recurrence (the backward ConvLSTM enters real
+frames carrying state integrated over the padded frames), whereas the
+eval driver runs the short chunk as-is (eval/driver.py; reference
+eval_models_seq.py:216-219). The symbolic program makes chunked serving
+bit-exact against the eval driver for any T.
 """
 
 from __future__ import annotations
@@ -131,6 +153,16 @@ def _uses_pallas(module) -> bool:
     return pallas_attention_enabled(getattr(module, "config", None))
 
 
+def _mosaic_live() -> bool:
+    """Whether a Pallas-enabled model will actually trace Mosaic kernels on
+    this host. Off TPU the attention modules fall back to interpret mode
+    (nn/window_attention.py — pure-XLA jaxpr, same math), so an export from
+    a CPU host carries no custom call and stays fully portable; it just
+    won't use the fused kernel when later run on a TPU. Exporting the REAL
+    kernel requires exporting from a TPU host."""
+    return jax.devices()[0].platform == "tpu"
+
+
 def _input_dtype(module) -> jnp.dtype:
     # Models cast inputs to their build dtype internally; exporting with a
     # float32 voxel spec keeps the artifact's ABI independent of the
@@ -145,9 +177,21 @@ class ServingBundle:
 
     functions: Dict[str, jax_export.Exported]
     meta: Dict[str, Any]
+    _jitted: Dict[str, Any] = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def call(self, name: str, *args):
         return self.functions[name].call(*args)
+
+    def jitted(self, name: str):
+        """Cached ``jax.jit``-wrapped call for ``name``. Required for
+        shard_map artifacts (bare ``Exported.call`` leaves Shardy
+        global-to-local custom calls unresolved); cached so repeated chunk
+        calls reuse one trace."""
+        if name not in self._jitted:
+            self._jitted[name] = jax.jit(self.functions[name].call)
+        return self._jitted[name]
 
 
 def export_forward(
@@ -178,23 +222,14 @@ def export_forward(
     platforms = tuple(platforms)
     module, params = spec.module, spec.params
     disabled = ()
-    if _uses_pallas(module):
+    use_pallas = _uses_pallas(module)
+    if use_pallas and _mosaic_live():
         if platforms != ("tpu",):
             raise ValueError(
                 "Pallas-enabled models lower to tpu_custom_call and can only "
                 "be exported with platforms=('tpu',); rebuild the model with "
                 "use_pallas_attention=False (eval CLI: --no-pallas) for a "
                 f"portable artifact (requested platforms={platforms})"
-            )
-        if data_parallel > 1:
-            # GSPMD cannot partition an opaque custom call; the framework's
-            # sharded eval runs Pallas under shard_map
-            # (parallel/sharded_eval.py), which this export path does not
-            # serialize. DP bundles use the pure-XLA attention.
-            raise ValueError(
-                "data_parallel export requires the pure-XLA attention "
-                "(use_pallas_attention=False / --no-pallas): XLA SPMD cannot "
-                "partition tpu_custom_call ops"
             )
         disabled = (jax_export.DisabledSafetyCheck.custom_call(_TPU_CUSTOM_CALL),)
     if data_parallel > 1 and batch % data_parallel:
@@ -233,12 +268,62 @@ def export_forward(
             out, _ = module.apply(params, voxels, ())
             return out
 
-        exp = jax_export.export(
-            jit_sharded(forward, (vspec,), (vspec2,), batch_axis=1),
-            platforms=platforms,
-            disabled_checks=list(disabled),
-        )(vspec)
-        return {"forward": exp}
+        if mesh is not None and use_pallas:
+            # shard_map, not GSPMD: the partitioner cannot split the opaque
+            # tpu_custom_call, but inside shard_map each device traces the
+            # kernel at its local batch shape (module docstring; same
+            # construction as parallel/sharded_eval.py). Invoke shard_map
+            # artifacts under jit (ServingBundle.jitted / run_voxels).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from bde2vid_tpu.parallel.mesh import get_shard_map
+
+            shard_map, rep_kw = get_shard_map()
+            batch_p = PartitionSpec(None, _MESH_AXIS)
+            out_mask = _batch_mask(
+                jax.eval_shape(forward, vspec),
+                jax.eval_shape(forward, vspec2),
+                batch_axis=1,
+            )
+            out_specs = jax.tree_util.tree_map(
+                lambda b: batch_p if b else PartitionSpec(), out_mask
+            )
+            # the jit needs EXPLICIT NamedShardings over the abstract mesh:
+            # a bare jit(shard_map(...)) exports a 1-device program whose
+            # Shardy global-to-local custom calls never resolve at load
+            jit_fwd = jax.jit(
+                shard_map(forward, mesh=mesh, in_specs=(batch_p,),
+                          out_specs=out_specs, **rep_kw),
+                in_shardings=NamedSharding(mesh, batch_p),
+                out_shardings=jax.tree_util.tree_map(
+                    lambda p: NamedSharding(mesh, p), out_specs
+                ),
+            )
+        else:
+            jit_fwd = jit_sharded(forward, (vspec,), (vspec2,), batch_axis=1)
+
+        kw = dict(platforms=platforms, disabled_checks=list(disabled))
+        fns = {"forward": jax_export.export(jit_fwd, **kw)(vspec)}
+        # Shape-polymorphic tail program: symbolic T, so final partial
+        # chunks run at their TRUE length — the only exact semantics for a
+        # bidirectional model (module docstring). For GSPMD DP bundles the
+        # tail keeps the batch shardings; for shard_map bundles it exports
+        # as a plain SINGLE-device program (jaxlib's polymorphic-shape
+        # refinement segfaults on manual-sharding modules) — a tail chunk
+        # is one short residual call, so the loader runs it unsharded
+        # (run_voxels pulls the tail input off the mesh).
+        tail_jit = jax.jit(forward) if (mesh is not None and use_pallas) \
+            else jit_fwd
+        try:
+            t_sym = jax_export.symbolic_shape("T")[0]
+            vspec_t = jax.ShapeDtypeStruct(
+                (t_sym, batch, height, width, nb), dt)
+            fns["forward_tail"] = jax_export.export(tail_jit, **kw)(vspec_t)
+        except Exception as e:  # pragma: no cover - depends on jax/model
+            print(f"forward_tail (symbolic-T) export unavailable "
+                  f"({type(e).__name__}: {e}); partial chunks will "
+                  "zero-pad (NOT exact for bidirectional models)")
+        return fns
 
     def _state_spec(n):
         return jax.tree_util.tree_map(
@@ -306,6 +391,15 @@ def export_spec_bundle(
         "seq_len": seq_len if spec.is_sequence_model else None,
         "platforms": list(platforms),
         "data_parallel": data_parallel,
+        # how partial chunks run: "exact" = the symbolic-T forward_tail
+        # program at true length; "padded" = legacy zero-pad (not exact
+        # for bidirectional models — export_forward docstring)
+        "tail": "exact" if "forward_tail" in fns else (
+            "padded" if spec.is_sequence_model else None),
+        # which SPMD mechanism a DP bundle uses; shard_map artifacts must
+        # be invoked under jit (ServingBundle.jitted)
+        "dp_impl": None if data_parallel <= 1 else (
+            "shard_map" if _uses_pallas(spec.module) else "gspmd"),
         "jax_version": jax.__version__,
         "config": getattr(spec.module, "config", None),
         # SNN/SPADE checkpoints require LegacyNorm'd voxels (reference
@@ -349,8 +443,9 @@ def run_voxels(bundle: ServingBundle, voxels) -> np.ndarray:
     ``voxels``: ``(T, H, W, C)`` or ``(T, N, H, W, C)`` float array, already
     padded to the bundle's (height, width). Returns stacked images
     ``(T, N, H, W, 1)``. Sequence bundles call the whole-sequence program
-    (T must equal the exported seq_len); step bundles scan the exported
-    ``step`` from the exported ``init_state``.
+    when T equals the exported seq_len and the shape-polymorphic
+    ``forward_tail`` program otherwise (exact partial chunks); step bundles
+    scan the exported ``step`` from the exported ``init_state``.
     """
     voxels = jnp.asarray(voxels, jnp.float32)
     if voxels.ndim == 4:
@@ -362,10 +457,31 @@ def run_voxels(bundle: ServingBundle, voxels) -> np.ndarray:
     mesh = serving_mesh(dp) if dp > 1 else None
 
     if bundle.meta["kind"] == "sequence":
-        fwd = bundle.functions["forward"]
-        if mesh is not None:
-            voxels = jax.device_put(voxels, fwd.in_shardings_jax(mesh)[0])
-        out = fwd.call(voxels)
+        name = "forward"
+        seq_len = bundle.meta.get("seq_len")
+        if seq_len is not None and voxels.shape[0] != seq_len:
+            if "forward_tail" not in bundle.functions:
+                raise ValueError(
+                    f"sequence bundle exported at T={seq_len}, got "
+                    f"T={voxels.shape[0]} and the bundle carries no "
+                    "symbolic-T forward_tail program (legacy artifact); "
+                    "pad/chunk to the exported length"
+                )
+            name = "forward_tail"
+        fwd = bundle.functions[name]
+        shard_mapped = bundle.meta.get("dp_impl") == "shard_map"
+        if shard_mapped and name == "forward_tail":
+            # shard_map bundles carry a single-device tail program (see
+            # export_forward); run the short residual chunk unsharded
+            out = fwd.call(jnp.asarray(np.asarray(voxels)))
+        elif shard_mapped:
+            if mesh is not None:
+                voxels = jax.device_put(voxels, fwd.in_shardings_jax(mesh)[0])
+            out = bundle.jitted(name)(voxels)
+        else:
+            if mesh is not None:
+                voxels = jax.device_put(voxels, fwd.in_shardings_jax(mesh)[0])
+            out = fwd.call(voxels)
         return np.asarray(out["image"])
 
     step_exp = bundle.functions["step"]

