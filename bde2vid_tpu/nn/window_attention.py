@@ -66,35 +66,74 @@ def _dilated_indices(h: int, w: int, wh: int, ww: int):
     return rows, cols, hp, wp, n_wh, n_ww
 
 
+@functools.lru_cache(maxsize=64)
+def _dilated_flat_index(h: int, w: int, wh: int, ww: int):
+    """Flat gather map (nWh, nWw, Wh, Ww) -> padded position row*wp+col.
+    Flattened, it enumerates window tokens in the partition's output order
+    (windows row-major, tokens row-major within a window)."""
+    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
+    flat = rows[:, None, :, None] * wp + cols[None, :, None, :]
+    return flat.reshape(-1), hp, wp, n_wh, n_ww
+
+
+@functools.lru_cache(maxsize=64)
+def _dilated_reverse_map(h: int, w: int, wh: int, ww: int):
+    """Static INVERSE-permutation map for the dilation-2 window reverse.
+
+    Returns (inv, n_el, has_collisions): ``inv`` has shape (h, w);
+    ``inv[p] = flat window-token index`` writing position p, or ``n_el``
+    (one-past-the-end sentinel) where no dilated window samples p (torch
+    F.fold leaves zeros there, DTransformer.py:80-85). Odd windows (the
+    7x7 flagship) have collision-free taps, so the fold is a pure
+    permutation and the reverse can be a GATHER (``jnp.take`` with fill)
+    instead of a scatter-add — scatters serialize on TPU, row-gathers
+    vectorize. Even windows collide (fold SUMS taps); callers must keep
+    the scatter-add path there."""
+    flat, hp, wp, n_wh, n_ww = _dilated_flat_index(h, w, wh, ww)
+    n_el = flat.size
+    if np.unique(flat).size != n_el:
+        return None, n_el, True
+    inv = np.full(hp * wp, n_el, np.int32)
+    inv[flat] = np.arange(n_el, dtype=np.int32)
+    return inv.reshape(hp, wp)[:h, :w], n_el, False
+
+
 def window_partition_dilated(x: Array, window: Tuple[int, int]) -> Array:
-    """(D, B, H, W, C) -> (D, B*nW, Wh, Ww, C) with dilation-2 sampling."""
+    """(D, B, H, W, C) -> (D, B*nW, Wh, Ww, C) with dilation-2 sampling.
+
+    One flat row-gather straight into window-token order (the index map
+    bakes in the two strided gathers AND the (nWh, Wh, nWw, Ww) ->
+    (nWh, nWw, Wh, Ww) transpose the torch unfold implies) — one HBM
+    round trip instead of three."""
     d, b, h, w, c = x.shape
     wh, ww = window
-    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
+    flat, hp, wp, n_wh, n_ww = _dilated_flat_index(h, w, wh, ww)
     x = jnp.pad(x, ((0, 0), (0, 0), (0, wh), (0, ww), (0, 0)))
-    # gather rows then cols: (D, B, nWh, Wh, W+ww, C) -> (D, B, nWh, Wh, nWw, Ww, C)
-    x = x[:, :, jnp.asarray(rows)]  # (D, B, nWh, Wh, Wp, C)
-    x = x[:, :, :, :, jnp.asarray(cols)]  # (D, B, nWh, Wh, nWw, Ww, C)
-    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (D, B, nWh, nWw, Wh, Ww, C)
+    x = jnp.take(x.reshape(d, b, hp * wp, c), jnp.asarray(flat), axis=2)
     return x.reshape(d, -1, wh, ww, c)
 
 
 def window_reverse_dilated(windows: Array, b: int, h: int, w: int) -> Array:
-    """Inverse of window_partition_dilated (torch F.fold then crop :80-85)."""
+    """Inverse of window_partition_dilated (torch F.fold then crop :80-85).
+
+    Odd windows: collision-free fold == inverse permutation -> one gather
+    (``take`` with fill 0 for unsampled pixels). Even windows: adjacent
+    dilated windows collide (i*wh+2j == (i+1)*wh+2j' when wh = 2(j-j'))
+    and F.fold SUMS the taps, so the scatter-add stays (duplicate-index
+    .set would be last-writer-wins, nondeterministic)."""
     _, wh, ww, c = windows.shape
-    rows, cols, hp, wp, n_wh, n_ww = _dilated_indices(h, w, wh, ww)
-    x = windows.reshape(b, n_wh, n_ww, wh, ww, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nWh, Wh, nWw, Ww, C)
-    flat_rows = (np.asarray(rows)[:, :, None, None] * wp + np.asarray(cols)[None, None]).reshape(-1)
+    inv, n_el, collisions = _dilated_reverse_map(h, w, wh, ww)
+    x = windows.reshape(b, n_el, c)
+    if not collisions:
+        out = jnp.take(
+            x, jnp.asarray(inv.reshape(-1)), axis=1,
+            mode="fill", fill_value=0,
+        )
+        return out.reshape(b, h, w, c)
+    flat, hp, wp, n_wh, n_ww = _dilated_flat_index(h, w, wh, ww)
     out = jnp.zeros((b, hp * wp, c), windows.dtype)
-    # .add, not .set: torch F.fold SUMS overlapping taps. For even window
-    # sizes adjacent dilated windows collide (i*wh+2j == (i+1)*wh+2j' when
-    # wh = 2(j-j')), where duplicate-index .set would be last-writer-wins
-    # (nondeterministic); odd windows (the 7x7 flagship) have no collisions
-    # and add == set.
-    out = out.at[:, jnp.asarray(flat_rows)].add(x.reshape(b, -1, c))
-    out = out.reshape(b, hp, wp, c)
-    return out[:, :h, :w]
+    out = out.at[:, jnp.asarray(flat)].add(x)
+    return out.reshape(b, hp, wp, c)[:, :h, :w]
 
 
 def get_window_size(x_size, window_size):
@@ -541,24 +580,28 @@ class SwinTransformerBlock3D(nn.Module):
             name="attn",
         )(xwin, center=ctr_tok, block_extras=(norm2, fc1, fc2, self.activation))
 
-        y = out.reshape(-1, win[0], win[1], c)
-        rev = window_reverse_dilated if self.dilate_win else window_reverse
-        y = rev(y, b, hp, wp)
         if self.dilate_win:
+            # fold + uncovered-pixel MLP blend + pad-crop as ONE static
+            # row-gather (scatters serialize on TPU; the three-op chain
+            # scatter-add fold -> scatter-set blend -> slice was glue):
+            # covered pixels index their window token, uncovered pixels
+            # (~38% at the flagship shape — the reference's fold writes
+            # zeros there so the block reduces to center + MLP(LN2(center)),
+            # DTransformer.py:80-85) index into an appended identity-MLP
+            # row block computed only on those pixels.
+            inv, n_el, collisions = _dilated_reverse_map(
+                hp, wp, win[0], win[1]
+            )
+            assert not collisions  # even dilated windows never fuse
             mask, full = _dilated_covered_mask(hp, wp, win[0], win[1])
+            src = out.reshape(b, n_el, c)
+            idx = inv.reshape(-1)
             if not full:
-                # pixels no dilated window samples (~38% at the flagship
-                # shape): the reference's fold writes zeros there, so the
-                # block reduces to center + MLP(LN2(center)). Compute that
-                # ONLY on the uncovered pixels (static flat gather/scatter;
-                # a full-image blend measured 0.27 ms/frame on the
-                # flagship — most of it identity-MLP on covered pixels
-                # that window_reverse immediately overwrote)
-                flat_unc = jnp.asarray(np.flatnonzero(~mask.reshape(-1)))
+                flat_unc = np.flatnonzero(~mask.reshape(-1))
                 (w1, b1), (w2, b2m) = fc1, fc2
-                cf = cp[0].reshape(b, hp * wp, c)[:, flat_unc].astype(
-                    jnp.float32
-                )  # (B, P, C)
+                cf = cp[0].reshape(b, hp * wp, c)[
+                    :, jnp.asarray(flat_unc)
+                ].astype(jnp.float32)  # (B, P, C)
                 mu = jnp.mean(cf, axis=-1, keepdims=True)
                 var = jnp.mean((cf - mu) ** 2, axis=-1, keepdims=True)
                 z = (cf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2[0] + norm2[1]
@@ -566,12 +609,18 @@ class SwinTransformerBlock3D(nn.Module):
                     z.astype(self.dtype) @ w1.astype(self.dtype) + b1
                 )
                 idv = cf + (hid.astype(self.dtype) @ w2.astype(self.dtype) + b2m)
-                y = (
-                    y.reshape(b, hp * wp, c)
-                    .at[:, flat_unc]
-                    .set(idv.astype(y.dtype))
-                    .reshape(b, hp, wp, c)
+                idx = idx.copy()
+                idx[flat_unc] = n_el + np.arange(
+                    flat_unc.size, dtype=np.int32
                 )
+                src = jnp.concatenate([src, idv.astype(src.dtype)], axis=1)
+            idx2d = idx.reshape(hp, wp)
+            if pad_h or pad_w:
+                idx2d = idx2d[pt : hp - pb, pl : wp - pr]
+            y = jnp.take(src, jnp.asarray(idx2d.reshape(-1)), axis=1)
+            return y.reshape(b, h, w, c)
+        y = out.reshape(-1, win[0], win[1], c)
+        y = window_reverse(y, b, hp, wp)
         if pad_h or pad_w:
             y = y[:, pt : hp - pb, pl : wp - pr]
         return y

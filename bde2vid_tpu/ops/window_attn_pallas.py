@@ -26,6 +26,7 @@ HBM traffic drops to reading q/k/v once and writing (M, C) per window.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -960,6 +961,12 @@ def fused_swin_block(
     attention-core backward kernel). ``exact=False`` trades the f32
     HIGHEST dots for single-pass MXU speed (see _dot_precision)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
+    if os.environ.get("BDE2VID_ATTN_IDENTITY"):
+        # profiling ablation (tools/profile_flagship.py --glue): bypass the
+        # kernel but keep every XLA op around it live — the 0*sum(x) term
+        # defeats DCE of the buffer gather + static pad/partition so the
+        # variant measures the glue, not an empty graph.
+        return ctr + (0.0 * jnp.sum(x, axis=0)).astype(ctr.dtype)
     return _swin_block_call(
         num_heads, q_ind, activation, interpret, exact, x, ctr, params
     )

@@ -75,9 +75,25 @@ def main():
     noattn = measure(
         {"use_pallas_attention": True, "depths": [0] * 3}, "no_attention"
     )
+    # glue_only: full attention path with the Pallas kernel replaced by a
+    # DCE-proof passthrough (BDE2VID_ATTN_IDENTITY in fused_swin_block) —
+    # glue_only - no_attention = the XLA glue around the kernel (buffer
+    # gather, center pad/partition/reverse, dilated blend), kernel excluded.
+    os.environ["BDE2VID_ATTN_IDENTITY"] = "1"
+    glue = measure({"use_pallas_attention": True}, "glue_only")
+    del os.environ["BDE2VID_ATTN_IDENTITY"]
     measure({}, "xla_attention")
     measure({"parallel_attention": True}, "parallel_attn")
     attn_ms = 1000.0 / full - 1000.0 / noattn
+    glue_ms = 1000.0 / glue - 1000.0 / noattn
+    print(
+        json.dumps(
+            {
+                "glue_ms_per_frame": round(glue_ms, 3),
+                "kernel_ms_per_frame": round(attn_ms - glue_ms, 3),
+            }
+        )
+    )
     print(
         json.dumps(
             {
