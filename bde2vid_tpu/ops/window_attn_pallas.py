@@ -925,11 +925,31 @@ def _swin_block_bwd(num_heads, q_ind, activation, interpret, exact, res, g):
 _swin_block_call.defvjp(_swin_block_fwd, _swin_block_bwd)
 
 
+def fused_swin_block(*args, **kwargs):
+    """Unjitted dispatch shim for :func:`_fused_swin_block`.
+
+    The BDE2VID_ATTN_IDENTITY check must live OUTSIDE the jitted body:
+    the inner jit's trace cache is keyed on (shapes, statics) only, so a
+    check inside the body would be frozen by whichever variant traced
+    first in the process (tools/profile_flagship.py measures ``full``
+    before ``glue_only`` and read kernel cost ~0 before this was
+    understood). Out here the env var is consulted on EVERY call — i.e.
+    at every outer model trace — and the ablation's passthrough keeps the
+    surrounding XLA ops live (the 0*sum(x) term defeats DCE of the buffer
+    gather + static pad/partition) so the variant measures the glue, not
+    an empty graph."""
+    if os.environ.get("BDE2VID_ATTN_IDENTITY"):
+        x = args[0] if args else kwargs["x"]
+        ctr = args[1] if len(args) > 1 else kwargs["ctr"]
+        return ctr + (0.0 * jnp.sum(x, axis=0)).astype(ctr.dtype)
+    return _fused_swin_block(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "q_ind", "activation", "interpret", "exact"),
 )
-def fused_swin_block(
+def _fused_swin_block(
     x: Array,  # (D, B_, M, C) static buffer tokens (row q_ind ignored)
     ctr: Array,  # (B_, M, C) current center tokens
     ln_q: Tuple[Array, Array],
@@ -961,12 +981,6 @@ def fused_swin_block(
     attention-core backward kernel). ``exact=False`` trades the f32
     HIGHEST dots for single-pass MXU speed (see _dot_precision)."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
-    if os.environ.get("BDE2VID_ATTN_IDENTITY"):
-        # profiling ablation (tools/profile_flagship.py --glue): bypass the
-        # kernel but keep every XLA op around it live — the 0*sum(x) term
-        # defeats DCE of the buffer gather + static pad/partition so the
-        # variant measures the glue, not an empty graph.
-        return ctr + (0.0 * jnp.sum(x, axis=0)).astype(ctr.dtype)
     return _swin_block_call(
         num_heads, q_ind, activation, interpret, exact, x, ctr, params
     )
