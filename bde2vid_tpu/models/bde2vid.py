@@ -97,6 +97,22 @@ class _EncoderCell(nn.Module):
         return new_carry, out
 
 
+def _contiguous_pads(buffer_index) -> Optional[Tuple[int, int]]:
+    """(pad_lo, pad_hi) turning the neighbor gather into a dynamic_slice.
+
+    For a CONTIGUOUS buffer_index (the reference default -3..3,
+    bde2vid_cross_scale_propogation_V5.py:20) the per-step neighbor read
+    ``merged[t + buffer_index]`` over a buffer zero-padded by these amounts
+    is one ``lax.dynamic_slice`` — and its adjoint is a
+    ``dynamic_update_slice`` instead of the scatter-add XLA derives for a
+    clip+take+where gather (scatters serialize on TPU). Returns None for
+    non-contiguous configs, which keep the gather path."""
+    bi = tuple(int(i) for i in buffer_index)
+    if bi != tuple(range(bi[0], bi[-1] + 1)):
+        return None
+    return max(0, -bi[0]), max(0, bi[-1])
+
+
 class _AttnStep(nn.Module):
     """Scan body over t: gather the neighbor buffer, attend, residual-add."""
 
@@ -119,12 +135,26 @@ class _AttnStep(nn.Module):
         """carry IS the evolving sequence: the reference updates
         merged_feat_seqs[t] in place (V5:169), so frame t attends to
         already-attended past frames and original future frames."""
-        T = merged.shape[0]
-        offs = jnp.asarray(self.buffer_index, jnp.int32) + t
-        valid = (offs >= 0) & (offs < T)
-        safe = jnp.clip(offs, 0, T - 1)
-        buf = jnp.take(merged, safe, axis=0)  # (D, N, H, W, C)
-        buf = jnp.where(valid[:, None, None, None, None], buf, 0.0)
+        pads = _contiguous_pads(self.buffer_index)
+        if pads is not None:
+            # contiguous buffer: the carry arrives zero-padded by pads (see
+            # the caller), the neighbor read is one dynamic_slice (adjoint:
+            # dynamic_update_slice, not a scatter) and out-of-range
+            # neighbors are exact zeros via the never-written pad rows
+            pad_lo, _ = pads
+            t_row = t + pad_lo
+            buf = jax.lax.dynamic_slice_in_dim(
+                merged, t_row + self.buffer_index[0],
+                len(self.buffer_index), axis=0,
+            )  # (D, N, H, W, C)
+        else:
+            t_row = t
+            T = merged.shape[0]
+            offs = jnp.asarray(self.buffer_index, jnp.int32) + t
+            valid = (offs >= 0) & (offs < T)
+            safe = jnp.clip(offs, 0, T - 1)
+            buf = jnp.take(merged, safe, axis=0)  # (D, N, H, W, C)
+            buf = jnp.where(valid[:, None, None, None, None], buf, 0.0)
         # DFrameAttention inlined (reference DTransformer.py:376-389) so the
         # param paths are feat_attnsN/blocksI/* like the torch state dict
         wsz = (len(self.buffer_index), *self.window_size)
@@ -155,9 +185,9 @@ class _AttnStep(nn.Module):
                 name=f"blocks{i}",
             )
             center = block(x, center=center) if fused else block(x)
-        cur = jax.lax.dynamic_index_in_dim(merged, t, 0, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(merged, t_row, 0, keepdims=False)
         new = center + cur
-        merged = jax.lax.dynamic_update_index_in_dim(merged, new, t, 0)
+        merged = jax.lax.dynamic_update_index_in_dim(merged, new, t_row, 0)
         return merged, ()
 
 
@@ -497,7 +527,17 @@ class BDE2VIDGenerator(nn.Module):
                     deterministic=not self.train,
                     name=f"feat_attns{lvl}",
                 )
-                merged, _ = step(merged, ts)
+                pads = _contiguous_pads(self.buffer_index)
+                if pads is not None:
+                    # padded carry: _AttnStep's neighbor read becomes one
+                    # dynamic_slice; the pad rows are zero and never written
+                    merged = jnp.pad(
+                        merged, ((pads[0], pads[1]),) + ((0, 0),) * 4
+                    )
+                    merged, _ = step(merged, ts)
+                    merged = merged[pads[0] : pads[0] + T]
+                else:
+                    merged, _ = step(merged, ts)
             elif is_last:
                 step = nn.scan(
                     res_body,

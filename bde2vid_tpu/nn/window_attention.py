@@ -35,6 +35,56 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+def _inverse_injective(idx: np.ndarray, n_src: int) -> np.ndarray:
+    """Inverse of an injective index map. ``idx[p] = s`` reads source row s
+    (or the fill sentinel ``n_src``); returns ``inv`` of shape (n_src,) with
+    ``inv[s] = p`` (or the sentinel ``idx.size`` where no p reads s)."""
+    inv = np.full(n_src, idx.size, np.int32)
+    valid = idx < n_src
+    inv[idx[valid]] = np.flatnonzero(valid).astype(np.int32)
+    return inv
+
+
+@functools.lru_cache(maxsize=128)
+def _inj_take_cached(idx_bytes: bytes, n_src: int, axis: int):
+    """A static gather whose VJP is ALSO a gather.
+
+    XLA transposes gather into scatter-add, and scatters serialize on TPU:
+    when the r5 glue rewrite turned the window shuffles into forward
+    gathers, their backward turned into scatters and the flagship train
+    step regressed 153.9 -> 158.8 ms. For an INJECTIVE index map (each
+    source row read at most once; values == ``n_src`` mean "fill 0") the
+    adjoint of ``take`` is exactly ``take`` with the precomputed inverse
+    map, so both directions stay row-gathers.
+    """
+    idx = np.frombuffer(idx_bytes, np.int32)
+    inv = _inverse_injective(idx, n_src)
+    idx_j = jnp.asarray(idx)
+    inv_j = jnp.asarray(inv)
+
+    @jax.custom_vjp
+    def take(x):
+        return jnp.take(x, idx_j, axis=axis, mode="fill", fill_value=0)
+
+    def fwd(x):
+        return take(x), None
+
+    def bwd(_, g):
+        return (jnp.take(g, inv_j, axis=axis, mode="fill", fill_value=0),)
+
+    take.defvjp(fwd, bwd)
+    return take
+
+
+def _inj_take(x: Array, idx: np.ndarray, axis: int) -> Array:
+    """``jnp.take(x, idx, axis, mode="fill", fill_value=0)`` for a STATIC
+    injective ``idx`` (numpy), with a gather — not scatter — backward."""
+    fn = _inj_take_cached(
+        np.ascontiguousarray(idx, np.int32).tobytes(), x.shape[axis], axis
+    )
+    return fn(x)
+
+
 def window_partition(x: Array, window: Tuple[int, int]) -> Array:
     """(D, B, H, W, C) -> (D, B*nW, Wh, Ww, C), row-major window order."""
     d, b, h, w, c = x.shape
@@ -108,8 +158,15 @@ def window_partition_dilated(x: Array, window: Tuple[int, int]) -> Array:
     d, b, h, w, c = x.shape
     wh, ww = window
     flat, hp, wp, n_wh, n_ww = _dilated_flat_index(h, w, wh, ww)
+    _, _, collisions = _dilated_reverse_map(h, w, wh, ww)
     x = jnp.pad(x, ((0, 0), (0, 0), (0, wh), (0, ww), (0, 0)))
-    x = jnp.take(x.reshape(d, b, hp * wp, c), jnp.asarray(flat), axis=2)
+    xf = x.reshape(d, b, hp * wp, c)
+    if collisions:
+        # even windows: two tokens can read the same padded position, so
+        # the gather is not injective — keep XLA's scatter-add adjoint
+        x = jnp.take(xf, jnp.asarray(flat), axis=2)
+    else:
+        x = _inj_take(xf, flat, axis=2)
     return x.reshape(d, -1, wh, ww, c)
 
 
@@ -125,10 +182,7 @@ def window_reverse_dilated(windows: Array, b: int, h: int, w: int) -> Array:
     inv, n_el, collisions = _dilated_reverse_map(h, w, wh, ww)
     x = windows.reshape(b, n_el, c)
     if not collisions:
-        out = jnp.take(
-            x, jnp.asarray(inv.reshape(-1)), axis=1,
-            mode="fill", fill_value=0,
-        )
+        out = _inj_take(x, inv.reshape(-1), axis=1)
         return out.reshape(b, h, w, c)
     flat, hp, wp, n_wh, n_ww = _dilated_flat_index(h, w, wh, ww)
     out = jnp.zeros((b, hp * wp, c), windows.dtype)
@@ -229,7 +283,11 @@ class WindowAttention3D(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, center: Optional[Array] = None, block_extras=None
+        self,
+        x: Array,
+        center: Optional[Array] = None,
+        block_extras=None,
+        masks: Optional[Tuple[Array, Array]] = None,
     ) -> Array:
         wd, wh0, ww0 = self.window_size
         d, b_, h, w, c = x.shape
@@ -242,7 +300,7 @@ class WindowAttention3D(nn.Module):
             # tokens are a separate operand, and block_extras carries the
             # block's norm2/mlp params so the kernel computes the FULL
             # block output
-            return self._fused_block(x, center, block_extras, q_ind)
+            return self._fused_block(x, center, block_extras, q_ind, masks)
 
         if self.use_pallas and self.nwin_size is None:
             return self._fused_pallas(x, q_ind)
@@ -375,12 +433,13 @@ class WindowAttention3D(nn.Module):
         return out.reshape(b_, h, w, c)
 
     def _fused_block(
-        self, x: Array, center: Array, block_extras, q_ind: int
+        self, x: Array, center: Array, block_extras, q_ind: int, masks=None
     ) -> Array:
         """Whole-block fused mode (ops.fused_swin_block): x is the STATIC
         buffer windows (D, B_, Wh, Ww, C) whose q_ind frame is ignored,
         ``center`` the live center tokens (B_, M, C); returns the FULL
-        block output tokens (B_, M, C) — attention, residual, LN2, MLP."""
+        block output tokens (B_, M, C) — attention, residual, LN2, MLP.
+        ``masks``: optional per-window stochastic-depth multipliers."""
         from bde2vid_tpu.ops.window_attn_pallas import fused_swin_block
 
         d, b_, h, w, c = x.shape
@@ -397,7 +456,7 @@ class WindowAttention3D(nn.Module):
             ln2, fc1, fc2, bias,
             self.num_heads, q_ind,
             activation=activation, interpret=interpret,
-            exact=self.f32_exact,
+            exact=self.f32_exact, masks=masks,
         )
 
 
@@ -468,11 +527,11 @@ class SwinTransformerBlock3D(nn.Module):
             # frame separately so the STATIC buffer frames' pad + partition
             # hoist out of the depth loop (XLA CSE) and the Pallas kernel
             # computes attention + residual + LN2 + MLP in one pass.
-            can_fuse = (
-                self.use_pallas
-                and self.nwindow_size is None
-                and (self.deterministic or self.drop_path == 0.0)
-            )
+            # drop_path no longer blocks fusion: the kernel takes the two
+            # stochastic-depth multipliers as operands (r5), so TRAINING
+            # blocks fuse too instead of paying the per-block buffer-copy
+            # legacy body
+            can_fuse = self.use_pallas and self.nwindow_size is None
             if can_fuse and self.dilate_win and (
                 win[0] % 2 == 0 or win[1] % 2 == 0
             ):
@@ -562,6 +621,24 @@ class SwinTransformerBlock3D(nn.Module):
         cwin = part(cp, win)[0]  # (B*nW, Wh, Ww, C)
         ctr_tok = cwin.reshape(-1, win[0] * win[1], c)
 
+        masks = None
+        m2v = None
+        if not self.deterministic and self.drop_path > 0.0:
+            # stochastic depth INSIDE the fused kernel: draw the two
+            # per-sample masks exactly as _drop_path would (same rng
+            # stream, same order: attention residual first, MLP second),
+            # repeat per window (windows are B-outer in partition order)
+            keep = 1.0 - self.drop_path
+            n_w = xwin.shape[1] // b
+
+            def draw():
+                rng = self.make_rng("droppath")
+                mk = jax.random.bernoulli(rng, keep, (b, 1, 1, 1))
+                return mk.reshape(b).astype(jnp.float32) / keep
+
+            m1v, m2v = draw(), draw()
+            masks = (jnp.repeat(m1v, n_w), jnp.repeat(m2v, n_w))
+
         norm2 = _ParamHolder(
             (("scale", (c,), "ones"), ("bias", (c,), "zeros")), name="norm2"
         )()
@@ -578,7 +655,12 @@ class SwinTransformerBlock3D(nn.Module):
             f32_exact=self.f32_exact,
             dtype=self.dtype,
             name="attn",
-        )(xwin, center=ctr_tok, block_extras=(norm2, fc1, fc2, self.activation))
+        )(
+            xwin,
+            center=ctr_tok,
+            block_extras=(norm2, fc1, fc2, self.activation),
+            masks=masks,
+        )
 
         if self.dilate_win:
             # fold + uncovered-pixel MLP blend + pad-crop as ONE static
@@ -599,16 +681,22 @@ class SwinTransformerBlock3D(nn.Module):
             if not full:
                 flat_unc = np.flatnonzero(~mask.reshape(-1))
                 (w1, b1), (w2, b2m) = fc1, fc2
-                cf = cp[0].reshape(b, hp * wp, c)[
-                    :, jnp.asarray(flat_unc)
-                ].astype(jnp.float32)  # (B, P, C)
+                cf = _inj_take(
+                    cp[0].reshape(b, hp * wp, c), flat_unc, axis=1
+                ).astype(jnp.float32)  # (B, P, C)
                 mu = jnp.mean(cf, axis=-1, keepdims=True)
                 var = jnp.mean((cf - mu) ** 2, axis=-1, keepdims=True)
                 z = (cf - mu) * jax.lax.rsqrt(var + 1e-5) * norm2[0] + norm2[1]
                 hid = get_activation(self.activation)(
                     z.astype(self.dtype) @ w1.astype(self.dtype) + b1
                 )
-                idv = cf + (hid.astype(self.dtype) @ w2.astype(self.dtype) + b2m)
+                mlp_out = hid.astype(self.dtype) @ w2.astype(self.dtype) + b2m
+                if m2v is not None:
+                    # uncovered pixels get no attention contribution (fold
+                    # writes zeros -> m1 scales zero), but their MLP branch
+                    # still carries the stochastic-depth mask
+                    mlp_out = m2v[:, None, None] * mlp_out
+                idv = cf + mlp_out
                 idx = idx.copy()
                 idx[flat_unc] = n_el + np.arange(
                     flat_unc.size, dtype=np.int32
@@ -617,7 +705,7 @@ class SwinTransformerBlock3D(nn.Module):
             idx2d = idx.reshape(hp, wp)
             if pad_h or pad_w:
                 idx2d = idx2d[pt : hp - pb, pl : wp - pr]
-            y = jnp.take(src, jnp.asarray(idx2d.reshape(-1)), axis=1)
+            y = _inj_take(src, idx2d.reshape(-1), axis=1)
             return y.reshape(b, h, w, c)
         y = out.reshape(-1, win[0], win[1], c)
         y = window_reverse(y, b, hp, wp)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -661,13 +661,21 @@ def _fused_swin_kernel(
     w1_ref, b1_ref, w2_ref, b2m_ref,  # MLP fc1 (C, Hd), fc2 (Hd, C)
     bias_ref,  # (H*M, N)
     masks_ref,  # (H*M, C)
-    out_ref,  # (wb, M, C) FINAL block tokens
-    *maybe_acc_ref,  # optional (wb, M, C): pre-projection attention output,
-    # saved as a residual by the training fwd so the backward skips one
-    # forward-kernel recompute
-    num_heads, scale, wb, m, q_ind, act, exact,
+    *rest,  # [m1_ref (wb,1), m2_ref (wb,1) when masked] + out_ref (wb, M, C)
+    # + [acc_ref (wb, M, C) when the training fwd saves the pre-projection
+    # attention output as a residual, sparing the backward a forward-kernel
+    # recompute]
+    num_heads, scale, wb, m, q_ind, act, exact, masked=False,
 ):
-    acc_ref = maybe_acc_ref[0] if maybe_acc_ref else None
+    if masked:
+        # stochastic-depth multipliers, one scalar per window (constant
+        # across a sample's windows): y = ctr + m1*proj(attn),
+        # out = y + m2*MLP(LN2(y)) — timm DropPath at the two residuals.
+        # Full (B_, 1) arrays in SMEM, indexed by grid position.
+        m1_ref, m2_ref, rest = rest[0], rest[1], rest[2:]
+        w0 = pl.program_id(0) * wb
+    out_ref = rest[0]
+    acc_ref = rest[1] if len(rest) > 1 else None
     d = x_ref.shape[0]
     c = x_ref.shape[-1]
     in_dtype = x_ref.dtype
@@ -719,13 +727,16 @@ def _fused_swin_kernel(
         acc = _attn_core(q, k, v, masks_rows, bias_rows, scale, num_heads, m, exact)
         if acc_ref is not None:
             acc_ref[w] = acc.astype(acc_ref.dtype)
-        projs.append(
+        p = (
             jax.lax.dot_general(
                 acc.astype(in_dtype), wp_ref[:].astype(in_dtype),
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_dot_precision(in_dtype, exact),
             )
             + bp_ref[0]
         )
+        if masked:
+            p = p * m1_ref[w0 + w, 0]
+        projs.append(p)
 
     # residual + LN2 + MLP + residual, batched over all wb windows' center
     # tokens (per-token ops — position within the window is irrelevant)
@@ -746,15 +757,29 @@ def _fused_swin_kernel(
         )
         + b2m_ref[0]
     )
-    o = y + z2
-    for w in range(wb):
-        out_ref[w] = o[w * m : (w + 1) * m].astype(out_ref.dtype)
+    if masked:
+        for w in range(wb):
+            sl = slice(w * m, (w + 1) * m)
+            out_ref[w] = (y[sl] + z2[sl] * m2_ref[w0 + w, 0]).astype(
+                out_ref.dtype
+            )
+    else:
+        o = y + z2
+        for w in range(wb):
+            out_ref[w] = o[w * m : (w + 1) * m].astype(out_ref.dtype)
 
 
-def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation, exact=True):
+def _ref_swin_block(
+    x, ctr, params, num_heads, q_ind, activation, exact=True, masks=None
+):
     """Pure-JAX twin of fused_swin_block (same math/casts, incl. the A&S
     erf-approx GELU) — the numerical oracle for kernel/backward tests."""
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
+    m1, m2 = (
+        (masks[0][:, None, None], masks[1][:, None, None])
+        if masks is not None
+        else (1.0, 1.0)
+    )
     d, b_, m, c = x.shape
     in_dtype = x.dtype
     scale = (c // num_heads) ** -0.5
@@ -775,16 +800,16 @@ def _ref_swin_block(x, ctr, params, num_heads, q_ind, activation, exact=True):
             qq, kk, vv, masks_rows, bias_rows, scale, num_heads, m, exact
         )
     )(q_all, k, v)
-    y = ctr_f32 + _rowdot(acc, w_proj[0], w_proj[1], in_dtype, exact)
+    y = ctr_f32 + m1 * _rowdot(acc, w_proj[0], w_proj[1], in_dtype, exact)
     z = _ln(y, ln2[0], ln2[1])
     h1 = _kernel_activation(activation)(_rowdot(z, fc1[0], fc1[1], in_dtype, exact))
-    o = y + _rowdot(h1, fc2[0], fc2[1], in_dtype, exact)
+    o = y + m2 * _rowdot(h1, fc2[0], fc2[1], in_dtype, exact)
     return o.astype(ctr.dtype)
 
 
 def _swin_block_pallas(
     num_heads, q_ind, activation, interpret, exact, x, ctr, params,
-    with_acc=False,
+    with_acc=False, masks=None,
 ):
     ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias = params
     d, b_, m, c = x.shape
@@ -809,23 +834,34 @@ def _swin_block_pallas(
     ]
     vec = lambda cc=c: pl.BlockSpec((1, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = lambda r, cc: pl.BlockSpec((r, cc), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((d, wb, m, c), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        vec(), vec(), vec(), vec(),
+        mat(c, c), vec(), mat(c, 2 * c), vec(2 * c),
+        mat(c, c), vec(),
+        vec(), vec(),
+        mat(c, hd), vec(hd), mat(hd, c), vec(),
+        mat(num_heads * m, n), mat(num_heads * m, c),
+    ]
+    if masks is not None:
+        # per-window stochastic-depth multipliers (see _fused_swin_kernel).
+        # Scalars live in SMEM as the FULL (B_, 1) array — a (wb, 1) VMEM
+        # block violates Mosaic's (8, 128) tile rule — and the kernel
+        # indexes by program_id
+        args += [masks[0].reshape(b_, 1), masks[1].reshape(b_, 1)]
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     return pl.pallas_call(
         functools.partial(
             _fused_swin_kernel,
             num_heads=num_heads, scale=scale, wb=wb, m=m, q_ind=q_ind,
-            act=activation, exact=exact,
+            act=activation, exact=exact, masked=masks is not None,
         ),
         grid=(b_ // wb,),
-        in_specs=[
-            pl.BlockSpec((d, wb, m, c), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, m, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            vec(), vec(), vec(), vec(),
-            mat(c, c), vec(), mat(c, 2 * c), vec(2 * c),
-            mat(c, c), vec(),
-            vec(), vec(),
-            mat(c, hd), vec(hd), mat(hd, c), vec(),
-            mat(num_heads * m, n), mat(num_heads * m, c),
-        ],
+        in_specs=in_specs,
         # the training fwd additionally writes the pre-projection attention
         # output (acc) as a residual — saves the backward a forward-kernel
         # recompute (see _window_block_pallas)
@@ -925,6 +961,85 @@ def _swin_block_bwd(num_heads, q_ind, activation, interpret, exact, res, g):
 _swin_block_call.defvjp(_swin_block_fwd, _swin_block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _swin_block_call_masked(
+    num_heads, q_ind, activation, interpret, exact, x, ctr, masks, params
+):
+    """fused swin block with stochastic-depth multipliers ``masks =
+    (m1, m2)``, each (B_,) f32 (one scalar per window): the kernel computes
+    ``y = ctr + m1*proj(attn)`` and ``out = y + m2*MLP(LN2(y))`` — the timm
+    DropPath points of the unfused block (SwinTransformerBlock3D). Keeping
+    a separate call (instead of always-on unit masks) leaves the inference
+    program byte-identical to the unmasked path."""
+    return _swin_block_pallas(
+        num_heads, q_ind, activation, interpret, exact, x, ctr, params,
+        masks=masks,
+    )
+
+
+def _swin_block_fwd_masked(
+    num_heads, q_ind, activation, interpret, exact, x, ctr, masks, params
+):
+    out, acc = _swin_block_pallas(
+        num_heads, q_ind, activation, interpret, exact, x, ctr, params,
+        with_acc=True, masks=masks,
+    )
+    return out, (x, ctr, masks, params, acc)
+
+
+def _swin_block_bwd_masked(
+    num_heads, q_ind, activation, interpret, exact, res, g
+):
+    """Same hybrid backward as _swin_block_bwd; the masks only scale the
+    two residual branches, which live in the XLA ``post`` stage — the
+    Pallas attention-core backward kernel is untouched (acc is saved
+    PRE-projection, before m1 applies)."""
+    x, ctr, masks, params, acc = res
+    m1, m2 = masks
+    ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, fc1, fc2, bias = params
+    in_dtype = x.dtype
+    d, b_, m, c = x.shape
+
+    def pre(x_, ctr_, ln_q_, ln_kv_, w_q_, w_k_, w_v_):
+        w_kv = jnp.concatenate([w_k_[0], w_v_[0]], axis=1)
+        b_kv = jnp.concatenate([w_k_[1], w_v_[1]])
+        xs = x_.at[q_ind].set(ctr_)
+        kvt = _ln(xs.astype(jnp.float32), ln_kv_[0], ln_kv_[1])
+        kv_all = _rowdot(kvt, w_kv, b_kv, in_dtype, exact).astype(in_dtype)
+        qt = _ln(ctr_.astype(jnp.float32), ln_q_[0], ln_q_[1])
+        q_all = _rowdot(qt, w_q_[0], w_q_[1], in_dtype, exact).astype(in_dtype)
+        k = kv_all[..., :c].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        v = kv_all[..., c:].transpose(1, 0, 2, 3).reshape(b_, d * m, c)
+        return q_all, k, v
+
+    (q_all, k, v), pre_vjp = jax.vjp(pre, x, ctr, ln_q, ln_kv, w_q, w_k, w_v)
+
+    def post(acc_, ctr_, m1_, m2_, w_proj_, ln2_, fc1_, fc2_):
+        y = ctr_.astype(jnp.float32) + m1_[:, None, None] * _rowdot(
+            acc_, w_proj_[0], w_proj_[1], in_dtype, exact
+        )
+        z = _ln(y, ln2_[0], ln2_[1])
+        h1 = _kernel_activation(activation)(
+            _rowdot(z, fc1_[0], fc1_[1], in_dtype, exact)
+        )
+        o = y + m2_[:, None, None] * _rowdot(h1, fc2_[0], fc2_[1], in_dtype, exact)
+        return o.astype(ctr.dtype)
+
+    _, post_vjp = jax.vjp(post, acc, ctr, m1, m2, w_proj, ln2, fc1, fc2)
+    dacc, dctr_post, dm1, dm2, dw_proj, dln2, dfc1, dfc2 = post_vjp(g)
+    dq_all, dk, dv, dbias = _attn_core_bwd_call(
+        num_heads, interpret, exact, q_all, k, v, bias, dacc
+    )
+    dx, dctr_pre, dln_q, dln_kv, dw_q, dw_k, dw_v = pre_vjp((dq_all, dk, dv))
+    dctr = jax.tree_util.tree_map(jnp.add, dctr_pre, dctr_post)
+    return dx, dctr, (dm1, dm2), (
+        dln_q, dln_kv, dw_q, dw_k, dw_v, dw_proj, dln2, dfc1, dfc2, dbias
+    )
+
+
+_swin_block_call_masked.defvjp(_swin_block_fwd_masked, _swin_block_bwd_masked)
+
+
 def fused_swin_block(*args, **kwargs):
     """Unjitted dispatch shim for :func:`_fused_swin_block`.
 
@@ -967,6 +1082,7 @@ def _fused_swin_block(
     activation: str = "gelu",
     interpret: bool = False,
     exact: bool = True,
+    masks: Optional[Tuple[Array, Array]] = None,  # stochastic-depth (B_,) x2
 ) -> Array:
     """The ENTIRE SwinTransformerBlock3D fused: window attention (LNs +
     projections + masked stacked-head attention + out-projection) plus the
@@ -979,8 +1095,16 @@ def _fused_swin_block(
     per-block ``x.at[q_ind].set(center)`` full-buffer copy. Differentiable
     via custom_vjp (hybrid backward: XLA pre/post vjps around the Pallas
     attention-core backward kernel). ``exact=False`` trades the f32
-    HIGHEST dots for single-pass MXU speed (see _dot_precision)."""
+    HIGHEST dots for single-pass MXU speed (see _dot_precision).
+    ``masks`` enables in-kernel stochastic depth (see
+    _swin_block_call_masked), letting TRAINING blocks with drop_path > 0
+    fuse instead of falling back to the per-block buffer-copy body."""
     params = (ln_q, ln_kv, w_q, w_k, w_v, w_proj, ln2, mlp_fc1, mlp_fc2, bias)
+    if masks is not None:
+        return _swin_block_call_masked(
+            num_heads, q_ind, activation, interpret, exact, x, ctr, masks,
+            params,
+        )
     return _swin_block_call(
         num_heads, q_ind, activation, interpret, exact, x, ctr, params
     )

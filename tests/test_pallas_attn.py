@@ -154,6 +154,56 @@ def test_dilated_uncovered_pixels_identity_block(rng):
     np.testing.assert_allclose(y_fus, y_ref, atol=2e-5, rtol=1e-4)
 
 
+def test_fused_block_droppath_matches_legacy(rng):
+    """TRAINING-mode stochastic depth through the fused kernel (r5: the
+    drop-path multipliers are kernel operands) must match the legacy
+    unfused body — same params, same droppath rng stream (both draw two
+    per-sample masks per block, attention residual first) — in outputs AND
+    gradients. H, W chosen so the dilated block has uncovered pixels (their
+    MLP branch carries the m2 mask too)."""
+    from bde2vid_tpu.nn.window_attention import DFrameAttention
+
+    D, B, H, W, C = 3, 2, 13, 14, 16
+    x = jnp.asarray(rng.normal(size=(D, B, H, W, C)).astype(np.float32))
+    kw = dict(dim=C, depth=3, num_heads=4, window_size=(D, 7, 7),
+              drop_path=(0.5, 0.5, 0.5), deterministic=False)
+    m_leg = DFrameAttention(use_pallas=False, **kw)
+    m_fus = DFrameAttention(use_pallas=True, **kw)
+    p = m_leg.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(9)},
+        x,
+    )
+
+    # several rng draws so both mask outcomes (0 and 1/keep) are exercised
+    for seed in range(4):
+        rngs = {"droppath": jax.random.PRNGKey(seed)}
+        y_leg = np.asarray(m_leg.apply(p, x, rngs=rngs))
+        y_fus = np.asarray(m_fus.apply(p, x, rngs=rngs))
+        np.testing.assert_allclose(y_fus, y_leg, atol=3e-5, rtol=1e-4)
+
+    def loss(mod):
+        def f(pp, xx):
+            return jnp.sum(
+                mod.apply(pp, xx, rngs={"droppath": jax.random.PRNGKey(3)})
+                ** 2
+            )
+        return f
+
+    gp_leg, gx_leg = jax.grad(loss(m_leg), argnums=(0, 1))(p, x)
+    gp_fus, gx_fus = jax.grad(loss(m_fus), argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_fus), np.asarray(gx_leg), atol=5e-4, rtol=5e-3
+    )
+    flat_l = jax.tree_util.tree_leaves_with_path(gp_leg)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gp_fus))
+    for path, gl in flat_l:
+        gf = flat_f[path]
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gl), atol=5e-4, rtol=5e-3,
+            err_msg=str(path),
+        )
+
+
 def test_kernel_erf_gelu_matches_exact(rng):
     """Mosaic has no erf lowering; the kernel's A&S-7.1.26 GELU must match
     jax.nn.gelu(approximate=False) to ~f32 accuracy."""
